@@ -1,0 +1,498 @@
+"""Driver-facing query catalog: SURVEY.md §2 operators instantiated over the
+driver synthetic tables (TESTDATA.md), each with a DuckDB oracle twin.
+
+Role mapping (FIXTURES.md §B): `events` plays the metrics fact table
+(user_id→run_id, event_type→key, ts→time order, value→value, props→JSON);
+`orders`/`customer`/dims play runs+dimensions; `lineitem` stresses volume;
+`documents`/`embeddings` back the §2.12 LLM-pipeline operators.
+
+Contract (driver): every Spark query and its oracle produce identical
+column NAMES and identical values (order-insensitive hash at sf0.01).
+Determinism rules used throughout:
+  - every ORDER BY feeding a LIMIT carries a unique tiebreaker column;
+  - raw timestamps are projected as epoch doubles (Spark cast-to-double ==
+    DuckDB epoch(), both microseconds/1e6) or formatted strings;
+  - floating aggregates that sum many doubles are rounded (sum order is
+    nondeterministic in both engines; rounding makes the hash stable).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from waddleml_spark.operators import core as ops
+from waddleml_spark.session import read_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = " ".join(sql.split())
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _epoch(col):
+    """Timestamp → epoch-seconds double; bit-identical to DuckDB epoch()."""
+    return F.col(col).cast("double")
+
+
+def _r(c, digits: int):
+    """Bit-identical cross-engine rounding: floor(x*10^d + 0.5) / 10^d.
+
+    Library round() differs between engines (Spark rounds the shortest
+    decimal repr, DuckDB the binary value); this explicit formula is the
+    same IEEE op sequence in both.  SQL twin: _r_sql().
+    """
+    p = 10 ** digits
+    return F.floor(c * p + F.lit(0.5)) / p
+
+
+def _r_sql(expr: str, digits: int) -> str:
+    p = 10 ** digits
+    return f"floor(({expr}) * {p} + 0.5) / {p}"
+
+
+# =====================================================================
+# Flagship — A6 leaderboard (ref: waddle/_dashboard_api.py:218-235).
+# Last value per run for one metric key, ranked, top-N.  events stands in
+# for metrics: user_id=run, event_type=key, ts=step order.
+# Plan shape: pushed filter → single window shuffle on user_id →
+# TakeOrderedAndProject.  At 100 TB with metrics bucketed by run_id the
+# window is shuffle-free.
+# =====================================================================
+@_register(
+    "flagship_leaderboard",
+    """
+    SELECT user_id, value AS last_value, epoch(ts) AS last_ts
+    FROM (
+        SELECT user_id, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+    ORDER BY last_value DESC, user_id
+    LIMIT 20
+    """,
+)
+def flagship_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("value").alias("last_value"),
+            _epoch("ts").alias("last_ts"),
+        )
+        .orderBy(F.col("last_value").desc(), "user_id")
+        .limit(20)
+    )
+
+
+# =====================================================================
+# P1+P2+O1+O2 — list_runs shape: projection, dynamic equality filter,
+# allowlisted sort, LIMIT/OFFSET (ref: waddle/_dashboard_api.py:22-72).
+# =====================================================================
+@_register(
+    "runs_list_page",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s
+    FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY o_orderdate DESC, o_orderkey
+    LIMIT 50 OFFSET 10
+    """,
+)
+def runs_list_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ops.equality_filter(t(spark, sf_dir, "orders"), {"o_orderstatus": "O"})
+    df = df.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey"))
+    df = ops.paginate(df, limit=50, offset=10)
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate_s"),
+    )
+
+
+# P3 — point lookup by PK (ref: waddle/_dashboard_api.py:77-80).
+@_register(
+    "point_lookup",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey = 500
+    """,
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ops.equality_filter(t(spark, sf_dir, "orders"), {"o_orderkey": 500})
+    return df.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+# P4 — FK-scoped scan (ref: waddle/_dashboard_api.py:94-149); with the fact
+# table partitioned by the FK this is partition pruning.
+@_register(
+    "fk_scan",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_orderkey = 1
+    """,
+)
+def fk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ops.equality_filter(t(spark, sf_dir, "lineitem"), {"l_orderkey": 1})
+    return df.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# P5 — IN-list predicate (ref: waddle/_dashboard_api.py:160-196).
+@_register(
+    "in_list_filter",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_custkey IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
+    """,
+)
+def in_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ops.in_list_filter(
+        t(spark, sf_dir, "customer"), "c_custkey", [1, 2, 3, 5, 8, 13, 21, 34, 55, 89]
+    )
+    return df.select("c_custkey", "c_name", "c_acctbal")
+
+
+# P6 — namespace-prefix exclusion (ref `key NOT LIKE 'system/%'`,
+# waddle/_dashboard_api.py:212).
+@_register(
+    "prefix_exclusion",
+    """
+    SELECT event_id, event_type FROM events
+    WHERE event_type NOT LIKE 's%'
+    """,
+)
+def prefix_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "events").filter(~F.col("event_type").startswith("s"))
+    return df.select("event_id", "event_type")
+
+
+# P7/F8 — case-insensitive substring search over concatenated fields,
+# promoted server-side (ref: waddle/static/index.html:185-191).
+@_register(
+    "search_ci",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE lower(concat_ws(' ', c_name, c_mktsegment)) LIKE '%ding%'
+    """,
+)
+def search_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ops.search_filter(t(spark, sf_dir, "customer"), ["c_name", "c_mktsegment"], "ding")
+    return df.select("c_custkey", "c_name", "c_mktsegment")
+
+
+# P8+F6 — derived duration + humanize (ref: cli.py:61-72).
+@_register(
+    "derived_duration",
+    """
+    SELECT event_id, value,
+           CASE WHEN value < 60 THEN printf('%.2fs', floor(value * 100 + 0.5) / 100)
+                ELSE printf('%.2fm', floor(value / 60 * 100 + 0.5) / 100) END AS dur_h
+    FROM events WHERE value IS NOT NULL AND value >= 0
+    """,
+)
+def derived_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    # Round with an explicit floor(x*100+0.5)/100 BEFORE formatting: Spark's
+    # round() rounds the shortest decimal repr (BigDecimal.valueOf) while
+    # DuckDB/C round the exact binary value, so library roundings diverge on
+    # near-tie digits.  The floor formula is identical IEEE arithmetic in
+    # both engines, and %.2f of the identical double prints identically.
+    def _r2(c):
+        return F.floor(c * 100 + 0.5) / 100
+
+    dur = F.when(
+        F.col("value") < 60, F.format_string("%.2fs", _r2(F.col("value")))
+    ).otherwise(F.format_string("%.2fm", _r2(F.col("value") / 60)))
+    return df.select("event_id", "value", dur.alias("dur_h"))
+
+
+# P9/T3 — query-time stale-run reclassification: the ref's N+1 correlated
+# loop (waddle/_dashboard_api.py:56-69) as one aggregate + CASE.
+@_register(
+    "stale_reclass",
+    """
+    SELECT user_id,
+           CASE WHEN max(ts) < TIMESTAMP '2024-01-25 00:00:00'
+                THEN 'aborted' ELSE 'running' END AS status,
+           epoch(max(ts)) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stale_reclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(F.max("ts").alias("__max_ts"))
+    status = F.when(
+        F.col("__max_ts") < F.lit("2024-01-25 00:00:00").cast("timestamp"),
+        F.lit("aborted"),
+    ).otherwise(F.lit("running"))
+    return agg.select(
+        "user_id",
+        status.alias("status"),
+        F.col("__max_ts").cast("double").alias("last_ts"),
+    )
+
+
+# =====================================================================
+# J1/J3 — dimension joins (ref: waddle/_dashboard_api.py:223-225).  The dim
+# chain customer→nation→region is broadcast on both hops (Catalyst auto-
+# broadcasts under the 64 MB threshold set in session.py).
+# =====================================================================
+@_register(
+    "dim_join_agg",
+    f"""
+    SELECT r.r_name, count(*) AS n_cust,
+           {_r_sql('avg(c.c_acctbal)', 4)} AS avg_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def dim_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            _r(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+# J2/W1 — last value per (group, key) with rank() keeping ties: exact parity
+# with the ref's step = (SELECT MAX(step)...) equality semantics
+# (waddle/_dashboard_api.py:227).
+@_register(
+    "last_per_group_ties",
+    """
+    SELECT user_id, event_type, value AS last_value
+    FROM (
+        SELECT user_id, event_type, value,
+               rank() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC) AS rk
+        FROM events
+    ) WHERE rk = 1
+    """,
+)
+def last_per_group_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    out = ops.last_per_group(ev, ["user_id", "event_type"], "ts", keep_ties=True)
+    return out.select("user_id", "event_type", F.col("value").alias("last_value"))
+
+
+# J5/D4 — idempotent-insert probe as left-anti join (ref: waddle/_db.py:111-133).
+@_register(
+    "anti_join_missing",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return ops.anti_insert(c, o, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+# Semi-join twin (EXISTS).
+@_register(
+    "semi_join_active",
+    """
+    SELECT c.c_custkey, c.c_acctbal FROM customer c
+    WHERE c.c_acctbal > 0
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, on="c_custkey", how="left_semi").select("c_custkey", "c_acctbal")
+
+
+# =====================================================================
+# A1/A2 — grouped MAX/MIN/COUNT (ref: waddle/_dashboard_api.py:62-64,227).
+# Partial+final hash aggregation; epoch doubles for hash parity.
+# =====================================================================
+@_register(
+    "agg_minmax_count",
+    """
+    SELECT user_id, epoch(max(ts)) AS max_ts, epoch(min(ts)) AS min_ts,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_minmax_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").cast("double").alias("max_ts"),
+            F.min("ts").cast("double").alias("min_ts"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# A3/O5 — distinct key discovery, sorted (ref: waddle/_dashboard_api.py:117-120).
+@_register(
+    "distinct_keys",
+    "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+)
+def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.distinct_values(t(spark, sf_dir, "events"), "event_type")
+
+
+# A4 — pivot (ref param-diff, waddle/_dashboard_api.py:171-183): tall EAV →
+# wide run×key grid.  Explicit pivot values keep one pass + stable schema.
+_PIVOT_KINDS = ["click", "error", "purchase", "signup", "view"]
+
+
+@_register(
+    "pivot_user_by_type",
+    "SELECT user_id, "
+    + ", ".join(
+        _r_sql("avg(CASE WHEN event_type = '%s' THEN value END)" % k, 4) + " AS " + k
+        for k in _PIVOT_KINDS
+    )
+    + " FROM events GROUP BY user_id",
+)
+def pivot_user_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    piv = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", _PIVOT_KINDS)
+        .agg(F.avg("value"))
+    )
+    return piv.select("user_id", *[_r(F.col(k), 4).alias(k) for k in _PIVOT_KINDS])
+
+
+# A7 — unpivot/fan-out (ref dict→rows, waddle/_run.py:114-126) via stack().
+@_register(
+    "unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+    FROM lineitem WHERE l_orderkey <= 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure, l_extendedprice AS val
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(2, 'quantity', l_quantity, 'extendedprice', l_extendedprice) AS (measure, val)",
+    )
+
+
+# O4 — global top-N (ref: cli.py:51-52): TakeOrderedAndProject, no full sort.
+@_register(
+    "topn_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# F2 — tolerant JSON extraction (ref parse-on-read,
+# waddle/_dashboard_api.py:86-108) — JVM-side json path, no UDF.
+@_register(
+    "json_extract_props",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k_val")
+    )
+
+
+# F3 — sha256 content hashing (ref artifact hashing, waddle/_run.py:177).
+@_register(
+    "sha256_docs",
+    "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+)
+def sha256_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("text_sha")
+    )
+
+
+# F7 — fixed-width truncation/format (ref: cli.py:58,71-72).
+@_register(
+    "substr_format",
+    """
+    SELECT c_custkey, substr(c_name, 1, 8) AS name8, upper(c_mktsegment) AS seg
+    FROM customer
+    """,
+)
+def substr_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.substring("c_name", 1, 8).alias("name8"),
+        F.upper("c_mktsegment").alias("seg"),
+    )
+
+
+# F10 — bucketed humanize (ref bytes humanize, waddle/static/index.html:492-497)
+# as a when-chain + per-bucket aggregate.
+@_register(
+    "size_class_counts",
+    """
+    SELECT lang,
+           CASE WHEN n_chars < 200 THEN 'S'
+                WHEN n_chars < 350 THEN 'M'
+                ELSE 'L' END AS size_class,
+           count(*) AS n
+    FROM documents GROUP BY lang, size_class
+    """,
+)
+def size_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    cls = (
+        F.when(F.col("n_chars") < 200, "S")
+        .when(F.col("n_chars") < 350, "M")
+        .otherwise("L")
+    )
+    return d.groupBy("lang", cls.alias("size_class")).agg(F.count("*").alias("n"))

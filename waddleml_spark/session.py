@@ -1,0 +1,114 @@
+"""SparkSession factory.
+
+One place to pin every config that matters for correctness (UTC timestamps
+for DuckDB-oracle parity) and for scale (AQE, shuffle partitioning, Arrow).
+
+Scale posture: on a real cluster these settings come from spark-submit; the
+factory only sets what is semantically required plus local-mode ergonomics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Local-mode parallelism: the driver benches with SPARK_GRAFT_CPUS.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "waddleml-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Correctness-critical:
+      - session timeZone=UTC: parquet timestamps must round-trip identically
+        in Spark and the DuckDB oracle (DuckDB timestamps are UTC-naive).
+    Scale-critical:
+      - AQE on (runtime coalescing + skew-join splitting; `metrics` skewed by
+        chatty runs is the expected hot spot — SURVEY.md §4.2).
+      - shuffle partitions ~ cores locally; at cluster scale AQE coalesces
+        from a deliberately-high initial number.
+      - Arrow for any pandas-exchange path (similarity / multimodal UDFs).
+    """
+    cpus = int(_DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions is not None else cpus),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata writes events.ts as TIMESTAMP(NANOS); Spark can't
+        # read nanos natively — read as long, convert in read_table()
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.createHiveTableByDefault", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver parquet table, normalizing nano-precision timestamps.
+
+    events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives as a
+    long of nanoseconds.  DuckDB truncates nanos to micros on read, so we do
+    the same (`div 1000` then timestamp_micros) for oracle hash-parity.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if name == "events":
+        # the driver may hand us a session built without this conf; it is
+        # runtime-settable, and without it the nanos column refuses to read
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Load the driver parquet tables under ``sf_dir`` and register temp views.
+
+    Returns {name: DataFrame}.  Views let every operator also be phrased as
+    spark.sql over the same names DuckDB pre-registers (TESTDATA.md).
+    """
+    if names is None:
+        names = (
+            "region",
+            "nation",
+            "customer",
+            "supplier",
+            "part",
+            "orders",
+            "lineitem",
+            "events",
+            "documents",
+            "embeddings",
+        )
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = read_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
