@@ -475,6 +475,204 @@ def substr_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Volume / OLAP shapes (SURVEY.md §2.4 "absent in ref, needed for north
+# star").  These are the queries that dominate at 100 TB: wide partial
+# aggregation, grouped top-N, rollup, sessionization, the big fact-fact
+# shuffle join.
+# =====================================================================
+
+
+@_register(
+    "tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_r_sql('sum(l_quantity)', 2)} AS sum_qty,
+           {_r_sql('sum(l_extendedprice)', 2)} AS sum_base_price,
+           {_r_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price,
+           {_r_sql('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 2)} AS sum_charge,
+           {_r_sql('avg(l_quantity)', 4)} AS avg_qty,
+           {_r_sql('avg(l_extendedprice)', 4)} AS avg_price,
+           {_r_sql('avg(l_discount)', 4)} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical wide partial-agg shape.
+
+    Plan: scan with pushed shipdate filter + column pruning → partial hash
+    aggregate per partition (map-side combine) → 4-group final aggregate.
+    Sum order is engine-nondeterministic → floor-round for hash parity.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+        _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        _r(F.sum(disc_price), 2).alias("sum_disc_price"),
+        _r(F.sum(charge), 2).alias("sum_charge"),
+        _r(F.avg("l_quantity"), 4).alias("avg_qty"),
+        _r(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        _r(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_register(
+    "top3_orders_per_cust",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def top3_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-N (standard OLAP top-k; extension of ref W1)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@_register(
+    "rollup_lineitem",
+    f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           {_r_sql('sum(l_quantity)', 2)} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup with subtotals + grand total (§2.4 extension)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _r(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@_register(
+    "sessionize_users",
+    """
+    SELECT user_id, sum(is_new) AS n_sessions, count(*) AS n_events FROM (
+        SELECT user_id,
+               CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                         OR epoch(ts) - lag(epoch(ts)) OVER w > 3600
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) GROUP BY user_id
+    """,
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap detection + per-user session count.
+
+    The classic streaming-adjacent batch shape (guide §OLAP patterns);
+    single window shuffle on user_id, then reuse of the same partitioning
+    for the aggregate (no second shuffle).
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = _epoch("ts") - F.lag(_epoch("ts")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 3600), 1).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+@_register(
+    "running_sum_per_user",
+    f"""
+    SELECT event_id,
+           {_r_sql('''sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''', 4)}
+               AS run_sum
+    FROM events WHERE user_id <= 20
+    """,
+)
+def running_sum_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (prefix) sum per user — frame-spec window (ref W3 extension).
+
+    Rounded: DuckDB evaluates windowed sums with a segment tree (pairwise
+    order), Spark sequentially — last-ulp drift on long prefixes.
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select("event_id", _r(F.sum("value").over(w), 4).alias("run_sum"))
+
+
+@_register(
+    "revenue_by_priority",
+    f"""
+    SELECT o.o_orderpriority,
+           {_r_sql('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue,
+           count(*) AS n_items
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join + aggregate — the big shuffle shape at 100 TB.
+
+    orders/lineitem share the orderkey; at scale both sides should be
+    bucketed by orderkey so this is a shuffle-free sort-merge join.  AQE
+    handles skewed keys.  Locally Catalyst picks broadcast for orders.
+    """
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(_r(F.sum(rev), 2).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+@_register(
+    "metric_summary_stats",
+    f"""
+    SELECT event_type, count(*) AS n,
+           min(value) AS vmin, max(value) AS vmax,
+           {_r_sql('avg(value)', 4)} AS vavg,
+           {_r_sql('stddev_samp(value)', 4)} AS vstd,
+           max_by(value, epoch(ts)) AS vlast
+    FROM events GROUP BY event_type
+    """,
+)
+def metric_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key summary stats (count/min/max/avg/stddev/last) — the metric
+    overview panel the reference renders client-side, as one aggregate."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        _r(F.avg("value"), 4).alias("vavg"),
+        _r(F.stddev_samp("value"), 4).alias("vstd"),
+        F.max_by("value", _epoch("ts")).alias("vlast"),
+    )
+
+
 # F10 — bucketed humanize (ref bytes humanize, waddle/static/index.html:492-497)
 # as a when-chain + per-bucket aggregate.
 @_register(
@@ -496,3 +694,7 @@ def size_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("L")
     )
     return d.groupBy("lang", cls.alias("size_class")).agg(F.count("*").alias("n"))
+
+
+# LLM-pipeline entries (§2.12) register themselves on import — keep last.
+from waddleml_spark import catalog_llm  # noqa: E402,F401

@@ -1,0 +1,270 @@
+"""LLM-pipeline catalog entries (SURVEY.md §2.12) over documents/embeddings.
+
+Registered into catalog.QUERIES/ORACLE.  SQL-expressible ops carry DuckDB
+twins; LSH/SimHash/ANN/multimodal-features are rows-only (driver records
+the weaker check — by design, they are not ANSI-SQL-expressible).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from waddleml_spark.catalog import _r, _r_sql, _register, t
+from waddleml_spark.llmops import dedup, multimodal, similarity, textstats
+
+# --- exact dedup -----------------------------------------------------------
+
+
+@_register(
+    "exact_dedup_docs",
+    r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS keeper_id, count(*) AS n_dups
+    FROM documents
+    GROUP BY fp
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "fingerprint_docs",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp"))
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+_WORDS_SQL = "avg(len(regexp_extract_all(text, '[A-Za-z0-9]+')))"
+_TOKENS_SQL = r"avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))"
+
+
+@_register(
+    "text_quality_by_lang",
+    f"""
+    SELECT lang, count(*) AS n_docs,
+           {_r_sql(_WORDS_SQL, 4)} AS avg_words,
+           {_r_sql(_TOKENS_SQL, 4)} AS avg_tokens,
+           {_r_sql('avg(length(text))', 4)} AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = textstats.quality_features(t(spark, sf_dir, "documents"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        _r(F.avg("q_words"), 4).alias("avg_words"),
+        _r(F.avg("q_tokens"), 4).alias("avg_tokens"),
+        _r(F.avg("q_chars"), 4).alias("avg_chars"),
+    )
+
+
+@_register(
+    "token_totals_by_source",
+    r"""
+    SELECT source,
+           sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS total_tokens,
+           sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS total_words
+    FROM documents GROUP BY source
+    """,
+)
+def token_totals_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(textstats.token_count_bpe(F.col("text"))).alias("total_tokens"),
+        F.sum(textstats.word_count(F.col("text"))).alias("total_words"),
+    )
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    pat = "\\b(" + "|".join(markers) + ")\\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+_LANGS = sorted(textstats.LANG_MARKERS)  # de, en, es, fr, zh
+
+
+@_register(
+    "lang_pred_matrix",
+    """
+    WITH scored AS (
+        SELECT lang, """
+    + ", ".join(
+        f"{_lang_score_sql(textstats.LANG_MARKERS[c])} AS s_{c}" for c in _LANGS
+    )
+    + """,
+        greatest("""
+    + ", ".join(f"{_lang_score_sql(textstats.LANG_MARKERS[c])}" for c in _LANGS)
+    + """) AS m
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN m = 0 THEN NULL
+                WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr'
+                WHEN s_es = m THEN 'es' WHEN s_en = m THEN 'en'
+                ELSE 'de' END AS lang_pred,
+           count(*) AS n
+    FROM scored GROUP BY lang, lang_pred
+    """,
+)
+def lang_pred_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: heuristic marker-word argmax vs the
+    labeled lang column.  Tie-break = highest language code (array_max on
+    (score, lang) structs; mirrored by the CASE order in the oracle)."""
+    d = textstats.lang_id(t(spark, sf_dir, "documents"))
+    return d.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+
+
+# --- similarity ------------------------------------------------------------
+
+_COS_SQL = (
+    "list_dot_product(ed, qd) / "
+    "(sqrt(list_dot_product(ed, ed)) * sqrt(list_dot_product(qd, qd)))"
+)
+
+
+@_register(
+    "cosine_topk_q0",
+    f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qd FROM embeddings WHERE vec_id = 0),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings WHERE vec_id <> 0)
+    SELECT vec_id, {_r_sql(_COS_SQL, 6)} AS cos_sim
+    FROM c, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def cosine_topk_q0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs the vec_id=0 embedding (the ANN baseline).
+
+    The query vector is fetched driver-side (a parameter lookup, not a data
+    loop) and inlined as a literal array — broadcast by construction."""
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = similarity.cosine_topk(emb, [float(x) for x in qvec], k=10, exclude_id=0)
+    return out.select("vec_id", _r(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+@_register(
+    "embedding_norm_by_label",
+    f"""
+    SELECT label, count(*) AS n,
+           {_r_sql('avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))', 4)}
+               AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    nrm = similarity.norm(similarity.as_double(F.col("embedding")))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"), _r(F.avg(nrm), 4).alias("avg_norm")
+    )
+
+
+@_register(
+    "jaccard_word_pairs_src0",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(str_split_regex(lower(trim(text)), '\s+')) AS ws
+        FROM documents WHERE source = 'src0'
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           floor((CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.ws, b.ws)))) * 1000000 + 0.5)
+               / 1000000 AS jac
+    FROM d a, d b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.ws, b.ws)) * 2
+          >= len(list_distinct(list_concat(a.ws, b.ws)))
+    """,
+)
+def jaccard_word_pairs_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard over one source bucket (≥0.5 threshold) —
+    the n-gram Jaccard verifier shape, bounded to a candidate bucket the
+    way production feeds LSH candidates (never a global cross join)."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+            ).alias("ws"),
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.array_union(F.col("a.ws"), F.col("b.ws")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter * 2 >= union)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            _r(inter.cast("double") / union.cast("double"), 6).alias("jac"),
+        )
+    )
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+@_register(
+    "media_payload_stats",
+    """
+    SELECT 'image' AS modality, count(*) AS n,
+           sum(octet_length(encode(text))) AS total_bytes,
+           min(octet_length(encode(text))) AS min_bytes,
+           max(octet_length(encode(text))) AS max_bytes
+    FROM documents
+    """,
+)
+def media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.docs_as_media(t(spark, sf_dir, "documents"))
+    return multimodal.payload_stats(media)
+
+
+# --- rows-only ops (not ANSI-SQL-expressible; driver runs weaker check) ----
+
+
+@_register("minhash_lsh_candidates", None)
+def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(
+        t(spark, sf_dir, "documents"), num_hashes=32, bands=8
+    ).orderBy("id_a", "id_b")
+
+
+@_register("simhash_signatures", None)
+def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@_register("ann_lsh_topk_q0", None)
+def ann_lsh_topk_q0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    # 4 planes → 16 buckets: sized so buckets hold tens of vectors at the
+    # test SFs; at corpus scale raise planes with corpus size (bucket ≈ n/2^p)
+    planes = np.random.RandomState(42).randn(4, len(qvec)).tolist()
+    return similarity.ann_topk_lsh(
+        emb.filter(F.col("vec_id") != 0), qvec, planes, k=10
+    )
+
+
+@_register("multimodal_features", None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.docs_as_media(t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media).orderBy("media_id")

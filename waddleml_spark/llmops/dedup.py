@@ -1,0 +1,233 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard
+(SURVEY.md §2.12).
+
+Scale design:
+- exact dedup is a hash-groupBy — one shuffle on the content hash, with
+  map-side combine; at 100 TB shuffle only (hash, id) pairs, never text.
+- MinHash/LSH turns all-pairs O(n²) into per-band bucket joins; bucket
+  sizes are bounded by construction, AQE splits stragglers.
+- SimHash buckets near-identical docs by hamming-banding a 64-bit
+  signature; signature computation is an Arrow-batched pandas UDF (the
+  per-token bit-vote loop is genuinely imperative), everything after is
+  relational.
+- n-gram Jaccard is the exact verifier applied INSIDE candidate buckets,
+  never globally.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from waddleml_spark.llmops.textstats import fingerprint
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: normalize → md5 → keep min-id doc per hash.
+
+    Returns (fp, keeper_id, n_dups).  Deterministic keeper = lowest id.
+    One shuffle on the 16-byte hash; text never shuffles.
+    """
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def exact_dedup_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated dataset itself: all columns, one row per content
+    fingerprint (lowest id wins) — window over fp, no join back."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(text_col: str, k: int = 3) -> F.Column:
+    """Word k-gram shingle array (distinct), via JVM-side higher-order fns."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " "), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + banded LSH candidate pairs (id_a < id_b, per-band dedup'd).
+
+    shingle → per-hash min over xxhash64(shingle, seed_i) → band rows →
+    self-join on (band, signature).  All relational: explode + groupBy +
+    join; no driver-side loops.  num_hashes/bands tune recall vs cost.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col).alias("sh"))
+    exploded = sh.select("id", F.explode("sh").alias("g"))
+    # num_hashes independent hash fns: xxhash64 with distinct seed columns
+    minsigs = exploded.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("g"), F.lit(seed + i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    # band signature = hash of the band's rows → (id, band, sig)
+    band_rows = minsigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "bs.band", "bs.sig")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (the LSH verifier).
+
+    With `candidates=None` computes all pairs — ONLY for tests/oracles;
+    production always feeds LSH candidates so the join is bucket-bounded.
+    """
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh"))
+    if candidates is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        pairs = (
+            candidates.join(a, candidates.id_a == F.col("a.id"))
+            .join(b, candidates.id_b == F.col("b.id"))
+        )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def _simhash_batch(it):
+    """Arrow-batched simhash: 64-bit token-hash bit-vote (numpy)."""
+    for pdf in it:
+        out = np.zeros(len(pdf), dtype=np.int64)
+        for i, text in enumerate(pdf["text"].astype(str)):
+            toks = text.lower().split()
+            if not toks:
+                continue
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in toks:
+                h = np.int64(np.uint64(hash64(tok)))
+                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                votes += np.where(bits.astype(bool), 1, -1)
+            sig = np.uint64(0)
+            for bit in range(64):
+                if votes[bit] > 0:
+                    sig |= np.uint64(1) << np.uint64(bit)
+            out[i] = np.int64(sig)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "simhash": out})
+
+
+def hash64(s: str) -> int:
+    """Deterministic 64-bit FNV-1a string hash (stable across processes,
+    unlike Python's salted hash())."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document via mapInPandas (Arrow batches).
+
+    The bit-vote inner loop is imperative — the one place Python is
+    warranted; batches keep it vectorized per partition.
+    """
+    from waddleml_spark.session import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    return src.mapInPandas(_simhash_batch, schema=_SIMHASH_SCHEMA)
+
+
+def simhash_buckets(signatures: DataFrame, band_bits: int = 16) -> DataFrame:
+    """Band a 64-bit signature into 64/band_bits buckets for hamming-ball
+    candidate generation; relational from here on."""
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    return signatures.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")

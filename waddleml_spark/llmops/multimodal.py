@@ -1,0 +1,113 @@
+"""Multimodal columns: opaque binary payloads + typed metadata
+(SURVEY.md §2.12; the reference's BLOB inline_bytes is the seed —
+waddle/_schema.py:70).
+
+Design: image/audio/video travel as `binary` columns with a metadata
+struct (modality, mime, width/height/duration...).  Decode / resize /
+frame-sample run as Arrow-batched functions over mapInPandas so each
+partition processes a columnar batch; the *decode kernel itself* is
+STUBBED (codec libraries are not in this container) behind
+`decode_stub`, which produces a deterministic fake so the Spark-side
+plumbing — schema, partitioning, batch shape — is real and tested.
+
+At 100 TB: payloads dominate bytes; always project metadata-only unless
+the stage genuinely needs bytes (column pruning keeps payload IO zero
+for metadata queries), and repartition by size class before decode so
+batches are uniform.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.StringType(), True),  # JSON sidecar
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("payload_sha", T.StringType(), True),
+        T.StructField("feat_mean", T.DoubleType(), True),
+        T.StructField("feat_dim", T.IntegerType(), True),
+    ]
+)
+
+
+def docs_as_media(documents: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as fake media payloads so the
+    binary plumbing is exercised with the driver fixtures."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes) -> list[float]:
+    """STUB decode kernel — deterministic fake feature vector.
+
+    Real deployments drop in PIL/libav here; the container has neither,
+    so features derive from the payload digest (stable across runs).
+    """
+    if payload is None:
+        raise NotImplementedError("no payload; real decoder not bundled")
+    digest = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in digest[:8]]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: per-batch decode → fixed schema.
+
+    Arrow batches in/out; bytes never round-trip through Python row
+    objects.  Output is metadata + small features only (payload dropped) —
+    the pattern that keeps downstream stages payload-free."""
+    from waddleml_spark.session import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def batches(it):
+        for pdf in it:
+            feats = [decode_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "modality": pdf["modality"].values,
+                    "n_bytes": [len(p) if p is not None else None for p in pdf["payload"]],
+                    "payload_sha": [
+                        hashlib.sha256(p).hexdigest() if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                    "feat_mean": [sum(f) / len(f) for f in feats],
+                    "feat_dim": [len(f) for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def payload_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only stats — pure expressions, payload column pruned except
+    for octet_length which parquet can answer from the binary column
+    without decoding:  per modality count / total / avg bytes, sha sample."""
+    return media.groupBy("modality").agg(
+        F.count("*").alias("n"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.min(F.octet_length("payload")).alias("min_bytes"),
+        F.max(F.octet_length("payload")).alias("max_bytes"),
+    )

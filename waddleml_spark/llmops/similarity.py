@@ -1,0 +1,105 @@
+"""Similarity search over embedding columns (SURVEY.md §2.12).
+
+Baseline: brute-force cosine top-k with pure JVM expressions
+(zip_with + aggregate — no Python in the hot path).  Scale path:
+random-hyperplane LSH bucketing so each query probes a small bucket
+instead of the full corpus; both share the same expression kernel.
+
+At 100 TB: the corpus is partitioned; brute force is a full scan per
+query (only acceptable for batched query sets — broadcast the queries,
+one pass, per-partition top-k then global top-k).  LSH cuts the scan to
+matching buckets; bucket skew is handled by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(vec):
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    """Σ a_i*b_i via zip_with + aggregate (JVM, codegen'd)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a):
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k against one query vector.
+
+    The query is a literal array (broadcast by construction); one scan,
+    per-partition top-k via TakeOrderedAndProject.  Returns (id, cos_sim)
+    ordered desc with id tiebreak.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = corpus
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    sim = cosine(as_double(F.col(vec_col)), q)
+    return (
+        df.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_bucketize(
+    df: DataFrame,
+    hyperplanes: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH: bucket = bit-packed signs of
+    dot(vec, plane_i).  Deterministic given the hyperplane matrix (callers
+    generate it with a fixed seed).  Pure expressions — one projection."""
+    v = as_double(F.col(vec_col))
+    bucket = None
+    for i, plane in enumerate(hyperplanes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(v, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn("lsh_bucket", bucket.cast("long"))
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    query_vec: list[float],
+    hyperplanes: list[list[float]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN: probe only the query's LSH bucket, then exact cosine top-k
+    inside it.  Recall < 1 by design; multi-probe = union of neighbor
+    buckets (flip one bit) if needed."""
+    bucketed = lsh_bucketize(corpus, hyperplanes, vec_col)
+    # query bucket computed driver-side with the same formula
+    import math
+
+    qb = 0
+    for i, plane in enumerate(hyperplanes):
+        d = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        if d >= 0:
+            qb |= 1 << i
+    cand = bucketed.filter(F.col("lsh_bucket") == qb)
+    return cosine_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)

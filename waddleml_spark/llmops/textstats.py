@@ -1,0 +1,102 @@
+"""Text analysis operators: quality scoring, token counting, language ID,
+document fingerprinting (SURVEY.md §2.12).
+
+All built from JVM-side expressions (split/regexp/md5/aggregate) — no Python
+UDFs — so they stay inside whole-stage codegen and scale linearly with
+partitions.  Each has a DuckDB-expressible twin in catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Word-ish tokens: runs of alphanumerics.  BPE-ish tokens additionally split
+# out digits and punctuation (GPT-2-style pre-tokenizer, simplified).
+WORD_RE = "[A-Za-z0-9]+"
+BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# language-ID.  Deterministic, oracle-expressible.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "la", "de"],
+    "fr": ["le", "la", "et"],
+    "zh": ["de", "le", "shi"],
+}
+
+
+def word_count(text: Column) -> Column:
+    """Number of word tokens (regexp-based; identical to DuckDB
+    len(regexp_extract_all(text, ...)))."""
+    return F.size(F.regexp_extract_all(text, F.lit(WORD_RE), F.lit(0)))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: letters-run | single digit | single symbol."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), F.lit(0)))
+
+
+def punct_count(text: Column) -> Column:
+    return F.size(
+        F.regexp_extract_all(text, F.lit("[^A-Za-z0-9\\s]"), F.lit(0))
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: lengths, token counts, ratios.
+
+    The standard pre-training quality gates (length/punct/word ratios) as
+    one projection; downstream filters are pushed predicates over these.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_words = word_count(text)
+    return df.withColumns(
+        {
+            "q_chars": n_chars,
+            "q_words": n_words,
+            "q_tokens": token_count_bpe(text),
+            "q_punct": punct_count(text),
+            # doubles via explicit cast so ratios hash-match the oracle
+            "q_avg_word_len": (n_chars.cast("double") / n_words.cast("double")),
+        }
+    )
+
+
+def stopword_score(text: Column, markers: list[str]) -> Column:
+    """How many marker words occur in the text (word-boundary regex count)."""
+    pat = "\\b(" + "|".join(markers) + ")\\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language marker-word counts.
+
+    Adds `lang_pred` (NULL when no marker hits).  Deterministic tie-break:
+    highest score wins, ties resolved by language code order.
+    """
+    text = F.col(text_col)
+    scored = F.array(
+        *[
+            F.struct(
+                stopword_score(text, m).alias("score"), F.lit(code).alias("lang")
+            )
+            for code, m in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # array_max on struct compares fieldwise: score first, then lang; ties
+    # on score pick the LAST lang code, so invert: sort desc by (score, lang)
+    best = F.array_max(scored)
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(None)),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercased, whitespace-collapsed).  Cross-engine stable (DuckDB md5)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
+    return F.md5(norm)

@@ -62,6 +62,32 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship the waddleml_spark package to executors (addPyFile zip).
+
+    Python workers don't inherit the driver's sys.path; any operator whose
+    closure references this package (mapInPandas kernels) must call this
+    first.  Idempotent per SparkContext; on a real cluster this is the
+    same mechanism (--py-files) made automatic.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_waddleml_shipped", False):
+        return
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"waddleml_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            z.write(p, arcname=str(Path("waddleml_spark") / p.relative_to(pkg_dir)))
+    sc.addPyFile(zpath)
+    sc._waddleml_shipped = True
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver parquet table, normalizing nano-precision timestamps.
 
