@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver-side collect cost).  Timings are per-query wall clock on a warm
+session; `value` is the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from waddleml_spark import catalog  # noqa: E402
+from waddleml_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_leaderboard",
+    "tpch_q1",
+    "revenue_by_priority",
+    "top3_orders_per_cust",
+    "sessionize_users",
+    "last_per_group_ties",
+    "metric_summary_stats",
+    "exact_dedup_docs",
+    "text_quality_by_lang",
+    "cosine_topk_q0",
+    "minhash_lsh_candidates",
+]
+
+
+def force(df) -> None:
+    """Materialize the full plan without driver-side row transfer."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="waddleml-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers with the cheapest query once
+    force(catalog.QUERIES["point_lookup"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(catalog.QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": f"total_wall_sec_{len(HEADLINE)}_headline_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -78,15 +78,25 @@ def minhash_lsh_candidates(
     self-join on (band, signature).  All relational: explode + groupBy +
     join; no driver-side loops.  num_hashes/bands tune recall vs cost.
     """
+    from waddleml_spark.session import fan_out
+
     rows_per_band = num_hashes // bands
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col).alias("sh"))
-    exploded = sh.select("id", F.explode("sh").alias("g"))
-    # num_hashes independent hash fns: xxhash64 with distinct seed columns
-    minsigs = exploded.groupBy("id").agg(
+    # fan out before the hash-heavy projection: single-row-group inputs
+    # otherwise pin num_hashes × |shingles| hashing onto one core
+    src = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    sh = src.select("id", shingles(text_col).alias("sh"))
+    # minhash_i = min over shingles of xxhash64(shingle, seed_i), computed
+    # per-row with array_min(transform(...)) — zero shuffle, pure projection
+    # (vs the naive explode → groupBy(num_hashes aggs) which shuffles every
+    # (id, shingle) pair)
+    minsigs = sh.select(
+        "id",
         *[
-            F.min(F.xxhash64(F.col("g"), F.lit(seed + i))).alias(f"h{i}")
+            F.array_min(
+                F.transform(F.col("sh"), lambda g, i=i: F.xxhash64(g, F.lit(seed + i)))
+            ).alias(f"h{i}")
             for i in range(num_hashes)
-        ]
+        ],
     )
     # band signature = hash of the band's rows → (id, band, sig)
     band_rows = minsigs.select(
@@ -105,18 +115,28 @@ def minhash_lsh_candidates(
             )
         ).alias("bs"),
     ).select("id", "bs.band", "bs.sig")
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    # bucket-group instead of self-join: ONE shuffle on (band, sig) and the
+    # signature pipeline is computed once (a self-join would recompute it
+    # for each side); pairs expand inside each bucket with array exprs.
+    buckets = (
+        band_rows.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def jaccard_pairs(
@@ -202,10 +222,10 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     The bit-vote inner loop is imperative — the one place Python is
     warranted; batches keep it vectorized per partition.
     """
-    from waddleml_spark.session import ensure_shipped
+    from waddleml_spark.session import ensure_shipped, fan_out
 
     ensure_shipped(df.sparkSession)
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    src = fan_out(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
     return src.mapInPandas(_simhash_batch, schema=_SIMHASH_SCHEMA)
 
 

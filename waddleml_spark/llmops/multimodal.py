@@ -77,9 +77,10 @@ def extract_features(media: DataFrame) -> DataFrame:
     Arrow batches in/out; bytes never round-trip through Python row
     objects.  Output is metadata + small features only (payload dropped) —
     the pattern that keeps downstream stages payload-free."""
-    from waddleml_spark.session import ensure_shipped
+    from waddleml_spark.session import ensure_shipped, fan_out
 
     ensure_shipped(media.sparkSession)
+    media = fan_out(media)
 
     def batches(it):
         for pdf in it:

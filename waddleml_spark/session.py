@@ -88,6 +88,21 @@ def ensure_shipped(spark: SparkSession) -> None:
     sc._waddleml_shipped = True
 
 
+def fan_out(df, min_partitions: int | None = None):
+    """Round-robin repartition when the input has fewer partitions than
+    cores — the local/small-file remedy for single-row-group parquet, where
+    Spark cannot split the scan.  Use before compute-heavy projections
+    (hashing, regex, UDF batches); skip for cheap scans/aggregates where the
+    shuffle would cost more than it saves.  At cluster scale inputs arrive
+    with thousands of row groups and this is a no-op.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver parquet table, normalizing nano-precision timestamps.
 
