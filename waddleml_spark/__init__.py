@@ -22,4 +22,14 @@ Layout:
 
 __version__ = "0.1.0"
 
+from waddleml_spark.api import (  # noqa: F401
+    finish,
+    init,
+    log,
+    log_artifact,
+    log_param,
+    log_tag,
+)
+from waddleml_spark.run import Run  # noqa: F401
 from waddleml_spark.session import get_spark  # noqa: F401
+from waddleml_spark.store import WaddleStore  # noqa: F401

@@ -1,0 +1,246 @@
+"""WaddleStore: dual-layer storage — Parquet event-log (Spark-native scale
+path) with DuckDB write-through mirror (reference-parity single-file
+artifact + oracle).
+
+Reference storage is one DuckDB file with row-at-a-time autocommit INSERTs
+(waddle/_db.py:27-68, waddle/_run.py:122-125).  Spark translation
+(SURVEY.md §1.3, §4.3):
+
+- every write lands as a micro-batch: rows → Spark DataFrame →
+  (a) Parquet append into the table's directory,
+  (b) Arrow handoff → DuckDB INSERT (the "DataFrame writes to DuckDB" path);
+- mutable semantics (upsert D3, update D5, delete D6) on immutable Parquet
+  use an event-log discipline: versioned tables carry a monotonic `_seq`;
+  the read view is last-writer-wins per primary key (window dedupe).
+  DuckDB gets real ON CONFLICT/UPDATE/DELETE, so both layers converge to
+  identical logical state;
+- deletes rewrite Parquet with an anti-filter (at scale: partition drop by
+  run_id) and cascade in FK order, mirroring waddle/_dashboard_api.py:237-249.
+
+Scale posture: metrics is the tall fact table — at 100 TB it is written
+partitioned by run_id bucket and sorted within partitions by (key, step) so
+parquet min/max stats replace the reference's secondary index
+(waddle/_schema.py:59).  `compact()` folds the event log so dedupe views
+stay cheap.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import threading
+import time
+
+import duckdb
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from waddleml_spark import schemas
+
+# tables whose reads are last-writer-wins per PK (the event-log tables)
+_VERSIONED: dict[str, list[str]] = {
+    "runs": ["id"],
+    "params": ["run_id", "key"],
+    "tags": ["run_id", "key"],
+    "repos": ["name"],  # ref upserts repos BY NAME (waddle/_db.py:76-98)
+    "commits": ["repo_id", "commit_sha"],  # idempotent: first writer wins
+}
+_APPEND_ONLY = ("metrics", "artifacts")
+
+_seq_lock = threading.Lock()
+_seq_counter = itertools.count()
+
+
+def _next_seq() -> int:
+    """Monotonic write sequence: epoch-micros * 1000 + counter mod 1000.
+    Orders writes across restarts (wall clock) and within a process
+    (counter); collisions would need >1000 writes in one microsecond."""
+    with _seq_lock:
+        return int(time.time() * 1e6) * 1000 + next(_seq_counter) % 1000
+
+
+class WaddleStore:
+    def __init__(self, root: str, spark: SparkSession | None = None):
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+        self._spark = spark
+        self.duck_path = os.path.join(self.root, "waddle.duckdb")
+        self.duck = duckdb.connect(self.duck_path)
+        self._duck_lock = threading.Lock()  # single-writer (ref S5)
+        for stmt in schemas.DUCKDB_DDL.split(";"):
+            if stmt.strip():
+                self.duck.execute(stmt)
+
+    # --- session ----------------------------------------------------------
+
+    @property
+    def spark(self) -> SparkSession:
+        if self._spark is None:
+            from waddleml_spark.session import get_spark
+
+            self._spark = get_spark(app_name="waddleml-store")
+        return self._spark
+
+    def _dir(self, table: str) -> str:
+        return os.path.join(self.root, "parquet", table)
+
+    # --- write path -------------------------------------------------------
+
+    def _spark_schema(self, table: str, versioned: bool) -> T.StructType:
+        base = schemas.WADDLE_TABLES[table]
+        if not versioned:
+            return base
+        return T.StructType(list(base.fields) + [T.StructField("_seq", T.LongType(), False)])
+
+    def _write_batch(self, table: str, rows: list[dict], duck_sql: str | None) -> None:
+        """One micro-batch: Spark DataFrame → Parquet append + DuckDB SQL
+        fed from the same DataFrame via Arrow."""
+        if not rows:
+            return
+        versioned = table in _VERSIONED
+        seq = _next_seq() if versioned else None
+        cols = [f.name for f in schemas.WADDLE_TABLES[table].fields]
+        data = []
+        for r in rows:
+            row = [r.get(c) for c in cols]
+            if versioned:
+                row.append(seq)
+            data.append(tuple(row))
+        schema = self._spark_schema(table, versioned)
+        df = self.spark.createDataFrame(data, schema)
+        df.coalesce(1).write.mode("append").parquet(self._dir(table))
+        # Arrow handoff: the SAME DataFrame content lands in DuckDB
+        arrow_tbl = df.drop("_seq").toArrow() if versioned else df.toArrow()
+        with self._duck_lock:
+            self.duck.register("_batch", arrow_tbl)
+            self.duck.execute(duck_sql or f"INSERT INTO {table} SELECT * FROM _batch")
+            self.duck.unregister("_batch")
+
+    def append(self, table: str, rows: list[dict]) -> None:
+        """Plain append (D1/D2: metrics, artifacts, new runs/commits...)."""
+        self._write_batch(table, rows, None)
+
+    def upsert(self, table: str, rows: list[dict]) -> None:
+        """Upsert by the table's PK (D3: params/tags ON CONFLICT DO UPDATE,
+        ref waddle/_run.py:139-150; D4 commits DO NOTHING)."""
+        keys = _VERSIONED[table]
+        cols = [f.name for f in schemas.WADDLE_TABLES[table].fields]
+        # DuckDB forbids assigning UNIQUE/PK columns in DO UPDATE (repos is
+        # keyed by name but carries an id PK) — exclude them from the SET
+        pk_cols = {"repos": ["id"]}.get(table, [])
+        non_keys = [c for c in cols if c not in keys and c not in pk_cols]
+        if table == "commits":
+            action = "DO NOTHING"
+        else:
+            sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_keys)
+            action = f"DO UPDATE SET {sets}"
+        conflict = ", ".join(keys)
+        self._write_batch(
+            table,
+            rows,
+            f"INSERT INTO {table} SELECT * FROM _batch ON CONFLICT ({conflict}) {action}",
+        )
+
+    def update_run(self, run_id: str, **fields) -> None:
+        """D5: UPDATE runs SET ... WHERE id (ref waddle/_run.py:198-201).
+        Parquet side: append a full new row version (last-writer-wins)."""
+        current = self._duck_row("runs", "id", run_id)
+        if current is None:
+            raise KeyError(f"run {run_id} not found")
+        current.update(fields)
+        sets = ", ".join(f"{k} = ?" for k in fields)
+        with self._duck_lock:
+            self.duck.execute(
+                f"UPDATE runs SET {sets} WHERE id = ?",
+                [*fields.values(), run_id],
+            )
+        # parquet version row (skip duck insert — already updated)
+        versioned_schema = self._spark_schema("runs", True)
+        cols = [f.name for f in schemas.WADDLE_TABLES["runs"].fields]
+        row = tuple([current.get(c) for c in cols] + [_next_seq()])
+        df = self.spark.createDataFrame([row], versioned_schema)
+        df.coalesce(1).write.mode("append").parquet(self._dir("runs"))
+
+    def delete_run(self, run_id: str) -> None:
+        """D6: cascading delete in FK order (ref _dashboard_api.py:237-249).
+        DuckDB: real DELETEs.  Parquet: anti-filter rewrite per table (at
+        scale this is a partition drop when tables partition by run_id)."""
+        with self._duck_lock:
+            for tbl in ("metrics", "artifacts", "tags", "params"):
+                self.duck.execute(f"DELETE FROM {tbl} WHERE run_id = ?", [run_id])
+            self.duck.execute("DELETE FROM runs WHERE id = ?", [run_id])
+        import shutil
+
+        for tbl, key in (
+            ("metrics", "run_id"),
+            ("artifacts", "run_id"),
+            ("tags", "run_id"),
+            ("params", "run_id"),
+            ("runs", "id"),
+        ):
+            d = self._dir(tbl)
+            if os.path.exists(d):
+                versioned = tbl in _VERSIONED
+                df = self.spark.read.schema(self._spark_schema(tbl, versioned)).parquet(d)
+                kept = df.filter(F.col(key) != run_id)
+                tmp = d + ".rewrite"
+                kept.write.mode("overwrite").parquet(tmp)
+                shutil.rmtree(d)
+                os.rename(tmp, d)
+
+    def _duck_row(self, table: str, key_col: str, key_val) -> dict | None:
+        with self._duck_lock:
+            cur = self.duck.execute(
+                f"SELECT * FROM {table} WHERE {key_col} = ?", [key_val]
+            )
+            row = cur.fetchone()
+            if row is None:
+                return None
+            return dict(zip([d[0] for d in cur.description], row))
+
+    # --- read path --------------------------------------------------------
+
+    def df(self, table: str) -> DataFrame:
+        """Current logical state as a DataFrame (dedupe view for versioned
+        tables — window last-writer-wins, one shuffle on the PK)."""
+        d = self._dir(table)
+        versioned = table in _VERSIONED
+        schema = self._spark_schema(table, versioned)
+        if not os.path.exists(d):
+            return self.spark.createDataFrame([], schema if not versioned else schemas.WADDLE_TABLES[table])
+        df = self.spark.read.schema(schema).parquet(d)
+        if not versioned:
+            return df
+        keys = _VERSIONED[table]
+        order = F.col("_seq").desc() if table != "commits" else F.col("_seq").asc()
+        w = Window.partitionBy(*keys).orderBy(order)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "_seq")
+        )
+
+    def compact(self, table: str | None = None) -> None:
+        """Fold the event log: rewrite each versioned table to its deduped
+        state (keeps read-side windows O(current) instead of O(history));
+        coalesce small append files.  Run periodically / post-ingest."""
+        tables = [table] if table else list(_VERSIONED) + list(_APPEND_ONLY)
+        import shutil
+
+        for tbl in tables:
+            d = self._dir(tbl)
+            if not os.path.exists(d):
+                continue
+            cur = self.df(tbl)
+            if tbl in _VERSIONED:
+                cur = cur.withColumn("_seq", F.lit(_next_seq()))
+            tmp = d + ".compact"
+            cur.coalesce(max(1, self.spark.sparkContext.defaultParallelism // 4)).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            shutil.rmtree(d)
+            os.rename(tmp, d)
+
+    def close(self) -> None:
+        self.duck.close()
