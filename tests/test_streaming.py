@@ -1,0 +1,116 @@
+"""Streaming tests (T1/T2): live bus fan-out, parquet-tail metric stream,
+watermarked window agg, sampler feed."""
+
+from __future__ import annotations
+
+import pytest
+
+import waddleml_spark as w
+from waddleml_spark import state
+from waddleml_spark.streaming.live import LiveBus, MetricStream, metric_window_agg
+
+
+@pytest.fixture(autouse=True)
+def reset_state():
+    state.set_active_run(None)
+    yield
+    run = state.get_active_run()
+    if run is not None:
+        run._finished = True
+    state.set_active_run(None)
+
+
+def test_live_bus_publish_and_prune():
+    bus = LiveBus()
+    got = []
+    bus.subscribe(lambda rows: got.extend(rows))
+
+    def bad(rows):
+        raise RuntimeError("dead socket")
+
+    bus.subscribe(bad)
+    bus.publish([{"k": 1}])
+    bus.publish([{"k": 2}])
+    assert [r["k"] for r in got] == [1, 2]
+    assert len(bus._subs) == 1  # dead subscriber pruned (ref T5)
+
+
+def test_run_publishes_to_live_bus(spark, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    run = w.init(project="live", system_metrics=False, spark=spark)
+    bus = LiveBus()
+    seen = []
+    bus.subscribe(lambda rows: seen.extend(rows))
+    run._live_bus = bus
+    run.log({"loss": 0.5})
+    run.finish()
+    assert [ (r["key"], r["value"]) for r in seen ] == [("loss", 0.5)]
+
+
+def test_metric_stream_tails_store(spark, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    run = w.init(project="stream", system_metrics=False, spark=spark)
+    run.log({"loss": 1.0})
+    run.flush()
+
+    ms = MetricStream(run._store, trigger_seconds=0.5)
+    got = []
+    ms.bus.subscribe(lambda rows: got.extend(rows))
+    ms.start()
+    ms.process_all_available()
+    assert {(r["key"], r["value"]) for r in got} == {("loss", 1.0)}
+
+    # new micro-batch lands → stream delivers it
+    run.log({"loss": 0.5})
+    run.flush()
+    ms.process_all_available()
+    assert {(r["key"], r["value"]) for r in got} == {("loss", 1.0), ("loss", 0.5)}
+    ms.stop()
+    run.finish()
+
+
+def test_metric_window_agg(spark, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    run = w.init(project="winagg", system_metrics=False, spark=spark)
+    base = 1_700_000_010.0  # divisible by 30 → windows align with the data
+    for i in range(6):
+        run.log_metric("loss", i, float(i), ts=base + i * 10)
+    run.flush()
+
+    agg = metric_window_agg(spark, run._store, window="30 seconds")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("winagg_out")
+        .start()
+    )
+    q.processAllAvailable()
+    rows = spark.sql(
+        "SELECT n, avg_value FROM winagg_out ORDER BY window.start"
+    ).collect()
+    q.stop()
+    # 60s of points at 10s spacing over 30s tumbling windows → 3/3 split
+    assert [r.n for r in rows] == [3, 3]
+    assert rows[0].avg_value == pytest.approx(1.0)
+    run.finish()
+
+
+def test_sampler_writes_system_metrics(spark, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from waddleml_spark.sysmetrics import sample_system_metrics
+
+    sample = sample_system_metrics()
+    run = w.init(project="sys", system_metrics=False, spark=spark)
+    if sample:  # psutil present: keys match the reference naming
+        assert "system/cpu_percent" in sample
+        run.log_system(sample, 0)
+        run.flush()
+        keys = [
+            r[0]
+            for r in run._store.duck.execute(
+                "SELECT DISTINCT key FROM metrics WHERE run_id = ? AND key LIKE 'system/%'",
+                [run.id],
+            ).fetchall()
+        ]
+        assert "system/cpu_percent" in keys
+    run.finish()

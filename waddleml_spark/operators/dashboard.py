@@ -1,0 +1,188 @@
+"""SparkDashboard: the reference DashboardAPI's full query repertoire
+(ref: waddle/_dashboard_api.py:22-249) as composed Catalyst plans over a
+WaddleStore, returning the same wire-shape dicts so the reference's
+dashboard/HTTP layer runs unchanged on top.
+
+Key plan upgrades over the reference (SURVEY.md §3.2/§3.3):
+- list_runs: the per-row correlated MAX(ts) re-query (an N+1 loop,
+  ref :56-69) folds into ONE aggregate + broadcast left join + CASE;
+- compare_runs: the per-metric-key series loop (another N+1, ref :190-198)
+  collapses into one scan ordered by (key, step), grouped driver-side;
+- metric_summary: the correlated scalar subquery (ref :227) becomes a
+  window rank (ties kept — rank(), exact parity with equality-on-MAX).
+
+Scale: every shape partitions on run_id (or key) — with metrics bucketed
+by run_id these are shuffle-free; limits ride TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from waddleml_spark.operators import core as ops
+from waddleml_spark.store import WaddleStore
+
+_RUN_COLS = ["id", "project", "name", "status", "started_at", "ended_at", "commit_sha"]
+
+
+def _loads_tolerant(v):
+    # tolerant JSON parse: fall back to the raw string (ref :86-108)
+    if v is None or not isinstance(v, str):
+        return v
+    try:
+        return json.loads(v)
+    except (json.JSONDecodeError, TypeError):
+        return v
+
+
+class SparkDashboard:
+    def __init__(self, store: WaddleStore):
+        self.store = store
+
+    # --- list_runs (P1 P2 P9 O1 O2) --------------------------------------
+
+    def list_runs(
+        self,
+        project: str | None = None,
+        status: str | None = None,
+        sort: str = "started_at",
+        order: str = "desc",
+        limit: int = 200,
+        offset: int = 0,
+        now: float | None = None,
+    ) -> list[dict[str, Any]]:
+        runs = self.store.df("runs").select(*_RUN_COLS)
+        runs = ops.equality_filter(runs, {"project": project, "status": status})
+        runs = ops.stale_status(
+            runs, self.store.df("metrics"), now_ts=now if now is not None else time.time()
+        )
+        runs = ops.allowlist_sort(runs, sort, order, tiebreak="id")
+        runs = ops.paginate(runs, limit=limit, offset=offset)
+        return [r.asDict() for r in runs.collect()]
+
+    # --- get_run (P3 P4 A3) ----------------------------------------------
+
+    def get_run(self, run_id: str) -> dict[str, Any]:
+        runs = self.store.df("runs")
+        row = runs.filter(F.col("id") == run_id).head()
+        if row is None:
+            return {}
+        run = row.asDict()
+        for field in ("env", "config"):
+            run[field] = _loads_tolerant(run[field])
+
+        params = {
+            r.key: _loads_tolerant(r.value)
+            for r in self.store.df("params").filter(F.col("run_id") == run_id).collect()
+        }
+        tags = {
+            r.key: _loads_tolerant(r.value)
+            for r in self.store.df("tags").filter(F.col("run_id") == run_id).collect()
+        }
+        artifacts = [
+            r.asDict()
+            for r in self.store.df("artifacts")
+            .filter(F.col("run_id") == run_id)
+            .select("id", "name", "kind", "created_at", "uri", "sha256", "size_bytes")
+            .collect()
+        ]
+        metric_keys = [
+            r.key
+            for r in ops.distinct_values(
+                self.store.df("metrics").filter(F.col("run_id") == run_id), "key"
+            ).collect()
+        ]
+        return {
+            "run": run,
+            "params": params,
+            "tags": tags,
+            "artifacts": artifacts,
+            "metric_keys": metric_keys,
+        }
+
+    # --- get_metrics (P4 O3, incl. the cross-key LIMIT quirk) ------------
+
+    def get_metrics(
+        self, run_id: str, key: str | None = None, limit: int = 5000
+    ) -> list[dict[str, Any]]:
+        m = self.store.df("metrics").filter(F.col("run_id") == run_id)
+        if key:
+            m = m.filter(F.col("key") == key).orderBy("step").limit(limit)
+        else:
+            # ref quirk preserved: the limit truncates ACROSS keys (:140-149)
+            m = m.orderBy("key", "step").limit(limit)
+        return [r.asDict() for r in m.select("key", "step", "ts", "value").collect()]
+
+    # --- compare_runs (P5 A4 A5) -----------------------------------------
+
+    def compare_runs(self, run_ids: list[str]) -> dict[str, Any]:
+        if not run_ids:
+            return {"runs": [], "param_diff": {}, "metrics": {}}
+        runs = [
+            r.asDict()
+            for r in ops.in_list_filter(self.store.df("runs"), "id", run_ids)
+            .select(*_RUN_COLS)
+            .collect()
+        ]
+        all_params: dict[str, dict[str, Any]] = {}
+        for r in (
+            ops.in_list_filter(self.store.df("params"), "run_id", run_ids)
+            .orderBy("key")
+            .collect()
+        ):
+            all_params.setdefault(r.run_id, {})[r.key] = _loads_tolerant(r.value)
+
+        # ONE scan for every series, ordered (key, step); the reference
+        # issues one query per key (N+1, ref :190-198)
+        metrics: dict[str, list[dict[str, Any]]] = {}
+        series = (
+            ops.in_list_filter(self.store.df("metrics"), "run_id", run_ids)
+            .select("key", "run_id", "step", "value")
+            .orderBy("key", "step")
+            .collect()
+        )
+        for r in series:
+            metrics.setdefault(r.key, []).append(
+                {"run_id": r.run_id, "step": r.step, "value": r.value}
+            )
+        return {"runs": runs, "params": all_params, "metrics": metrics}
+
+    # --- metric keys (A3 P6) ---------------------------------------------
+
+    def metric_keys_global(self) -> list[str]:
+        return [
+            r.key
+            for r in ops.distinct_values(
+                self.store.df("metrics"), "key", exclude_prefix="system/"
+            ).collect()
+        ]
+
+    # --- metric_summary / leaderboard (A6: J1+J2+W1+O4) ------------------
+
+    def metric_summary(self, key: str, limit: int = 20) -> list[dict[str, Any]]:
+        m = self.store.df("metrics").filter(F.col("key") == key)
+        last = ops.last_per_group(m, ["run_id"], "step", keep_ties=True)
+        runs = self.store.df("runs").select(
+            F.col("id").alias("run_id"), "name", "started_at"
+        )
+        out = (
+            last.join(F.broadcast(runs), on="run_id")
+            .orderBy(F.col("started_at").desc(), "run_id")
+            .limit(limit)
+            .select("run_id", "name", "value")
+        )
+        return [r.asDict() for r in out.collect()]
+
+    # --- delete (D6) ------------------------------------------------------
+
+    def delete_run(self, run_id: str) -> bool:
+        try:
+            self.store.delete_run(run_id)
+            return True
+        except Exception:
+            return False

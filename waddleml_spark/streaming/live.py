@@ -1,0 +1,137 @@
+"""Live metric streaming (ref semantics T1/T2/T5, SURVEY.md §2.10).
+
+The reference pushes each metric INSERT to WebSocket clients across a
+thread boundary (waddle/_run.py:128-136 → waddle/_server.py:115-124); its
+client debounces redraws at 500 ms, so per-event delivery is explicitly
+not required — micro-batched delivery is semantics-preserving.
+
+Two delivery paths, same subscriber interface:
+
+- LiveBus: in-process fan-out fed directly by Run.flush() micro-batches
+  (zero-latency path the dashboard uses when it shares the process —
+  the analog of the reference's shared-connection cursor S4);
+- MetricStream: Structured Streaming over the metrics Parquet append log →
+  foreachBatch → the same subscribers.  This is the cross-process path:
+  any number of dashboard processes can tail the store independently.
+
+Watermarked windowed aggregation (metric_window_agg) goes beyond the
+reference (which has no event-time windows at all — staleness T3 is a
+query-time batch expression, see operators.core.stale_status).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from waddleml_spark import schemas
+from waddleml_spark.store import WaddleStore
+
+Subscriber = Callable[[list[dict]], None]
+
+
+class LiveBus:
+    """In-process metric fan-out: Run.flush() publishes each micro-batch;
+    dead subscribers are pruned on send failure (ref T5 prune behavior)."""
+
+    def __init__(self):
+        self._subs: list[Subscriber] = []
+        self._lock = threading.Lock()
+
+    def subscribe(self, fn: Subscriber) -> None:
+        with self._lock:
+            self._subs.append(fn)
+
+    def publish(self, rows: list[dict]) -> None:
+        with self._lock:
+            subs = list(self._subs)
+        dead = []
+        for fn in subs:
+            try:
+                fn(rows)
+            except Exception:
+                dead.append(fn)
+        if dead:
+            with self._lock:
+                self._subs = [s for s in self._subs if s not in dead]
+
+
+class MetricStream:
+    """Structured Streaming tail of the metrics append log.
+
+    readStream(parquet) → foreachBatch → subscriber fan-out.  Exactly-once
+    per micro-batch within a run of the query; the UI's debounce makes
+    at-least-once across restarts acceptable (ref T1 analysis).
+    """
+
+    def __init__(self, store: WaddleStore, trigger_seconds: float = 1.0):
+        self.store = store
+        self.trigger = trigger_seconds
+        self.bus = LiveBus()
+        self._query = None
+
+    def start(self) -> None:
+        spark = self.store.spark
+        src = (
+            spark.readStream.schema(schemas.METRICS)
+            .option("maxFilesPerTrigger", 64)
+            .parquet(self.store._dir("metrics"))
+        )
+
+        def deliver(df: DataFrame, epoch_id: int) -> None:
+            rows = [r.asDict() for r in df.collect()]
+            if rows:
+                self.bus.publish(rows)
+
+        self._query = (
+            src.writeStream.foreachBatch(deliver)
+            .trigger(processingTime=f"{self.trigger} seconds")
+            .option(
+                "checkpointLocation",
+                self.store.root + "/_checkpoints/metric_stream",
+            )
+            .start()
+        )
+
+    def process_all_available(self) -> None:
+        """Synchronous drain — lets tests and batch jobs pump the stream."""
+        if self._query is not None:
+            self._query.processAllAvailable()
+
+    def stop(self) -> None:
+        if self._query is not None:
+            self._query.stop()
+            self._query = None
+
+
+def metric_window_agg(
+    spark: SparkSession,
+    store: WaddleStore,
+    window: str = "30 seconds",
+    slide: str | None = None,
+    watermark: str = "2 minutes",
+):
+    """Watermarked event-time windowed aggregation over the live metric
+    stream: per (window, run_id, key) count/avg/min/max.  Late rows beyond
+    the watermark are dropped — the engine's late-data story, absent in the
+    reference (extension operator).
+
+    Returns the streaming DataFrame; callers attach a sink
+    (memory sink for tests, foreachBatch→store for materialized rollups).
+    """
+    src = (
+        spark.readStream.schema(schemas.METRICS)
+        .parquet(store._dir("metrics"))
+        .withColumn("event_time", F.timestamp_seconds(F.col("ts")))
+        .withWatermark("event_time", watermark)
+    )
+    win = F.window("event_time", window, slide) if slide else F.window("event_time", window)
+    return src.groupBy(win, "run_id", "key").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
