@@ -1,0 +1,101 @@
+"""Serving-layer tests: stdlib HTTP adapter wire format + CLI ls/init."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import urllib.request
+
+import pytest
+
+import waddleml_spark as w
+from waddleml_spark import state
+from waddleml_spark.server import serve_in_thread
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    state.set_active_run(None)
+    root = tmp_path_factory.mktemp("srv") / ".waddle"
+    run = w.init(
+        project="web", name="r1", config={"lr": 1e-3},
+        store_path=str(root), system_metrics=False, spark=spark,
+    )
+    run.log({"loss": 0.9})
+    run.log({"loss": 0.4})
+    run.finish()
+    server = serve_in_thread(run._store, port=0)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    yield base, run
+    server.shutdown()
+    state.set_active_run(None)
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_http_runs_and_run(served):
+    base, run = served
+    status, runs = _get(f"{base}/api/runs")
+    assert status == 200
+    assert [r["name"] for r in runs] == ["r1"]
+    status, detail = _get(f"{base}/api/runs/{run.id}")
+    assert status == 200
+    assert detail["run"]["status"] == "completed"
+    assert detail["params"] == {"lr": 0.001}
+    # 404 wire parity (ref _server.py:45-50)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{base}/api/runs/nope")
+    assert e.value.code == 404
+
+
+def test_http_metrics_keys_summary_compare(served):
+    base, run = served
+    status, series = _get(f"{base}/api/runs/{run.id}/metrics?key=loss")
+    assert [m["value"] for m in series] == [0.9, 0.4]
+    status, keys = _get(f"{base}/api/metric-keys")
+    assert keys == ["loss"]
+    status, board = _get(f"{base}/api/metric-summary?key=loss")
+    assert board == [{"run_id": run.id, "name": "r1", "value": 0.4}]
+    req = urllib.request.Request(
+        f"{base}/api/compare",
+        data=json.dumps({"run_ids": [run.id]}).encode(),
+        method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        cmp = json.loads(r.read())
+    assert cmp["metrics"]["loss"][0]["value"] == 0.9
+
+
+def test_cli_ls_and_init(served, tmp_path, monkeypatch, capsys):
+    base, run = served
+    from waddleml_spark import cli
+
+    # ls against the served store
+    rc = cli.main(["ls", "--db", run._store.root])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "web" in out and "r1" in out and "completed" in out
+
+    # init creates .waddle + gitignore entry
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(["init"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert (tmp_path / ".waddle").is_dir()
+    assert ".waddle/" in (tmp_path / ".gitignore").read_text()
+
+
+def test_cli_module_invocation(served, run=None):
+    # the CLI is runnable as a module (python -m waddleml_spark.cli)
+    p = subprocess.run(
+        [sys.executable, "-m", "waddleml_spark.cli", "--help"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert p.returncode == 0
+    assert "init" in p.stdout and "serve" in p.stdout

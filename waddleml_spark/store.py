@@ -61,6 +61,11 @@ def _next_seq() -> int:
 
 
 class WaddleStore:
+    # open stores by root — same-process readers (CLI ls, dashboard) reuse
+    # the writer's connection as a cursor instead of fighting the file lock
+    # (ref S4 shared-connection cursor, waddle/_dashboard_api.py:16-19)
+    _registry: dict[str, "WaddleStore"] = {}
+
     def __init__(self, root: str, spark: SparkSession | None = None):
         self.root = os.path.abspath(root)
         os.makedirs(self.root, exist_ok=True)
@@ -71,6 +76,17 @@ class WaddleStore:
         for stmt in schemas.DUCKDB_DDL.split(";"):
             if stmt.strip():
                 self.duck.execute(stmt)
+        WaddleStore._registry[self.root] = self
+
+    @classmethod
+    def reader_conn(cls, root: str):
+        """A DuckDB connection for read paths: the open writer's cursor when
+        this process owns the store, else a fresh read_only connection."""
+        root = os.path.abspath(root)
+        store = cls._registry.get(root)
+        if store is not None:
+            return store.duck.cursor()
+        return duckdb.connect(os.path.join(root, "waddle.duckdb"), read_only=True)
 
     # --- session ----------------------------------------------------------
 
@@ -243,4 +259,5 @@ class WaddleStore:
             os.rename(tmp, d)
 
     def close(self) -> None:
+        WaddleStore._registry.pop(self.root, None)
         self.duck.close()
