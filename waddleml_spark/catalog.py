@@ -696,5 +696,5 @@ def size_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang", cls.alias("size_class")).agg(F.count("*").alias("n"))
 
 
-# LLM-pipeline entries (§2.12) register themselves on import — keep last.
-from waddleml_spark import catalog_llm  # noqa: E402,F401
+# LLM-pipeline (§2.12) and extension entries register on import — keep last.
+from waddleml_spark import catalog_ext, catalog_llm  # noqa: E402,F401

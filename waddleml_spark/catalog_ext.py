@@ -1,0 +1,251 @@
+"""Extension catalog: temporal custom operators (as-of join, range join,
+hypertable rollup), set ops, cube, lead/lag, series regroup, canonical JSON
+— the §2 rows the reference lacks but a Spark-first engine must cover.
+Registered into catalog.QUERIES/ORACLE with DuckDB oracle twins (DuckDB has
+native ASOF JOIN / IEJoin, making it a real semantic oracle here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from waddleml_spark.catalog import _epoch, _r, _r_sql, _register, t
+from waddleml_spark.operators import temporal
+
+# --- as-of join -------------------------------------------------------------
+
+
+@_register(
+    "asof_purchase_click",
+    """
+    SELECT p.event_id, p.user_id, epoch(p.ts) AS ts,
+           epoch(c.ts) AS click_ts, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's most recent prior click.
+    Union-marker + last-non-null window — one shuffle on (user_id, ts);
+    oracle = DuckDB's native ASOF JOIN."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = temporal.asof_join(
+        purchases, clicks, on=["user_id"], left_time="ts", right_time="ts",
+        right_values=["value"], how="inner",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        _epoch("ts").alias("ts"),
+        F.col("ts_asof").cast("double").alias("click_ts"),
+        F.col("value_asof").alias("click_value"),
+    )
+
+
+# --- range join -------------------------------------------------------------
+
+
+@_register(
+    "range_pairs_60s",
+    """
+    SELECT e1.user_id, count(*) AS n_pairs
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e1.event_id < e2.event_id
+     AND abs(epoch(e1.ts) - epoch(e2.ts)) <= 60
+    GROUP BY e1.user_id
+    """,
+)
+def range_pairs_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: same-user event pairs within 60 s.  Bucketized equi-join
+    (3-bucket explode + residual filter) vs DuckDB's IEJoin oracle."""
+    ev = t(spark, sf_dir, "events")
+    e1 = ev.select("user_id", F.col("event_id").alias("id1"), _epoch("ts").alias("t1"))
+    e2 = ev.select("user_id", F.col("event_id").alias("id2"), _epoch("ts").alias("t2"))
+    pairs = temporal.range_join_bucketized(
+        e1, e2, on=["user_id"], left_val="t1", right_val="t2", max_distance=60.0
+    ).filter(F.col("id1") < F.col("id2"))
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
+# --- hypertable rollup -------------------------------------------------------
+
+
+@_register(
+    "hypertable_rollup_day",
+    f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n, {_r_sql('sum(value)', 4)} AS sum_v,
+           min(value) AS min_v, max(value) AS max_v
+    FROM events GROUP BY day
+    """,
+)
+def hypertable_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup: hour level scans once, day level
+    reaggregates hour (continuous-aggregate pattern; sums/counts compose)."""
+    ev = t(spark, sf_dir, "events")
+    levels = temporal.rollup_hierarchy(ev, "ts", ["hour", "day"], [], "value")
+    day = levels["day"]
+    return day.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "n",
+        _r(F.col("sum_v"), 4).alias("sum_v"),
+        "min_v",
+        "max_v",
+    )
+
+
+# --- set operations ----------------------------------------------------------
+
+
+@_register(
+    "set_ops_users",
+    """
+    SELECT 'both' AS tag, user_id FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    UNION ALL
+    SELECT 'purchase_only' AS tag, user_id FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    """,
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    err = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = purch.intersect(err).select(F.lit("both").alias("tag"), "user_id")
+    only = purch.exceptAll(err).select(F.lit("purchase_only").alias("tag"), "user_id")
+    return both.unionByName(only)
+
+
+# --- cube ---------------------------------------------------------------------
+
+
+@_register(
+    "cube_orders",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           {_r_sql('sum(o_totalprice)', 2)} AS sum_total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), _r(F.sum("o_totalprice"), 2).alias("sum_total"))
+    )
+
+
+# --- distinct counts -----------------------------------------------------------
+
+
+@_register(
+    "distinct_users_by_type",
+    "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+# --- lead / lag ----------------------------------------------------------------
+
+
+@_register(
+    "lead_lag_delta",
+    """
+    SELECT event_id,
+           value - lag(value) OVER w AS delta,
+           epoch(lead(ts) OVER w) - epoch(ts) AS next_gap
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def lead_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead deltas — exact doubles (single subtraction, no sum order)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        (F.lead(_epoch("ts")).over(w) - _epoch("ts")).alias("next_gap"),
+    )
+
+
+@_register(
+    "ema_smooth_5",
+    f"""
+    SELECT event_id,
+           {_r_sql('''avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)''', 6)} AS smooth
+    FROM events WHERE user_id <= 20
+    """,
+)
+def ema_smooth_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chart smoothing (SURVEY §2.5 extension): trailing 5-row moving avg."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select("event_id", _r(F.avg("value").over(w), 6).alias("smooth"))
+
+
+# --- series regroup (A5) ---------------------------------------------------------
+
+
+@_register(
+    "series_regroup",
+    """
+    SELECT user_id, event_type, list(value ORDER BY ts, event_id) AS series
+    FROM events WHERE user_id <= 10
+    GROUP BY user_id, event_type
+    """,
+)
+def series_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric series regroup (ref A5: per-key ordered series arrays,
+    waddle/_dashboard_api.py:190-198) — sort_array over collected structs,
+    then project the value field; one shuffle."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") <= 10)
+    packed = F.sort_array(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.transform(packed, lambda s: s["value"]).alias("series"))
+    )
+
+
+# --- canonical JSON (F1) -----------------------------------------------------------
+
+
+@_register(
+    "json_canonical_docs",
+    """
+    SELECT doc_id, to_json({'lang': lang, 'source': source}) AS meta
+    FROM documents
+    """,
+)
+def json_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (sorted-key) JSON serialization (ref F1: waddle/_run.py:46-47)
+    — struct fields declared in sorted order on both engines."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("meta")
+    )
