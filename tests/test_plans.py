@@ -1,0 +1,88 @@
+"""Physical-plan regression tests (SURVEY.md §4.2): the scale posture is
+asserted, not eyeballed — pushdown reaches the scan, projections prune,
+dims broadcast, top-N avoids global sorts, windows pre-limit per group.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from waddleml_spark import catalog
+from waddleml_spark.plans import assert_plan, pushed_filters, read_schema_columns
+from waddleml_spark.plans.inspect import count_op
+from tests.conftest import SF_SMOKE
+
+
+def q(spark, name):
+    return catalog.QUERIES[name](spark, SF_SMOKE)
+
+
+def test_point_lookup_pushdown_and_pruning(spark):
+    df = q(spark, "point_lookup")
+    assert "EqualTo(o_orderkey,500)" in pushed_filters(df)
+    # projection pruned to exactly the 4 selected columns at the scan
+    assert read_schema_columns(df) == [
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    ]
+
+
+def test_prefix_exclusion_pushes_string_predicate(spark):
+    assert "StringStartsWith" in pushed_filters(q(spark, "prefix_exclusion"))
+
+
+def test_tpch_q1_partial_aggregation_and_pushdown(spark):
+    df = q(spark, "tpch_q1")
+    assert_plan(df, contains=["partial_sum", "HashAggregate"])
+    assert "LessThanOrEqual(l_shipdate" in pushed_filters(df)
+    assert count_op(df, "Exchange") == 1  # exactly one shuffle: the final agg
+
+
+def test_dim_join_agg_broadcasts_both_dims(spark):
+    df = q(spark, "dim_join_agg")
+    assert_plan(df, contains=["BroadcastHashJoin"], absent=["SortMergeJoin"])
+    assert count_op(df, "BroadcastHashJoin") == 2
+
+
+def test_topn_is_take_ordered_not_global_sort(spark):
+    assert_plan(
+        q(spark, "topn_orders"),
+        contains=["TakeOrderedAndProject"],
+        absent=["Exchange"],  # no shuffle at all for global top-N
+    )
+
+
+def test_flagship_window_group_limit(spark):
+    # last-per-group pre-limits each partition BEFORE the shuffle
+    # (WindowGroupLimit Partial), then TakeOrderedAndProject for the top-N
+    assert_plan(
+        q(spark, "flagship_leaderboard"),
+        contains=["WindowGroupLimit", "TakeOrderedAndProject"],
+    )
+
+
+def test_semi_and_anti_join_shapes(spark):
+    assert_plan(q(spark, "semi_join_active"), contains=["LeftSemi"])
+    assert_plan(q(spark, "anti_join_missing"), contains=["LeftAnti"])
+
+
+def test_metric_summary_broadcasts_runs_dim(spark, tmp_path):
+    import waddleml_spark as w
+    from waddleml_spark import state
+    from waddleml_spark.operators.dashboard import SparkDashboard
+    from waddleml_spark.operators import core as ops
+    from pyspark.sql import functions as F
+
+    state.set_active_run(None)
+    run = w.init(
+        project="plans", store_path=str(tmp_path / ".waddle"),
+        system_metrics=False, spark=spark,
+    )
+    run.log({"loss": 1.0})
+    run.finish()
+    store = run._store
+    m = store.df("metrics").filter(F.col("key") == "loss")
+    last = ops.last_per_group(m, ["run_id"], "step", keep_ties=True)
+    runs = store.df("runs").select(F.col("id").alias("run_id"), "name", "started_at")
+    out = last.join(F.broadcast(runs), on="run_id")
+    assert_plan(out, contains=["BroadcastHashJoin"])
+    state.set_active_run(None)
