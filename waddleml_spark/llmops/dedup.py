@@ -84,17 +84,23 @@ def minhash_lsh_candidates(
     # fan out before the hash-heavy projection: single-row-group inputs
     # otherwise pin num_hashes × |shingles| hashing onto one core
     src = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-    sh = src.select("id", shingles(text_col).alias("sh"))
-    # minhash_i = min over shingles of xxhash64(shingle, seed_i), computed
-    # per-row with array_min(transform(...)) — zero shuffle, pure projection
-    # (vs the naive explode → groupBy(num_hashes aggs) which shuffles every
-    # (id, shingle) pair)
+    # One string hash per shingle, then num_hashes cheap re-hashes of the
+    # resulting LONG (xxhash64 over 8 bytes ≪ re-hashing the shingle string
+    # per function; multiplicative mixing would trip ANSI overflow checks).
+    # Zero shuffle: signatures are a pure projection via array_min(transform)
+    # (vs the naive explode → groupBy which shuffles every (id, shingle)).
+    sh = src.select(
+        "id", F.transform(shingles(text_col), lambda g: F.xxhash64(g)).alias("hs")
+    )
+
+    def _rehash(i: int):
+        # PySpark HOF lambdas must be unary — capture via closure factory
+        return lambda h: F.xxhash64(h, F.lit(seed + i))
+
     minsigs = sh.select(
         "id",
         *[
-            F.array_min(
-                F.transform(F.col("sh"), lambda g, i=i: F.xxhash64(g, F.lit(seed + i)))
-            ).alias(f"h{i}")
+            F.array_min(F.transform(F.col("hs"), _rehash(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )
