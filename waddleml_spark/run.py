@@ -209,6 +209,22 @@ class Run:
         )
         return aid
 
+    # --- dashboard --------------------------------------------------------
+
+    def serve_dashboard(self, host: str = "127.0.0.1", port: int = 8000):
+        """Start the dashboard HTTP server on a background thread, sharing
+        this process's store (ref: waddle/_run.py:86-109 — same shared-
+        connection model) and wiring live metric delivery to /events."""
+        from waddleml_spark.server import serve_in_thread
+        from waddleml_spark.streaming.live import LiveBus
+
+        if self._live_bus is None:
+            self._live_bus = LiveBus()
+        server = serve_in_thread(self._store, host=host, port=port, bus=self._live_bus)
+        host_out, port_out = server.server_address
+        print(f"Dashboard at http://{host_out}:{port_out}")
+        return server
+
     # --- sysmetrics -------------------------------------------------------
 
     def _start_sysmetrics(self) -> None:

@@ -252,9 +252,23 @@ class WaddleStore:
             if tbl in _VERSIONED:
                 cur = cur.withColumn("_seq", F.lit(_next_seq()))
             tmp = d + ".compact"
-            cur.coalesce(max(1, self.spark.sparkContext.defaultParallelism // 4)).write.mode(
-                "overwrite"
-            ).parquet(tmp)
+            if tbl == "metrics":
+                # the 100 TB layout: cluster by run_id, sort by (key, step)
+                # within partitions — parquet min/max stats then serve the
+                # role of the reference's (run_id,key,step) index
+                # (waddle/_schema.py:59): per-run/per-key scans prune files
+                # and row groups instead of walking a B-tree.
+                n = max(1, self.spark.sparkContext.defaultParallelism // 4)
+                (
+                    cur.repartition(n, "run_id")
+                    .sortWithinPartitions("run_id", "key", "step")
+                    .write.mode("overwrite")
+                    .parquet(tmp)
+                )
+            else:
+                cur.coalesce(
+                    max(1, self.spark.sparkContext.defaultParallelism // 4)
+                ).write.mode("overwrite").parquet(tmp)
             shutil.rmtree(d)
             os.rename(tmp, d)
 
