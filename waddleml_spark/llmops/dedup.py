@@ -84,14 +84,25 @@ def minhash_lsh_candidates(
     # fan out before the hash-heavy projection: single-row-group inputs
     # otherwise pin num_hashes × |shingles| hashing onto one core
     src = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-    # One string hash per shingle, then num_hashes cheap re-hashes of the
-    # resulting LONG (xxhash64 over 8 bytes ≪ re-hashing the shingle string
-    # per function; multiplicative mixing would trip ANSI overflow checks).
-    # Zero shuffle: signatures are a pure projection via array_min(transform)
-    # (vs the naive explode → groupBy which shuffles every (id, shingle)).
-    sh = src.select(
-        "id", F.transform(shingles(text_col), lambda g: F.xxhash64(g)).alias("hs")
+    # Shingle hashing without building shingle strings: hash each token
+    # once, then hash k consecutive token-hashes (xxhash64 over 3 longs ≪
+    # concat_ws + hashing a 20-char string per shingle).  num_hashes minhash
+    # functions are cheap long re-hashes (multiplicative mixing would trip
+    # ANSI overflow checks).  Zero shuffle: signatures are a pure projection
+    # via array_min(transform) (vs the naive explode → groupBy which
+    # shuffles every (id, shingle) pair).
+    k = 3
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " "), " "
     )
+    hashed_toks = src.select("id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th"))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(F.col("th")) - (k - 1), F.lit(1))),
+        # try_element_at: short docs (<k tokens) index past the end — NULL
+        # hashes deterministically instead of tripping ANSI bounds checks
+        lambda i: F.xxhash64(*[F.try_element_at(F.col("th"), i + j) for j in range(k)]),
+    )
+    sh = hashed_toks.select("id", F.array_distinct(gram_hashes).alias("hs"))
 
     def _rehash(i: int):
         # PySpark HOF lambdas must be unary — capture via closure factory
