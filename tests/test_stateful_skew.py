@@ -1,0 +1,105 @@
+"""Stateful streaming summary + skew-salting operators."""
+
+from __future__ import annotations
+
+import pytest
+
+import waddleml_spark as w
+from waddleml_spark import state
+
+
+@pytest.fixture(autouse=True)
+def reset_state():
+    state.set_active_run(None)
+    yield
+    run = state.get_active_run()
+    if run is not None:
+        run._finished = True
+    state.set_active_run(None)
+
+
+def test_running_metric_summary_incremental(spark, tmp_path, monkeypatch):
+    from waddleml_spark.streaming.stateful import running_metric_summary
+
+    monkeypatch.chdir(tmp_path)
+    run = w.init(project="stateful", system_metrics=False, spark=spark)
+    for i in range(4):
+        run.log({"loss": float(10 - i)})
+    run.flush()
+
+    agg = running_metric_summary(run._store)
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .start()
+    )
+    q.processAllAvailable()
+    row = spark.sql(
+        "SELECT * FROM stateful_out WHERE key = 'loss' ORDER BY n DESC LIMIT 1"
+    ).head()
+    assert row.n == 4
+    assert row.sum_v == pytest.approx(10 + 9 + 8 + 7)
+    assert row.min_v == 7.0 and row.max_v == 10.0
+    assert row.last_step == 3 and row.last_value == 7.0
+
+    # second micro-batch updates the SAME state (no rescan of history)
+    run.log({"loss": 0.5})
+    run.flush()
+    q.processAllAvailable()
+    row = spark.sql(
+        "SELECT * FROM stateful_out WHERE key = 'loss' ORDER BY n DESC LIMIT 1"
+    ).head()
+    assert row.n == 5
+    assert row.last_step == 4 and row.last_value == 0.5
+    q.stop()
+    run.finish()
+
+
+def test_salted_agg_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from waddleml_spark.operators.skew import salted_agg
+
+    # heavy skew: one key owns 90% of rows
+    df = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise("cold").alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    got = {
+        (r.k, r.n, r.s, r.mn, r.mx)
+        for r in salted_agg(
+            df, ["k"],
+            {"n": ("count", "v"), "s": ("sum", "v"), "mn": ("min", "v"), "mx": ("max", "v")},
+        ).collect()
+    }
+    want = {
+        (r.k, r.n, r.s, r.mn, r.mx)
+        for r in df.groupBy("k")
+        .agg(
+            F.count("v").alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_broadcast_left_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from waddleml_spark.operators.skew import salted_broadcast_left
+
+    big = spark.range(0, 1000).select(
+        F.when(F.col("id") % 5 < 4, 1).otherwise(F.col("id") % 7).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(7)], "k long, label string"
+    )
+    got = sorted(
+        (r.payload, r.label)
+        for r in salted_broadcast_left(big, small, on="k").collect()
+    )
+    want = sorted((r.payload, r.label) for r in big.join(small, on="k").collect())
+    assert got == want
