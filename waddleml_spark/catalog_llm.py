@@ -264,6 +264,15 @@ def ann_lsh_topk_q0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("ivf_ann_topk_q0", None)
+def ivf_ann_topk_q0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans cells (deterministic seed), probe nearest 3 of 8."""
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    model, with_cells = similarity.ivf_index(emb.filter(F.col("vec_id") != 0), n_cells=8)
+    return similarity.ivf_topk(with_cells, model, qvec, k=10, n_probe=3)
+
+
 @_register("multimodal_features", None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.docs_as_media(t(spark, sf_dir, "documents"))

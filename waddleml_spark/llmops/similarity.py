@@ -81,6 +81,51 @@ def lsh_bucketize(
     return df.withColumn("lsh_bucket", bucket.cast("long"))
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF (inverted-file) index: KMeans cells over the corpus.
+
+    Returns (model, corpus_with_cells) where each row gains `ivf_cell`.
+    At 100 TB: train the model on a sample (KMeans fit is iterative), then
+    one pass assigns cells; store partitioned by cell so probes are
+    partition-pruned scans.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = corpus.withColumn("__vec", array_to_vector(as_double(F.col(vec_col))))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__vec", predictionCol="ivf_cell")
+    model = km.fit(df)
+    return model, model.transform(df).drop("__vec")
+
+
+def ivf_topk(
+    corpus_with_cells: DataFrame,
+    model,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN via IVF: probe the n_probe nearest cells to the query (centroid
+    distances computed driver-side — centroids are tiny), exact cosine
+    top-k inside the probed cells only."""
+    import math
+
+    centers = model.clusterCenters()
+    dists = sorted(
+        (math.dist(query_vec, list(c)), i) for i, c in enumerate(centers)
+    )
+    probe = [i for _, i in dists[:n_probe]]
+    cand = corpus_with_cells.filter(F.col("ivf_cell").isin(probe))
+    return cosine_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     query_vec: list[float],
