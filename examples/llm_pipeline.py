@@ -1,0 +1,51 @@
+"""LLM-data-pipeline walkthrough over the driver fixtures: quality gating →
+exact dedup → near-dup candidates → verification → similarity search.
+
+Run: PYTHONPATH=/root/repo python examples/llm_pipeline.py [sf_dir]
+"""
+
+import sys
+
+from pyspark.sql import functions as F
+
+from waddleml_spark.llmops import dedup, similarity, textstats
+from waddleml_spark.session import get_spark, read_table
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+spark = get_spark(app_name="llm-pipeline")
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = read_table(spark, sf_dir, "documents")
+emb = read_table(spark, sf_dir, "embeddings")
+
+# 1. quality gating: drop short/degenerate docs (pushed predicates)
+scored = textstats.quality_features(docs)
+kept = scored.filter((F.col("q_words") >= 10) & (F.col("q_avg_word_len") < 12))
+print(f"quality gate: {docs.count()} -> {kept.count()} docs")
+
+# 2. exact dedup (hash-groupBy, deterministic keeper)
+deduped = dedup.exact_dedup_keep(kept)
+print(f"exact dedup: -> {deduped.count()} docs")
+
+# 3. near-dup: LSH candidates, then exact Jaccard verification in-bucket
+cand = dedup.minhash_lsh_candidates(deduped)
+verified = dedup.jaccard_pairs(deduped, candidates=cand, threshold=0.5)
+n_near = verified.count()
+print(f"near-dup: {cand.count()} candidates -> {n_near} verified pairs (jaccard>=0.5)")
+drop_ids = [r.id_b for r in verified.select("id_b").distinct().collect()]
+final = deduped.filter(~F.col("doc_id").isin(drop_ids)) if drop_ids else deduped
+print(f"final corpus: {final.count()} docs")
+
+# 4. language mix of the final corpus
+final_langs = textstats.lang_id(final).groupBy("lang", "lang_pred").count()
+final_langs.orderBy("lang").show(10, False)
+
+# 5. similarity search: top-5 neighbors of vec_id=0, brute force vs IVF
+q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+exact = similarity.cosine_topk(emb, q, k=5, exclude_id=0).collect()
+model, cells = similarity.ivf_index(emb.filter(F.col("vec_id") != 0), n_cells=8)
+approx = similarity.ivf_topk(cells, model, q, k=5, n_probe=2).collect()
+print("exact top-5:", [(r.vec_id, round(r.cos_sim, 4)) for r in exact])
+print("ivf   top-5:", [(r.vec_id, round(r.cos_sim, 4)) for r in approx])
+
+spark.stop()

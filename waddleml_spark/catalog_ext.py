@@ -163,6 +163,31 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- quantiles -------------------------------------------------------------------
+
+
+@_register(
+    "quantiles_by_type",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (guide's approx_percentile is the
+    sketch path at 100 TB; exact is used here because it oracle-matches
+    DuckDB quantile_cont bit-for-bit — same sort + linear interpolation)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("p25"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+    )
+
+
 # --- lead / lag ----------------------------------------------------------------
 
 
