@@ -30,6 +30,10 @@ HEADLINE = [
     "sessionize_users",
     "last_per_group_ties",
     "metric_summary_stats",
+    "asof_purchase_click",
+    "hypertable_rollup_day",
+    "quantiles_by_type",
+    "cube_orders",
     "exact_dedup_docs",
     "text_quality_by_lang",
     "cosine_topk_q0",

@@ -148,6 +148,33 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- grouping sets ---------------------------------------------------------------
+
+
+@_register(
+    "grouping_sets_orders",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           {_r_sql('sum(o_totalprice)', 2)} AS sum_total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets (finer control than rollup/cube) via SQL —
+    the DataFrame API exposes only cube/rollup, so this entry shows the
+    engine's SQL surface over a registered temp view."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               {_r_sql('sum(o_totalprice)', 2)} AS sum_total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
 # --- distinct counts -----------------------------------------------------------
 
 
@@ -160,6 +187,18 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@_register("approx_distinct_users", None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch path for 100 TB cardinalities (rows-only: sketch values
+    differ across engines by design; exact twin is distinct_users_by_type)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .orderBy("event_type")
     )
 
 

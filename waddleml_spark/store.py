@@ -240,7 +240,11 @@ class WaddleStore:
     def compact(self, table: str | None = None) -> None:
         """Fold the event log: rewrite each versioned table to its deduped
         state (keeps read-side windows O(current) instead of O(history));
-        coalesce small append files.  Run periodically / post-ingest."""
+        coalesce small append files.  Run periodically / post-ingest.
+
+        Caveat: a running MetricStream checkpoints against the file listing
+        of metrics/ — stop streams before compacting that table (rewritten
+        files would be re-delivered or missed by the file-source log)."""
         tables = [table] if table else list(_VERSIONED) + list(_APPEND_ONLY)
         import shutil
 
