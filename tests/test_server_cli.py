@@ -91,6 +91,14 @@ def test_cli_ls_and_init(served, tmp_path, monkeypatch, capsys):
     assert ".waddle/" in (tmp_path / ".gitignore").read_text()
 
 
+def test_dashboard_index_served(served):
+    base, run = served
+    with urllib.request.urlopen(f"{base}/", timeout=30) as r:
+        body = r.read().decode()
+    assert r.status == 200
+    assert "waddleml-spark runs" in body and "/api/runs" in body
+
+
 def test_cli_module_invocation(served, run=None):
     # the CLI is runnable as a module (python -m waddleml_spark.cli)
     p = subprocess.run(

@@ -111,9 +111,21 @@ def make_http_server(
             self.end_headers()
             self.wfile.write(body)
 
+        def _html(self, body: bytes, status=200):
+            self.send_response(status)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             u = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            if u.path == "/":
+                import pathlib
+
+                page = pathlib.Path(__file__).parent / "static" / "index.html"
+                return self._html(page.read_bytes())
             if u.path == "/api/runs":
                 return self._json(routes.list_runs(q))
             m = re.fullmatch(r"/api/runs/([^/]+)/metrics", u.path)
