@@ -9,6 +9,7 @@ bugs before the driver does.
 from __future__ import annotations
 
 import datetime
+import decimal
 import math
 import os
 
@@ -51,13 +52,8 @@ def _norm(v):
         return v.replace(tzinfo=None).isoformat(sep=" ")
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
-    try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return float(v)
-    except ImportError:
-        pass
+    if isinstance(v, decimal.Decimal):
+        return float(v)
     return v
 
 
