@@ -277,7 +277,9 @@ def ema_smooth_5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "series_regroup",
     """
-    SELECT user_id, event_type, list(value ORDER BY ts, event_id) AS series
+    SELECT user_id, event_type,
+           array_to_string(list(printf('%.2f', value) ORDER BY ts, event_id), ',')
+               AS series
     FROM events WHERE user_id <= 10
     GROUP BY user_id, event_type
     """,
@@ -285,15 +287,18 @@ def ema_smooth_5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def series_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metric series regroup (ref A5: per-key ordered series arrays,
     waddle/_dashboard_api.py:190-198) — sort_array over collected structs,
-    then project the value field; one shuffle."""
+    then project the value field; one shuffle.  Output serialized as a
+    joined string: the source values carry exactly 2 decimals, so %.2f is
+    format-stable across engines, and strings avoid any array-vs-list
+    normalization differences in the comparing harness."""
     ev = t(spark, sf_dir, "events").filter(F.col("user_id") <= 10)
     packed = F.sort_array(
         F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
     )
-    return (
-        ev.groupBy("user_id", "event_type")
-        .agg(F.transform(packed, lambda s: s["value"]).alias("series"))
+    series = F.array_join(
+        F.transform(packed, lambda s: F.format_string("%.2f", s["value"])), ","
     )
+    return ev.groupBy("user_id", "event_type").agg(series.alias("series"))
 
 
 # --- canonical JSON (F1) -----------------------------------------------------------

@@ -264,6 +264,45 @@ def ann_lsh_topk_q0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("winnowing_overlap_pairs", None)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap detection: documents sharing ≥3 winnowing
+    fingerprints (MOSS-style passage matching, not whole-doc identity).
+    explode → bucket-group → in-bucket pair expansion (same shape as the
+    MinHash band join — one shuffle on the fingerprint)."""
+    from waddleml_spark.session import fan_out
+
+    d = fan_out(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    fps = d.select(
+        "doc_id",
+        F.explode(textstats.winnowing_fingerprints(F.col("text"))).alias("fp"),
+    )
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= 50))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy("p.id_a", "p.id_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+        .orderBy("id_a", "id_b")
+    )
+
+
 @_register("ivf_ann_topk_q0", None)
 def ivf_ann_topk_q0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells (deterministic seed), probe nearest 3 of 8."""

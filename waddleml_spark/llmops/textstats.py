@@ -100,3 +100,25 @@ def fingerprint(text: Column) -> Column:
     (lowercased, whitespace-collapsed).  Cross-engine stable (DuckDB md5)."""
     norm = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
     return F.md5(norm)
+
+
+def winnowing_fingerprints(
+    text: Column, k: int = 3, window: int = 4
+) -> Column:
+    """Winnowing (MOSS-style) local fingerprints: rolling k-gram token
+    hashes, then the minimum hash of each sliding window of `window`
+    grams, distinct.  Robust partial-overlap detector — two documents
+    sharing any sufficiently long passage share fingerprints, unlike the
+    whole-document md5.  Pure expressions; zero shuffle per row.
+    """
+    toks = F.split(F.regexp_replace(F.lower(F.trim(text)), "\\s+", " "), " ")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(th) - (k - 1), F.lit(1))),
+        lambda i: F.xxhash64(*[F.try_element_at(th, i + j) for j in range(k)]),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(grams) - (window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(grams, i, window)),
+    )
+    return F.array_distinct(wins)
