@@ -301,6 +301,92 @@ def series_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id", "event_type").agg(series.alias("series"))
 
 
+# --- histogram / statistics -------------------------------------------------------
+
+
+@_register(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value / 20) AS BIGINT) AS bucket, count(*) AS n
+    FROM events WHERE value IS NOT NULL GROUP BY bucket
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor-bucketing (the portable width_bucket)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.floor(F.col("value") / 20).cast("long")
+    return ev.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+@_register(
+    "corr_price_qty",
+    f"""
+    SELECT l_returnflag,
+           {_r_sql('corr(l_extendedprice, l_quantity)', 4)} AS corr_pq,
+           {_r_sql('covar_samp(l_extendedprice, l_quantity)', 2)} AS covar_pq
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr/covar) — rounded: both engines use
+    one-pass co-moment updates with different accumulation order."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _r(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_pq"),
+        _r(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covar_pq"),
+    )
+
+
+@_register(
+    "names_by_segment",
+    """
+    SELECT c_mktsegment, count(*) AS n,
+           string_agg(c_name, '|' ORDER BY c_name) AS names
+    FROM customer WHERE c_custkey <= 30
+    GROUP BY c_mktsegment
+    """,
+)
+def names_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: concat_ws over a sorted collect_list
+    (string_agg ... ORDER BY equivalent)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 30)
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("names"),
+    )
+
+
+@_register(
+    "orders_per_month",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           count(*) AS n
+    FROM orders GROUP BY month
+    """,
+)
+def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing (date_trunc month, DST-aware path of time_bucket)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.count("*").alias("n"))
+
+
+@_register(
+    "source_numeric_ids",
+    r"""
+    SELECT CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) AS src_id,
+           count(*) AS n
+    FROM documents GROUP BY src_id
+    """,
+)
+def source_numeric_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex capture-group extraction + cast (§2.8 regex extension)."""
+    d = t(spark, sf_dir, "documents")
+    src_id = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    return d.groupBy(src_id.alias("src_id")).agg(F.count("*").alias("n"))
+
+
 # --- canonical JSON (F1) -----------------------------------------------------------
 
 

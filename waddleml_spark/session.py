@@ -97,10 +97,16 @@ def fan_out(df, min_partitions: int | None = None):
     with thousands of row groups and this is a no-op.
     """
     spark = df.sparkSession
-    target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        target = min_partitions or spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
+    except Exception:
+        # sparkContext/rdd unavailable (e.g. Spark Connect) — repartition
+        # unconditionally; the shuffle is cheap relative to the compute
+        # these call sites guard
+        return df.repartition(min_partitions or 32)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
