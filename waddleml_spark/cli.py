@@ -93,6 +93,28 @@ def cmd_serve(a: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_explain(a: argparse.Namespace) -> int:
+    """Print the physical plan for a named catalog query (or list names)."""
+    from waddleml_spark import catalog
+    from waddleml_spark.plans import explain_str
+    from waddleml_spark.session import get_spark
+
+    if not a.query or a.query == "list":
+        for name in sorted(catalog.QUERIES):
+            marker = "" if name in catalog.ORACLE else "  (rows-only)"
+            print(f"{name}{marker}")
+        return 0
+    if a.query not in catalog.QUERIES:
+        print(f"unknown query {a.query!r}; run `explain list`", file=sys.stderr)
+        return 1
+    spark = get_spark(app_name="explain", master="local[2]", shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = catalog.QUERIES[a.query](spark, a.sf_dir)
+    print(explain_str(df, a.mode))
+    spark.stop()
+    return 0
+
+
 def _find_store(explicit: str | None = None) -> str | None:
     """Find the store root: explicit path, cwd, then walk up (ref _find_db)."""
     if explicit:
@@ -130,6 +152,11 @@ def build() -> argparse.ArgumentParser:
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8000)
     ps.set_defaults(func=cmd_serve)
+    pe = sub.add_parser("explain", help="Show a catalog query's physical plan")
+    pe.add_argument("query", nargs="?", default="list", help="query name or 'list'")
+    pe.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pe.add_argument("--mode", default="formatted", choices=["simple", "formatted", "extended", "cost"])
+    pe.set_defaults(func=cmd_explain)
     return p
 
 
