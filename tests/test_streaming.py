@@ -95,6 +95,34 @@ def test_metric_window_agg(spark, tmp_path, monkeypatch):
     run.finish()
 
 
+def test_metric_session_agg(spark, tmp_path, monkeypatch):
+    from waddleml_spark.streaming.live import metric_session_agg
+
+    monkeypatch.chdir(tmp_path)
+    run = w.init(project="sess", system_metrics=False, spark=spark)
+    base = 1_700_000_000.0
+    # two bursts separated by > gap (5 min): expect two sessions
+    for i in range(3):
+        run.log_metric("loss", i, float(i), ts=base + i * 10)
+    for i in range(2):
+        run.log_metric("loss", 10 + i, float(i), ts=base + 1000 + i * 10)
+    run.flush()
+    agg = metric_session_agg(spark, run._store, gap="5 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    q.processAllAvailable()
+    rows = spark.sql(
+        "SELECT n FROM sess_out ORDER BY session_window.start"
+    ).collect()
+    q.stop()
+    assert [r.n for r in rows] == [3, 2]
+    run.finish()
+
+
 def test_sampler_writes_system_metrics(spark, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from waddleml_spark.sysmetrics import sample_system_metrics

@@ -102,6 +102,92 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resize kernel: deterministic fake — real deployments drop in
+    PIL here.  Produces a payload whose size tracks the target dims so
+    downstream size accounting is testable."""
+    if payload is None:
+        raise NotImplementedError("no payload; real decoder not bundled")
+    digest = hashlib.sha256(payload).digest()
+    need = max(1, (width * height) // 64)
+    return (digest * (need // len(digest) + 1))[:need]
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize over mapInPandas: Arrow batches in/out, payload →
+    payload, metadata updated.  The Spark-side contract (schema, batch
+    shape, partition-parallel) is real; the pixel kernel is stubbed."""
+    from waddleml_spark.session import ensure_shipped, fan_out
+
+    ensure_shipped(media.sparkSession)
+    src = fan_out(media.select("media_id", "payload"))
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": width,
+                    "height": height,
+                    "payload": [resize_stub(p, width, height) for p in pdf["payload"]],
+                }
+            )
+
+    return src.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_sha", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_nth: int = 10, max_frames: int = 8) -> DataFrame:
+    """Video frame sampling over mapInPandas: one input row fans out to N
+    frame rows (batch shape change is the point — the output iterator is
+    not 1:1 with the input).  Frame decode is stubbed: frame identity
+    derives from (payload digest, frame index)."""
+    from waddleml_spark.session import ensure_shipped, fan_out
+
+    ensure_shipped(media.sparkSession)
+    src = fan_out(media.select("media_id", "payload"))
+
+    def batches(it):
+        for pdf in it:
+            ids, idxs, shas = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                # stub: pretend the payload has len(payload)//32 frames
+                n_frames = max(1, len(payload) // 32)
+                for k, frame in enumerate(range(0, n_frames, every_nth)):
+                    if k >= max_frames:
+                        break
+                    ids.append(mid)
+                    idxs.append(frame)
+                    shas.append(
+                        hashlib.sha256(payload + frame.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_sha": shas}
+            )
+
+    return src.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def payload_stats(media: DataFrame) -> DataFrame:
     """Metadata-only stats — pure expressions, payload column pruned except
     for octet_length which parquet can answer from the binary column

@@ -135,3 +135,24 @@ def metric_window_agg(
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+def metric_session_agg(
+    spark: SparkSession,
+    store: WaddleStore,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+):
+    """Session-window aggregation over the live metric stream: dynamic
+    per-(run, key) sessions that close after `gap` of event-time silence —
+    the streaming rendition of the batch sessionize operator
+    (catalog `sessionize_users`).  Extension beyond the reference."""
+    src = (
+        spark.readStream.schema(schemas.METRICS)
+        .parquet(store._dir("metrics"))
+        .withColumn("event_time", F.timestamp_seconds(F.col("ts")))
+        .withWatermark("event_time", watermark)
+    )
+    return src.groupBy(
+        F.session_window("event_time", gap), "run_id", "key"
+    ).agg(F.count("*").alias("n"), F.avg("value").alias("avg_value"))
