@@ -66,3 +66,38 @@ def test_simhash_buckets_shape(spark, docs):
     b0 = sorted((r.band, r.bucket) for r in banded if r.doc_id == 0)
     b1 = sorted((r.band, r.bucket) for r in banded if r.doc_id == 1)
     assert b0 == b1
+
+
+def test_minhash_mega_bucket_star_pattern(spark):
+    # 200 identical docs: naive expansion = 19900 pairs; star caps at O(n)
+    rows = [(i, "same exact text repeated for the template case") for i in range(200)]
+    rows += [(500, "another unrelated document body entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_candidates(df).collect()
+    ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert ids == set(range(200))           # all dups connected, outlier absent
+    assert len(pairs) == 199                 # star: min id ↔ each other id
+    assert all(r.id_a == 0 for r in pairs)
+
+
+def test_connected_components_groups(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    comps = {r.id: r.component for r in dedup.connected_components(edges).collect()}
+    assert comps == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
+
+
+def test_end_to_end_dedup_groups(spark, docs):
+    cand = dedup.minhash_lsh_candidates(docs)
+    verified = dedup.jaccard_pairs(docs, candidates=cand, threshold=0.9)
+    comps = dedup.connected_components(verified)
+    groups = {r.id: r.component for r in comps.collect()}
+    # exact/normalized dups 0,1,2 collapse to component 0
+    assert groups[0] == groups[1] == groups[2] == 0
+    assert 4 not in groups and 5 not in groups  # no high-jaccard edges

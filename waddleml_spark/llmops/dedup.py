@@ -135,22 +135,34 @@ def minhash_lsh_candidates(
     # bucket-group instead of self-join: ONE shuffle on (band, sig) and the
     # signature pipeline is computed once (a self-join would recompute it
     # for each side); pairs expand inside each bucket with array exprs.
+    #
+    # Mega-bucket guard: a bucket of b ids would expand b(b-1)/2 pairs —
+    # a template repeated 10k times means 50M pairs in ONE task.  Above
+    # `star_threshold` we emit the STAR pattern instead (min id ↔ each
+    # other id): connectivity information is preserved (downstream dedup
+    # needs connected components, not every edge) at O(b) output.
+    star_threshold = 64
     buckets = (
         band_rows.groupBy("band", "sig")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    all_pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    star_pairs = F.transform(
+        F.slice(F.col("ids"), 2, F.size(F.col("ids"))),
+        lambda y: F.struct(F.element_at(F.col("ids"), 1).alias("id_a"), y.alias("id_b")),
+    )
     pairs = buckets.select(
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                    ),
-                )
-            )
+            F.when(F.size("ids") <= star_threshold, all_pairs).otherwise(star_pairs)
         ).alias("p")
     )
     return pairs.select("p.id_a", "p.id_b").distinct()
@@ -190,6 +202,54 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Dedup-group resolution: connected components over near-dup edges via
+    iterative min-label propagation (the relational large-star/small-star
+    simplification).  Returns (id, component) with component = min id in
+    the group.
+
+    Each iteration is one groupBy; convergence in O(log n) rounds for the
+    shallow, star-heavy graphs dedup produces (minhash's mega-bucket star
+    output keeps components shallow by construction).  The driver loop only
+    checks a convergence COUNT per round — no data is collected.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    # labels start as self
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # propagate: each node takes min(own, neighbors') component
+        neigh = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), F.col("component"))
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 # --- SimHash ---------------------------------------------------------------
