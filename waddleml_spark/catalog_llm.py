@@ -219,6 +219,50 @@ def jaccard_word_pairs_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COS_PAIR_SQL = (
+    "list_dot_product(a.ed, b.ed) / "
+    "(sqrt(list_dot_product(a.ed, a.ed)) * sqrt(list_dot_product(b.ed, b.ed)))"
+)
+
+
+@_register(
+    "embedding_neardup_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_r_sql(_COS_PAIR_SQL, 6)} AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_PAIR_SQL} >= 0.5
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: exact pairs within a blocking key (label)
+    with cos >= 0.5.  The blocking key bounds the quadratic term exactly the
+    way LSH buckets do at scale (swap label for lsh_bucket / ivf_cell on an
+    unlabeled corpus — ann_lsh_topk_q0 / ivf_ann_topk_q0 are that path)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", similarity.as_double(F.col("embedding")).alias("ed")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = similarity.dot(F.col("a.ed"), F.col("b.ed")) / (
+        F.sqrt(similarity.dot(F.col("a.ed"), F.col("a.ed")))
+        * F.sqrt(similarity.dot(F.col("b.ed"), F.col("b.ed")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.5)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            _r(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
 # --- multimodal ------------------------------------------------------------
 
 
