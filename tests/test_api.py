@@ -215,3 +215,22 @@ def test_delete_run_cascades(spark, tmp_path, monkeypatch):
     ).fetchone()[0] == 0
     assert store.df("runs").count() == 1
     assert store.df("metrics").count() == 1
+
+
+def test_unicode_json_round_trip(spark, tmp_path, monkeypatch):
+    # ensure_ascii=False parity (ref _run.py:46-47,142): non-ASCII survives
+    # the JSON encode → DuckDB → parse-on-read loop byte-identically
+    monkeypatch.chdir(tmp_path)
+    run = w.init(
+        project="uni", config={"note": "日本語 · émoji ✓", "β": 0.9},
+        system_metrics=False, spark=spark,
+    )
+    w.log_tag("label", "ünïcode—值")
+    w.finish()
+    from waddleml_spark.operators.dashboard import SparkDashboard
+
+    d = SparkDashboard(run._store).get_run(run.id)
+    assert d["params"]["note"] == "日本語 · émoji ✓"
+    assert d["params"]["β"] == 0.9
+    assert d["tags"]["label"] == "ünïcode—值"
+    assert d["run"]["config"]["note"] == "日本語 · émoji ✓"

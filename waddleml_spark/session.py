@@ -70,7 +70,13 @@ def ensure_shipped(spark: SparkSession) -> None:
     first.  Idempotent per SparkContext; on a real cluster this is the
     same mechanism (--py-files) made automatic.
     """
-    sc = spark.sparkContext
+    try:
+        sc = spark.sparkContext
+    except Exception:
+        # Spark Connect session: no SparkContext; artifacts ship via
+        # spark.addArtifacts instead — workers on the same host can also
+        # usually import the package directly.  Best-effort no-op here.
+        return
     if getattr(sc, "_waddleml_shipped", False):
         return
     import tempfile

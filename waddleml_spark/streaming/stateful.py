@@ -84,6 +84,50 @@ def _update(
     )
 
 
+ROLLUP_DDL = """
+CREATE TABLE IF NOT EXISTS metric_rollup (
+    run_id VARCHAR NOT NULL, key VARCHAR NOT NULL, n BIGINT,
+    sum_v DOUBLE, min_v DOUBLE, max_v DOUBLE,
+    last_step INTEGER, last_value DOUBLE,
+    PRIMARY KEY (run_id, key));
+"""
+
+
+def start_rollup_sink(store: WaddleStore, trigger_seconds: float = 2.0):
+    """Materialize the stateful summaries into a DuckDB `metric_rollup`
+    table (upsert per micro-batch): the dashboard's live leaderboard reads
+    a tiny always-current table instead of aggregating the append log.
+    Returns the StreamingQuery (caller stops it)."""
+    with store._duck_lock:
+        store.duck.execute(ROLLUP_DDL)
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        pdf = df.toPandas()
+        if pdf.empty:
+            return
+        with store._duck_lock:
+            store.duck.register("_rollup_batch", pdf)
+            store.duck.execute(
+                "INSERT INTO metric_rollup SELECT * FROM _rollup_batch "
+                "ON CONFLICT (run_id, key) DO UPDATE SET n=EXCLUDED.n, "
+                "sum_v=EXCLUDED.sum_v, min_v=EXCLUDED.min_v, "
+                "max_v=EXCLUDED.max_v, last_step=EXCLUDED.last_step, "
+                "last_value=EXCLUDED.last_value"
+            )
+            store.duck.unregister("_rollup_batch")
+
+    agg = running_metric_summary(store)
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .option(
+            "checkpointLocation", store.root + "/_checkpoints/rollup_sink"
+        )
+        .start()
+    )
+
+
 def running_metric_summary(store: WaddleStore) -> DataFrame:
     """Streaming DataFrame of incrementally-maintained per-(run_id, key)
     summaries over the metrics append log.  Attach a sink (memory for
