@@ -779,4 +779,4 @@ def size_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # LLM-pipeline (§2.12) and extension entries register on import — keep last.
-from waddleml_spark import catalog_ext, catalog_llm  # noqa: E402,F401
+from waddleml_spark import catalog_ext, catalog_llm, catalog_tpch  # noqa: E402,F401

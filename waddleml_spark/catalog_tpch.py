@@ -1,0 +1,288 @@
+"""TPC-H-style join-strategy catalog: semi-join, anti-join, disjunctive
+pushdown, scalar-subquery, and group-having-semi shapes over the driver
+tables.
+
+The reference has exactly one explicit join (SURVEY.md §2.3, J1); these
+entries cover the join repertoire a Spark-first engine must additionally
+prove: EXISTS → left-semi (Q4), NOT IN → left-anti (Q16), correlated NOT
+EXISTS → anti with compound key (Q22), OR-of-ANDs predicate pushdown
+(Q19), HAVING-subquery semi (Q18), and conditional aggregation (Q12,
+Q14).  Column sets are adapted to TESTDATA.md schemas (no partsupp /
+l_shipmode / l_commitdate in the fixtures).
+
+Scale notes (100 TB posture) are in each docstring; the common themes:
+semi/anti joins shuffle only the join keys, never payload columns;
+dimension sides (supplier, part, the scalar average) broadcast; the
+fact-fact hop (orders↔lineitem) is the one real shuffle and would be
+bucket-aligned on orderkey at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from waddleml_spark.catalog import _r, _r_sql, _register, t
+
+
+@_register(
+    "order_priority_check_q4",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def order_priority_check_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join.
+
+    The semi join carries only (l_orderkey, l_shipdate) from the fact —
+    payload columns never shuffle.  The date window pushes into the
+    orders scan (partition pruning at scale); Catalyst decorrelates the
+    non-equi part (l_shipdate > o_orderdate) into the join condition.
+    """
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@_register(
+    "priority_class_by_flag_q12",
+    """
+    SELECT l.l_returnflag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_returnflag
+    """,
+)
+def priority_class_by_flag_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation.
+
+    The two CASE sums fold into one aggregate pass (no per-class
+    re-scan); integer sums are order-insensitive so no rounding is
+    needed.  At scale: bucket-aligned orderkey join, partial aggregation
+    map-side, 3-row result.
+    """
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "promo_revenue_q14",
+    f"""
+    SELECT {_r_sql(
+        '''100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                            THEN l.l_extendedprice * (1 - l.l_discount)
+                            ELSE 0 END)
+           / sum(l.l_extendedprice * (1 - l.l_discount))''', 4)} AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast dim join + conditional-ratio scalar.
+
+    part broadcasts (only p_partkey/p_type are read — column pruning
+    keeps the broadcast tiny even when part is wide); the shipdate
+    window pushes into the lineitem scan.  Ratio rounded to 4 digits:
+    double sums are order-nondeterministic across engines.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        _r(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_pct")
+    )
+
+
+@_register(
+    "supplier_part_counts_q16",
+    """
+    SELECT p.p_brand, p.p_type,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type
+    """,
+)
+def supplier_part_counts_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN → broadcast left-anti join + count distinct.
+
+    The excluded-supplier set is tiny → broadcast anti join (no shuffle
+    for the exclusion).  s_suppkey is non-null so NOT IN ≡ anti join
+    (the NULL-semantics trap doesn't apply).  count(DISTINCT) expands to
+    a two-phase aggregate; at scale pre-aggregate distinct (brand, type,
+    suppkey) map-side first — which is exactly what Spark's planner does.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "large_order_customers_q18",
+    f"""
+    SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+           {_r_sql('t.sum_qty', 2)} AS sum_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 140) t
+      ON t.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 50
+    """,
+)
+def large_order_customers_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate as join input (the
+    "large volume customer" pattern).
+
+    The aggregate runs FIRST and shrinks the fact to qualifying
+    orderkeys (map-side partial sums), so the subsequent joins see only
+    the survivors; customer broadcasts.  Top-50 is TakeOrderedAndProject
+    — no global sort materialization.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 140)
+    )
+    return (
+        o.join(big, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .select(
+            "c_name", "o_orderkey", "o_totalprice", _r(F.col("sum_qty"), 2).alias("sum_qty")
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(50)
+    )
+
+
+@_register(
+    "disjunctive_revenue_q19",
+    f"""
+    SELECT {_r_sql('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides.
+
+    Catalyst extracts the common-side conjuncts: per-side implied
+    filters (p_brand IN (...), l_quantity BETWEEN 1 AND 40) push into
+    the scans BELOW the join, and only the residual disjunction is
+    evaluated post-join — the classic disjunctive-pushdown test.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    b = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.filter(b("Brand#12", 15, 1, 21) | b("Brand#23", 25, 10, 30) | b("Brand#34", 35, 20, 40))
+        .agg(_r(F.sum(rev), 2).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+@_register(
+    "idle_rich_customers_q22",
+    f"""
+    SELECT c.c_nationkey, count(*) AS numcust,
+           {_r_sql('sum(c.c_acctbal)', 2)} AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT {_r_sql('avg(c_acctbal)', 2)}
+                         FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def idle_rich_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery threshold + correlated NOT EXISTS
+    → broadcast scalar + left-anti join.
+
+    The average is a 1-row DataFrame cross-joined in (broadcast — the
+    Spark idiom for a scalar subquery); the anti join ships only
+    o_custkey of urgent orders.  The threshold is rounded to 2 digits on
+    BOTH sides before comparing: a double avg is order-nondeterministic
+    in the last ulp, and the filter must not flip boundary rows between
+    engines (acctbals themselves have 2 decimals).
+    """
+    c = t(spark, sf_dir, "customer")
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    thresh = c.filter(F.col("c_acctbal") > 0).agg(
+        _r(F.avg("c_acctbal"), 2).alias("__thresh")
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("__thresh"))
+        .join(F.broadcast(urgent), c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            _r(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
