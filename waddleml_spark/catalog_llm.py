@@ -232,29 +232,38 @@ _COS_PAIR_SQL = (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {_r_sql(_COS_PAIR_SQL, 6)} AS cos_sim
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_COS_PAIR_SQL} >= 0.5
+    WHERE {_COS_PAIR_SQL} >= 0.3
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: exact pairs within a blocking key (label)
-    with cos >= 0.5.  The blocking key bounds the quadratic term exactly the
+    with cos >= 0.3 (chosen so sf0.01 yields non-trivial rows).  The blocking key bounds the quadratic term exactly the
     way LSH buckets do at scale (swap label for lsh_bucket / ivf_cell on an
     unlabeled corpus — ann_lsh_topk_q0 / ivf_ann_topk_q0 are that path)."""
+    from waddleml_spark.session import fan_out
+
+    # Per-row norms BEFORE the self-join: |a| is the same double whether
+    # computed once per row or once per pair (identical sequential-sum op
+    # sequence → bit-exact vs the oracle's per-pair sqrt(list_dot_product)),
+    # but per-pair costs O(n·pairs) interpreted HOF evals instead of O(n).
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", similarity.as_double(F.col("embedding")).alias("ed")
     )
-    a, b = e.alias("a"), e.alias("b")
+    e = e.withColumn("nrm", F.sqrt(similarity.dot(F.col("ed"), F.col("ed"))))
+    # fan_out the probe side: the parquet is a single row group, so the
+    # broadcast self-join would otherwise expand every candidate pair in
+    # ONE task — repartition first so all cores share the quadratic term.
+    a, b = fan_out(e).alias("a"), e.alias("b")
     cos = similarity.dot(F.col("a.ed"), F.col("b.ed")) / (
-        F.sqrt(similarity.dot(F.col("a.ed"), F.col("a.ed")))
-        * F.sqrt(similarity.dot(F.col("b.ed"), F.col("b.ed")))
+        F.col("a.nrm") * F.col("b.nrm")
     )
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cos >= 0.5)
+        .filter(cos >= 0.3)
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
