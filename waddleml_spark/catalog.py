@@ -702,9 +702,11 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # fact-first join order: keep the filtered lineitem as the probe side
+    # so the build/broadcast sides are the small filtered dims (see Q5).
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -733,7 +735,14 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: the 6-table join cycle (customer and supplier must
     share a nation) — the join-order stress test; every dim broadcasts,
-    the fact-fact hop shuffles once on orderkey."""
+    the fact-fact hop shuffles once on orderkey.
+
+    lineitem is kept as the PROBE side throughout (li.join(o), not
+    c.join(o).join(li)): written fact-last, Catalyst's size estimate
+    broadcast the 600k-row fact as a build side at bench scale.  Fact-
+    first, the build sides are orders/customer (locally broadcast; at
+    cluster scale AQE flips the o-join to a shuffle join on orderkey,
+    which is the bucketed plan)."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
@@ -742,8 +751,8 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t(spark, sf_dir, "region")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),

@@ -438,3 +438,44 @@ def json_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("meta")
     )
+
+
+# --- change-data-capture shape ----------------------------------------------
+
+
+@_register(
+    "cdc_changes_since",
+    """
+    SELECT user_id, event_type, epoch(ts) AS ts, value,
+           CASE WHEN rn = 1 THEN 'insert' ELSE 'update' END AS op
+    FROM (
+        SELECT user_id, event_type, ts, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+    """,
+)
+def cdc_changes_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture feed shape (store.WaddleStore.changes): events as
+    an upsert log keyed by (user_id, event_type); rows after the consumer's
+    cursor are classified insert (first version of the key ever) vs update.
+
+    One window over the PK — the same shuffle the LWW read view pays; the
+    cursor filter cannot push below the window (classification needs full
+    key history), which is exactly why the store keeps per-PK history
+    until compaction."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp"))
+        .select(
+            "user_id",
+            "event_type",
+            _epoch("ts").alias("ts"),
+            "value",
+            F.when(F.col("rn") == 1, "insert").otherwise("update").alias("op"),
+        )
+    )

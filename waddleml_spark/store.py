@@ -183,7 +183,12 @@ class WaddleStore:
     def delete_run(self, run_id: str) -> None:
         """D6: cascading delete in FK order (ref _dashboard_api.py:237-249).
         DuckDB: real DELETEs.  Parquet: anti-filter rewrite per table (at
-        scale this is a partition drop when tables partition by run_id)."""
+        scale this is a partition drop when tables partition by run_id).
+
+        A tombstone per (table, run_id) lands in the _cdc_deletes log FIRST
+        so the change feed (changes()) can report the delete even though the
+        data files are physically rewritten."""
+        self._append_tombstones(run_id)
         with self._duck_lock:
             for tbl in ("metrics", "artifacts", "tags", "params"):
                 self.duck.execute(f"DELETE FROM {tbl} WHERE run_id = ?", [run_id])
@@ -206,6 +211,104 @@ class WaddleStore:
                 kept.write.mode("overwrite").parquet(tmp)
                 shutil.rmtree(d)
                 os.rename(tmp, d)
+
+    # --- change data capture ---------------------------------------------
+
+    _CDC_SCHEMA = T.StructType(
+        [
+            T.StructField("table", T.StringType(), False),
+            T.StructField("run_id", T.StringType(), False),
+            T.StructField("_seq", T.LongType(), False),
+        ]
+    )
+
+    def _append_tombstones(self, run_id: str) -> None:
+        seq = _next_seq()
+        rows = [
+            ("metrics", run_id, seq),
+            ("artifacts", run_id, seq),
+            ("tags", run_id, seq),
+            ("params", run_id, seq),
+            ("runs", run_id, seq),
+        ]
+        df = self.spark.createDataFrame(rows, self._CDC_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self._dir("_cdc_deletes"))
+
+    def changes(self, table: str, since_seq: int = 0) -> DataFrame:
+        """Change-data feed for a versioned table: every version row with
+        `_seq > since_seq`, classified as op ∈ insert/update/delete (the
+        Delta-CDF shape, built on the engine's own event log — no extra
+        write-path cost; deletes come from the tombstone log).
+
+        Consumers poll with their last-seen `_seq` as the cursor; the feed
+        is totally ordered by `_seq`.  Replay from an old cursor is exact
+        until compact()/delete_run rewrite history (compaction keeps only
+        the latest version per PK; a from-scratch consumer then sees it as
+        the insert — eventually-consistent, like Delta CDF across VACUUM).
+        op classification: the FIRST version of a PK ever
+        seen is 'insert', later versions 'update' — one window over the PK,
+        the same shuffle the read view already pays.  For commits
+        (first-writer-wins) duplicate inserts are no-ops and are omitted.
+
+        Append-only tables (metrics, artifacts) need no CDC machinery:
+        the parquet append log IS the change feed — tail it with
+        changes_stream()/MetricStream.
+        """
+        if table not in _VERSIONED:
+            raise ValueError(
+                f"{table} is append-only; its append log is the change feed"
+            )
+        d = self._dir(table)
+        keys = _VERSIONED[table]
+        schema = self._spark_schema(table, True)
+        cols = [f.name for f in schemas.WADDLE_TABLES[table].fields]
+        if not os.path.exists(d):
+            data = self.spark.createDataFrame([], schema)
+        else:
+            data = self.spark.read.schema(schema).parquet(d)
+        w = Window.partitionBy(*keys).orderBy(F.col("_seq").asc())
+        versions = data.withColumn("__rn", F.row_number().over(w))
+        if table == "commits":
+            versions = versions.filter(F.col("__rn") == 1)
+        op = F.when(F.col("__rn") == 1, "insert").otherwise("update")
+        feed = (
+            versions.filter(F.col("_seq") > since_seq)
+            .select(op.alias("op"), "_seq", *cols)
+        )
+        # deletes: tombstones are per run_id; runs key on id, EAV tables on
+        # run_id — both match the tombstone's run_id column
+        td = self._dir("_cdc_deletes")
+        if os.path.exists(td):
+            key_col = "id" if table == "runs" else "run_id"
+            tombs = (
+                self.spark.read.schema(self._CDC_SCHEMA)
+                .parquet(td)
+                .filter((F.col("table") == table) & (F.col("_seq") > since_seq))
+            )
+            dels = tombs.select(
+                F.lit("delete").alias("op"),
+                "_seq",
+                *[
+                    F.col("run_id").alias(c) if c == key_col else F.lit(None).cast(f.dataType).alias(c)
+                    for c, f in zip(cols, schemas.WADDLE_TABLES[table].fields)
+                ],
+            )
+            feed = feed.unionByName(dels)
+        return feed.orderBy("_seq")
+
+    def changes_stream(self, table: str) -> DataFrame:
+        """Streaming change feed: Structured Streaming tail of a table's
+        version log (each appended version row is one change event; op
+        classification needs history, so the stream emits the raw upsert
+        feed — downstream stateful consumers derive insert-vs-update if
+        they need it).  Works for versioned AND append-only tables."""
+        versioned = table in _VERSIONED
+        schema = self._spark_schema(table, versioned)
+        return (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 64)
+            .parquet(self._dir(table))
+        )
 
     def _duck_row(self, table: str, key_col: str, key_val) -> dict | None:
         with self._duck_lock:
