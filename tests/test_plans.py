@@ -86,3 +86,16 @@ def test_metric_summary_broadcasts_runs_dim(spark, tmp_path):
     out = last.join(F.broadcast(runs), on="run_id")
     assert_plan(out, contains=["BroadcastHashJoin"])
     state.set_active_run(None)
+
+
+def test_explain_stdout_fallback_matches_jvm_path(spark):
+    """The Spark Connect fallback (captured df.explain stdout) must carry
+    the same plan content the classic _jdf path returns — the regex
+    helpers depend on PushedFilters/ReadSchema/(n) Op lines surviving."""
+    from waddleml_spark.plans.inspect import _explain_via_stdout, explain_str
+
+    df = q(spark, "tpch_q1")
+    via_jvm = explain_str(df, "formatted")
+    via_stdout = _explain_via_stdout(df, "formatted")
+    assert "PushedFilters" in via_stdout and "ReadSchema" in via_stdout
+    assert via_jvm.strip() == via_stdout.strip()

@@ -108,7 +108,10 @@ def cmd_explain(a: argparse.Namespace) -> int:
         print(f"unknown query {a.query!r}; run `explain list`", file=sys.stderr)
         return 1
     spark = get_spark(app_name="explain", master="local[2]", shuffle_partitions=2)
-    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        spark.sparkContext.setLogLevel("ERROR")
+    except Exception:
+        pass  # Spark Connect: no SparkContext; log level is server-side
     df = catalog.QUERIES[a.query](spark, a.sf_dir)
     print(explain_str(df, a.mode))
     spark.stop()

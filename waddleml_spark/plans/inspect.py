@@ -9,11 +9,30 @@ from pyspark.sql import DataFrame
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
-    """The text df.explain(mode) would print."""
-    qe = df._jdf.queryExecution()
-    jvm = df.sparkSession._jvm
-    jmode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    return qe.explainString(jmode)
+    """The text df.explain(mode) would print.
+
+    Classic sessions read it straight off the JVM queryExecution; Spark
+    Connect DataFrames have no _jdf, so fall back to capturing
+    df.explain() stdout (the only plan surface Connect exposes) — every
+    helper below works unchanged on either session type.
+    """
+    try:
+        qe = df._jdf.queryExecution()
+        jvm = df.sparkSession._jvm
+        jmode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        return qe.explainString(jmode)
+    except AttributeError:
+        return _explain_via_stdout(df, mode)
+
+
+def _explain_via_stdout(df: DataFrame, mode: str) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
 
 
 def pushed_filters(df: DataFrame) -> str:

@@ -36,7 +36,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01", out: str = "PLANS.md") -> None:
     from waddleml_spark.session import get_spark
 
     spark = get_spark(app_name="plan-report", master="local[4]", shuffle_partitions=4)
-    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        spark.sparkContext.setLogLevel("ERROR")
+    except Exception:
+        pass  # Spark Connect: no SparkContext; log level is server-side
     lines = [
         "# PLANS — physical-plan summary per catalog query",
         "",

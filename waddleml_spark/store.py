@@ -52,6 +52,15 @@ _seq_lock = threading.Lock()
 _seq_counter = itertools.count()
 
 
+def _parallelism(spark: SparkSession) -> int:
+    """defaultParallelism with a Spark Connect fallback (no SparkContext
+    there; 8 output files is a sane compaction width either way)."""
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:
+        return 8
+
+
 def _next_seq() -> int:
     """Monotonic write sequence: epoch-micros * 1000 + counter mod 1000.
     Orders writes across restarts (wall clock) and within a process
@@ -367,7 +376,7 @@ class WaddleStore:
                 # role of the reference's (run_id,key,step) index
                 # (waddle/_schema.py:59): per-run/per-key scans prune files
                 # and row groups instead of walking a B-tree.
-                n = max(1, self.spark.sparkContext.defaultParallelism // 4)
+                n = max(1, _parallelism(self.spark) // 4)
                 (
                     cur.repartition(n, "run_id")
                     .sortWithinPartitions("run_id", "key", "step")
@@ -376,7 +385,7 @@ class WaddleStore:
                 )
             else:
                 cur.coalesce(
-                    max(1, self.spark.sparkContext.defaultParallelism // 4)
+                    max(1, _parallelism(self.spark) // 4)
                 ).write.mode("overwrite").parquet(tmp)
             shutil.rmtree(d)
             os.rename(tmp, d)
