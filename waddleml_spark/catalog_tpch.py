@@ -286,3 +286,128 @@ def idle_rich_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@_register(
+    "top_supplier_q15",
+    f"""
+    WITH rev AS (
+        SELECT l_suppkey, {_r_sql("sum(l_extendedprice * (1 - l_discount))", 2)} AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate → global max → equality semi (ties kept).
+
+    The max is a 1-row broadcast scalar against the aggregate (NOT a
+    global-sort top-1: ties must survive, and the aggregate may have
+    millions of rows at scale — a single-partition window would funnel
+    them through one task).  Revenue is rounded identically on both
+    sides BEFORE the max comparison so the tie set is engine-stable.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("__mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@_register(
+    "small_quantity_revenue_q17",
+    f"""
+    SELECT {_r_sql("sum(l.l_extendedprice) / 7.0", 2)} AS avg_yearly
+    FROM lineitem l
+    JOIN (SELECT l_partkey, {_r_sql("0.5 * avg(l_quantity)", 6)} AS half_avg
+          FROM lineitem GROUP BY l_partkey) a
+      ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < a.half_avg
+    """,
+)
+def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group average → fact joined to the
+    aggregate of itself on the group key.
+
+    One shuffle on partkey serves both the aggregate and the join (at
+    scale, bucketing lineitem by partkey makes it shuffle-free).  The
+    half-average threshold is rounded on both sides: group-sum order is
+    nondeterministic, and a boundary row must not flip between engines.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    half = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        _r(F.lit(0.5) * F.avg("l_quantity"), 6).alias("half_avg")
+    )
+    return (
+        li.join(half, li.l_partkey == half.pk)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(_r(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@_register(
+    "waiting_supplier_q21",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 10
+    """,
+)
+def waiting_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-late-supplier query — double-correlated
+    EXISTS/NOT EXISTS, rewritten as per-order windowed distinct counts.
+
+    Instead of two correlated self-joins (three passes over the fact),
+    ONE lineitem⋈orders pass computes per-order supplier sets via
+    window collect_set on orderkey: a row qualifies iff it is late,
+    the order has >1 distinct supplier, and exactly 1 distinct LATE
+    supplier (the row's own).  Same answer, one shuffle on orderkey —
+    the partitioning the fact is already bucketed by at scale.
+    """
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = t(spark, sf_dir, "supplier")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    w = Window.partitionBy("l_orderkey")
+    lo = lo.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w))).withColumn(
+        "n_late_supp",
+        F.size(F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)),
+    )
+    return (
+        lo.filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), lo.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
