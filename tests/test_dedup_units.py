@@ -101,3 +101,29 @@ def test_end_to_end_dedup_groups(spark, docs):
     # exact/normalized dups 0,1,2 collapse to component 0
     assert groups[0] == groups[1] == groups[2] == 0
     assert 4 not in groups and 5 not in groups  # no high-jaccard edges
+
+
+def test_ngram_collision_report_semantics(spark):
+    from waddleml_spark.llmops import textstats
+
+    docs = spark.createDataFrame(
+        [
+            # benchmark
+            (0, "the quick brown fox jumps", "bench"),
+            # shares the 3-gram "quick brown fox" -> contaminated
+            (1, "a quick brown fox runs away", "web"),
+            # no shared 3-gram
+            (2, "entirely different words here now", "web"),
+            # short doc (<3 tokens): zero shingles, never contaminated
+            (3, "quick brown", "web"),
+            (4, "the quick brown fox jumps", "books"),  # full dup of bench
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["source"]: (r["n_docs"], r["n_contaminated"])
+        for r in textstats.ngram_collision_report(
+            docs, bench_pred=F.col("source") == "bench"
+        ).collect()
+    }
+    assert out == {"web": (3, 1), "books": (1, 1)}

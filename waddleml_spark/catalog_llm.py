@@ -369,3 +369,97 @@ def ivf_ann_topk_q0(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.docs_as_media(t(spark, sf_dir, "documents"))
     return multimodal.extract_features(media).orderBy("media_id")
+
+
+# --- training-data pipeline reports ----------------------------------------
+
+
+@_register(
+    "contamination_by_source",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, source, str_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(1, CASE WHEN len(w) >= 3 THEN len(w) - 1 ELSE 1 END),
+                   i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE source = 'src0'),
+    corpus AS (SELECT doc_id, source, unnest(shingles) AS g FROM sh WHERE source <> 'src0'),
+    hits AS (SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b ON c.g = b.g)
+    SELECT s.source, count(*) AS n_docs, count(h.doc_id) AS n_contaminated
+    FROM (SELECT DISTINCT doc_id, source FROM sh WHERE source <> 'src0') s
+    LEFT JOIN hits h ON h.doc_id = s.doc_id
+    GROUP BY s.source
+    """,
+)
+def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination report: source 'src0' plays the eval set;
+    every other source is checked for word-3-gram collisions against it
+    (textstats.ngram_collision_report — broadcast semi join on shingles)."""
+    return textstats.ngram_collision_report(
+        t(spark, sf_dir, "documents"), bench_pred=F.col("source") == "src0", k=3
+    )
+
+
+@_register(
+    "corpus_mix_report",
+    f"""
+    WITH per AS (
+        SELECT source, lang,
+               sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS toks
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, toks AS total_tokens,
+           {_r_sql('100.0 * toks / (SELECT sum(toks) FROM per)', 6)} AS pct_of_corpus
+    FROM per
+    """,
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language mix report: token share per (source, lang) — the
+    dataset-card table every training pipeline publishes.  Global total =
+    1-row broadcast scalar (integer token counts are order-insensitive,
+    so only the final ratio needs rounding)."""
+    d = t(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.sum(textstats.word_count(F.col("text"))).alias("total_tokens")
+    )
+    total = per.agg(F.sum("total_tokens").alias("__total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "total_tokens",
+        _r(F.lit(100.0) * F.col("total_tokens") / F.col("__total"), 6).alias(
+            "pct_of_corpus"
+        ),
+    )
+
+
+@_register(
+    "type_token_ratio_by_lang",
+    f"""
+    WITH w AS (
+        SELECT lang, str_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           {_r_sql('avg(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))', 6)}
+               AS avg_ttr
+    FROM w GROUP BY lang
+    """,
+)
+def type_token_ratio_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio (distinct/total tokens) per language — the
+    classic repetition/quality signal (low TTR = boilerplate or looped
+    text).  Pure per-row expressions + one aggregate; no shuffle beyond
+    the groupBy."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " "), " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), _r(F.avg(ttr), 6).alias("avg_ttr")
+    )

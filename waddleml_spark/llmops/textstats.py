@@ -122,3 +122,70 @@ def winnowing_fingerprints(
         lambda i: F.array_min(F.slice(grams, i, window)),
     )
     return F.array_distinct(wins)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram strings, empty for docs with < k tokens.
+
+    The shingle vocabulary for contamination checks — string form (not
+    hashes) so a SQL oracle can reproduce it exactly; hashes would be
+    engine-specific.  Semantics pinned for cross-engine parity: starts
+    1..len-k+1 only when len >= k (no partial shingles on short docs).
+    """
+    toks = F.split(F.regexp_replace(F.lower(F.trim(text)), "\\s+", " "), " ")
+    n = F.size(toks)
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.array_distinct(grams)
+
+
+def ngram_collision_report(
+    df: DataFrame,
+    bench_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for every non-benchmark document,
+    does it share ANY word k-gram with the benchmark set (`bench_pred`
+    rows)?  Returns per-`group_col` (n_docs, n_contaminated).
+
+    Scale shape: the benchmark shingle vocabulary is exploded, hashed
+    distinct, and SEMI-joined against exploded corpus shingles — only
+    (shingle, doc_id) pairs shuffle, never text; the distinct-hit set
+    collapses back to doc grain before the per-group count.  At real
+    scale the benchmark side is small (eval sets) → broadcast semi join;
+    the corpus side streams.  This is the standard decontamination
+    pipeline stage (detect train/test overlap before training).
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__grp"),
+        bench_pred.alias("__is_bench"),
+        word_shingles(F.col(text_col), k).alias("__sh"),
+    )
+    bench = (
+        sh.filter(F.col("__is_bench"))
+        .select(F.explode("__sh").alias("g"))
+        .distinct()
+    )
+    corpus = sh.filter(~F.col("__is_bench"))
+    hits = (
+        corpus.select("__id", F.explode("__sh").alias("g"))
+        .join(F.broadcast(bench), "g", "left_semi")
+        .select("__id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        corpus.select("__id", "__grp")
+        .join(hits, "__id", "left")
+        .groupBy(F.col("__grp").alias(group_col))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("__hit").alias("n_contaminated"),
+        )
+    )
