@@ -463,3 +463,32 @@ def type_token_ratio_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"), _r(F.avg(ttr), 6).alias("avg_ttr")
     )
+
+
+@_register(
+    "dataset_split_report",
+    """
+    SELECT source,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'f2' THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n
+    FROM documents GROUP BY source, split
+    """,
+)
+def dataset_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash (~90/5/5
+    via the first md5 hex byte: <= 'e5' / <= 'f2' / rest), reported per
+    source.
+
+    Hash-based splits are the reproducible alternative to RNG sampling:
+    the same doc lands in the same split on any engine, any run, any
+    cluster size — which is why production pipelines key splits on a
+    stable id hash, never on sample().  Pure projection + one aggregate.
+    """
+    d = t(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    split = (
+        F.when(h2 <= "e5", "train").when(h2 <= "f2", "val").otherwise("test")
+    )
+    return d.groupBy("source", split.alias("split")).agg(F.count("*").alias("n"))

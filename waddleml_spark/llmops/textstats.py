@@ -124,21 +124,36 @@ def winnowing_fingerprints(
     return F.array_distinct(wins)
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram strings, empty for docs with < k tokens.
+def word_tokens(text: Column) -> Column:
+    """Whitespace tokenization (lower, trim, collapse runs)."""
+    return F.split(F.regexp_replace(F.lower(F.trim(text)), "\\s+", " "), " ")
 
-    The shingle vocabulary for contamination checks — string form (not
-    hashes) so a SQL oracle can reproduce it exactly; hashes would be
-    engine-specific.  Semantics pinned for cross-engine parity: starts
-    1..len-k+1 only when len >= k (no partial shingles on short docs).
+
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-gram strings from a token-array COLUMN, empty for
+    docs with < k tokens.  Semantics pinned for cross-engine parity:
+    starts 1..len-k+1 only when len >= k (no partial shingles).
+
+    `toks` must be a materialized column reference, not a nested
+    expression: HOF lambdas are interpreted without common-subexpression
+    elimination, so a nested split(...) would re-tokenize the document
+    once PER SHINGLE (~9x slower measured).  Materialize tokens behind a
+    shuffle or in a separate non-collapsible projection first.
     """
-    toks = F.split(F.regexp_replace(F.lower(F.trim(text)), "\\s+", " "), " ")
     n = F.size(toks)
     starts = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
     )
     grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     return F.array_distinct(grams)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram strings straight from text — convenience for
+    small inputs/tests.  String form (not hashes) so a SQL oracle can
+    reproduce it exactly.  Hot paths must use shingles_from_tokens over
+    a materialized token column instead (see its perf note)."""
+    return shingles_from_tokens(word_tokens(text), k)
 
 
 def ngram_collision_report(
@@ -161,20 +176,46 @@ def ngram_collision_report(
     the corpus side streams.  This is the standard decontamination
     pipeline stage (detect train/test overlap before training).
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(group_col).alias("__grp"),
-        bench_pred.alias("__is_bench"),
-        word_shingles(F.col(text_col), k).alias("__sh"),
+    from waddleml_spark.session import fan_out
+
+    # Tokenize BEFORE the fan_out shuffle: the exchange is a hard barrier
+    # Catalyst cannot collapse, so tokens are computed once per doc and
+    # the shingle lambda reads the shuffled column (interpreted HOFs get
+    # no CSE — tokenizing inside the lambda is ~9x slower).  fan_out also
+    # spreads the compute off the single-row-group driver parquet.  Join
+    # on shingle HASHES so broadcast + shuffle carry longs, not strings.
+    toks = fan_out(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(group_col).alias("__grp"),
+            bench_pred.alias("__is_bench"),
+            word_tokens(F.col(text_col)).alias("__t"),
+        )
     )
+    sh = toks.select(
+        "__id",
+        "__grp",
+        "__is_bench",
+        F.transform(
+            shingles_from_tokens(F.col("__t"), k), lambda g: F.xxhash64(g)
+        ).alias("__gh"),
+    )
+    # explode_OUTER + drop-null, not plain explode: for inner explode the
+    # InferFiltersFromGenerate rule clones `size(<whole shingle expr>) > 0`
+    # as a filter below the fan_out exchange, recomputing the entire
+    # shingle pipeline on the unshuffled scan (measured 2.6s of the 7s).
+    # Outer generate is exempt; the null rows (shingle-less docs) drop on
+    # the generated column instead.
     bench = (
         sh.filter(F.col("__is_bench"))
-        .select(F.explode("__sh").alias("g"))
+        .select(F.explode_outer("__gh").alias("g"))
+        .filter(F.col("g").isNotNull())
         .distinct()
     )
     corpus = sh.filter(~F.col("__is_bench"))
     hits = (
-        corpus.select("__id", F.explode("__sh").alias("g"))
+        corpus.select("__id", F.explode_outer("__gh").alias("g"))
+        .filter(F.col("g").isNotNull())
         .join(F.broadcast(bench), "g", "left_semi")
         .select("__id")
         .distinct()
