@@ -411,3 +411,444 @@ def waiting_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+@_register(
+    "forecast_revenue_q6",
+    f"""
+    SELECT {_r_sql("sum(l_extendedprice * l_discount)", 2)} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter-aggregate, zero joins.
+
+    The canonical predicate-pushdown probe: all three conjuncts reach
+    the parquet scan as PushedFilters, only 4 columns are read, and the
+    whole query is one map-side partial sum + a 1-row final — no real
+    shuffle.  At 100 TB this is I/O-bound by design; shipdate partition
+    pruning cuts the year window server-side.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _r(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@_register(
+    "min_cost_supplier_q2",
+    f"""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               {_r_sql("avg(l_extendedprice / l_quantity)", 4)} AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT p.p_partkey, p.p_brand, s.s_name, c.unit_cost
+    FROM cost c
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND c.unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+                         WHERE c2.l_partkey = c.l_partkey)
+    ORDER BY p.p_partkey, s.s_name
+    LIMIT 100
+    """,
+)
+def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery → per-group min + equality
+    join (ties kept).  partsupp is absent from the fixtures, so supply
+    cost is derived as avg unit price per (part, supplier) — same plan
+    shape.
+
+    One shuffle on (partkey, suppkey) builds the cost table; the
+    per-part min re-uses the partkey partitioning (Catalyst collapses
+    the re-agg into the same exchange); supplier/nation/region all
+    broadcast.  unit_cost is floor-rounded on BOTH sides before the min
+    equality so the tie set is engine-stable.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    cost = li.groupBy(
+        F.col("l_partkey"), F.col("l_suppkey")
+    ).agg(_r(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_cost"))
+    minc = cost.groupBy(F.col("l_partkey").alias("mpk")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = t(spark, sf_dir, "part")
+    eu_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        cost.join(
+            minc,
+            (cost.l_partkey == minc.mpk) & (cost.unit_cost == minc.min_cost),
+        )
+        .join(F.broadcast(eu_supp), cost.l_suppkey == eu_supp.s_suppkey)
+        .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+        .select("p_partkey", "p_brand", "s_name", "unit_cost")
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@_register(
+    "volume_shipping_q7",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           {_r_sql("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+
+    The nation filters push BELOW the joins: supplier and customer each
+    pre-filter to the two nations (broadcast semi-reduction), so the
+    fact-fact orderkey join only carries qualifying rows.  The OR of
+    nation pairs is evaluated post-join on two tiny dims.  At scale the
+    orders↔lineitem hop is the one shuffle (bucket-aligned on orderkey);
+    everything else broadcasts.
+    """
+    nations = ("NATION_3", "NATION_7")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@_register(
+    "market_share_q8",
+    f"""
+    SELECT o_year,
+           {_r_sql("sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume)", 6)} AS mkt_share
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n1.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey   = l.l_partkey
+        JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+        JOIN customer c ON c.c_custkey   = o.o_custkey
+        JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey  = n2.n_regionkey
+        JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+        JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+    GROUP BY o_year
+    """,
+)
+def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's market share = conditional-sum ratio
+    inside year groups, over a 7-table snowflake.
+
+    Every dimension (part, customer→nation→region, supplier→nation)
+    broadcasts after its filter; lineitem⋈orders is the only shuffle.
+    The share divides two sums in ONE aggregate pass (no second scan);
+    rounded to 6 digits for cross-engine hash stability.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    n2 = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_cust = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == n2.n_nationkey)
+        .join(F.broadcast(r), n2.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    n1 = t(spark, sf_dir, "nation")
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == n1.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(asia_cust), o.o_custkey == asia_cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    )
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(_r(F.sum(target) / F.sum(vol), 6).alias("mkt_share"))
+    )
+
+
+@_register(
+    "product_profit_q9",
+    f"""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           {_r_sql(
+               "sum(l.l_extendedprice * (1 - l.l_discount)"
+               " - 0.1 * p.p_retailprice * l.l_quantity)", 2)} AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey  = l.l_partkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%green%'
+    GROUP BY nation, o_year
+    """,
+)
+def product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) for parts
+    matching a name pattern.  partsupp is absent, so supply cost is
+    modeled as 10% of p_retailprice per unit — same join/agg shape.
+
+    The LIKE filter prunes part FIRST and the survivors broadcast into
+    lineitem; profit arithmetic happens before the orderkey shuffle so
+    only (nation, year, profit) move.  25 nations × 7 years output.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%green%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = t(spark, sf_dir, "nation")
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = t(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.1) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(_r(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+@_register(
+    "returned_items_q10",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {_r_sql("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue from returns.
+
+    Both fact filters (date window on orders, returnflag on lineitem)
+    push below the orderkey join; customer+nation broadcast AFTER the
+    aggregate shrinks the fact to one row per customer.  Revenue is
+    rounded before the ORDER BY so the top-20 cut is engine-stable
+    (c_custkey tiebreak for equal revenues).
+    """
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev_per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    return (
+        rev_per_cust.join(F.broadcast(c), rev_per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "important_stock_q11",
+    f"""
+    WITH val AS (
+        SELECT l.l_partkey, sum(l.l_extendedprice * l.l_quantity) AS v
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_5'
+        GROUP BY l.l_partkey)
+    SELECT l_partkey, {_r_sql("v", 2)} AS part_value
+    FROM val
+    WHERE {_r_sql("v", 2)} > (SELECT {_r_sql("sum(v) * 0.001", 2)} FROM val)
+    """,
+)
+def important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups exceeding a fraction of the GLOBAL total —
+    scalar subquery in HAVING.
+
+    The per-part aggregate computes once; the global total re-aggregates
+    the (tiny) result, broadcasts as a 1-row scalar, and filters — the
+    fact is scanned exactly once.  Both the per-part value and the
+    threshold are floor-rounded before comparing so boundary parts don't
+    flip between engines.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("v"))
+    )
+    total = val.agg(_r(F.sum("v") * 0.001, 2).alias("__thresh"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(_r(F.col("v"), 2) > F.col("__thresh"))
+        .select("l_partkey", _r(F.col("v"), 2).alias("part_value"))
+    )
+
+
+@_register(
+    "customer_distribution_q13",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def customer_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count histogram including zero-order
+    customers — LEFT OUTER join with an ON-clause (not WHERE) filter,
+    then a second aggregation over the first's result.
+
+    The priority filter must live in the join condition: in WHERE it
+    would silently drop the NULL-extended rows and lose the
+    zero-order bucket.  count(o_orderkey) counts non-NULLs, so
+    unmatched customers land in c_count=0.  Second agg is over one row
+    per customer — trivially small.
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_register(
+    "potential_promotion_q20",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'red%')
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING sum(l.l_quantity) > 60)
+    """,
+)
+def potential_promotion_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: chained IN subqueries → nested semi joins with a
+    grouped HAVING in the middle.
+
+    Inner IN: part name-prefix filter broadcasts as a semi join into
+    lineitem (keys only, no payload).  The grouped HAVING shrinks to
+    qualifying (supplier, part) pairs; the outer IN is a second semi
+    join into supplier.  Quantities are integer-valued doubles, so the
+    HAVING sum is exact — no rounding needed.  At scale: one shuffle on
+    (suppkey, partkey); both semi joins broadcast.
+    """
+    s = t(spark, sf_dir, "supplier")
+    red = t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 60)
+        .select("l_suppkey")
+    )
+    return s.join(
+        F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
