@@ -1,0 +1,90 @@
+"""Sequence packing + deterministic resampling (llmops.packing).
+
+The scale-critical claim under test: the distributed two-pass prefix sum
+(bucketed window + offset broadcast) reproduces the single-window global
+layout EXACTLY — same offsets, same sequence assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from waddleml_spark.llmops.packing import (
+    bernoulli_keep,
+    order_key,
+    packed_sequences,
+    resample_to_mix,
+)
+from waddleml_spark.llmops.textstats import token_count_bpe
+from tests.conftest import SF_SMOKE
+
+
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_bucketed_prefix_sum_matches_global_window(spark):
+    d = docs(spark)
+    plan = packed_sequences(d, seq_len=512)
+    naive = (
+        d.select(
+            F.col("doc_id").alias("id"),
+            token_count_bpe(F.col("text")).cast("long").alias("n_tok"),
+            order_key(F.col("doc_id")).alias("h"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn(
+            "end",
+            F.sum("n_tok").over(
+                Window.orderBy("h", "id").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .select("id", "end")
+    )
+    diff = (
+        plan.select("id", "end")
+        .exceptAll(naive)
+        .unionAll(naive.exceptAll(plan.select("id", "end")))
+    )
+    assert diff.count() == 0
+
+
+def test_packing_spans_are_contiguous_and_conserve_tokens(spark):
+    plan = packed_sequences(docs(spark), seq_len=512).collect()
+    rows = sorted(plan, key=lambda r: r.start)
+    assert rows[0].start == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.start == prev.end  # gapless tape
+    total = rows[-1].end
+    assert total == sum(r.n_tok for r in rows)
+    for r in rows:
+        assert r.first_seq == r.start // 512
+        assert r.last_seq == (r.end - 1) // 512
+
+
+def test_resample_deterministic_and_rate_shaped(spark):
+    d = docs(spark)
+    rates = {"src0": 2.0, "src1": 0.5, "src2": 0.0}
+    a = resample_to_mix(d, rates).groupBy("source").count().collect()
+    b = resample_to_mix(d, rates).groupBy("source").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    counts = {r.source: r["count"] for r in a}
+    n_in = {r.source: r["count"] for r in d.groupBy("source").count().collect()}
+    assert counts["src0"] == 2 * n_in["src0"]  # integer rate is exact
+    assert "src2" not in counts  # rate 0 drops the group
+    assert 0 < counts.get("src1", 0) < n_in["src1"]  # strict downsample
+    # untouched sources keep default rate 1.0 exactly
+    assert counts["src4"] == n_in["src4"]
+
+
+def test_bernoulli_keep_is_stable_and_salted(spark):
+    d = docs(spark).select("doc_id")
+    kept = d.filter(bernoulli_keep(F.col("doc_id"), 0.5, ":a"))
+    again = d.filter(bernoulli_keep(F.col("doc_id"), 0.5, ":a"))
+    assert kept.exceptAll(again).count() == 0
+    other_salt = d.filter(bernoulli_keep(F.col("doc_id"), 0.5, ":b"))
+    # different salt ⇒ a genuinely different (decorrelated) subset
+    assert kept.exceptAll(other_salt).count() > 0

@@ -99,3 +99,50 @@ def test_explain_stdout_fallback_matches_jvm_path(spark):
     via_stdout = _explain_via_stdout(df, "formatted")
     assert "PushedFilters" in via_stdout and "ReadSchema" in via_stdout
     assert via_jvm.strip() == via_stdout.strip()
+
+
+def test_q6_full_pushdown_and_pruned_scan(spark):
+    df = q(spark, "forecast_revenue_q6")
+    pf = pushed_filters(df)
+    assert "GreaterThanOrEqual(l_shipdate" in pf
+    assert "LessThan(l_quantity,24.0)" in pf
+    assert "GreaterThanOrEqual(l_discount,0.05)" in pf
+    # scan reads exactly the 4 referenced columns
+    assert read_schema_columns(df) == [
+        ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"]
+    ]
+
+
+def test_q9_like_filter_pushes_to_part_scan(spark):
+    assert "StringContains(p_name,green)" in pushed_filters(
+        q(spark, "product_profit_q9")
+    )
+
+
+def test_q20_nested_semi_joins(spark):
+    df = q(spark, "potential_promotion_q20")
+    from waddleml_spark.plans.inspect import explain_str
+
+    plan = explain_str(df, "formatted")
+    assert plan.count("Join LeftSemi") == 2  # both IN levels became semi joins
+    assert count_op(df, "BroadcastHashJoin") == 2
+
+
+def test_q13_outer_join_preserves_zero_order_customers(spark):
+    assert_plan(q(spark, "customer_distribution_q13"), contains=["LeftOuter"])
+
+
+def test_q7_dims_broadcast(spark):
+    # supplier-nation and customer-nation sides are hinted broadcasts;
+    # only the fact-fact orderkey hop may shuffle
+    df = q(spark, "volume_shipping_q7")
+    assert count_op(df, "BroadcastHashJoin") >= 2
+
+
+def test_packing_offsets_broadcast_no_merge_join(spark):
+    from waddleml_spark.llmops.packing import packed_sequences
+
+    df = packed_sequences(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet"), seq_len=512
+    )
+    assert_plan(df, contains=["BroadcastHashJoin"], absent=["SortMergeJoin"])

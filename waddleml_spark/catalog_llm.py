@@ -492,3 +492,91 @@ def dataset_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(h2 <= "e5", "train").when(h2 <= "f2", "val").otherwise("test")
     )
     return d.groupBy("source", split.alias("split")).agg(F.count("*").alias("n"))
+
+
+@_register(
+    "sequence_packing_report",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+    cum AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY h, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS e
+        FROM toks WHERE n_tok > 0)
+    SELECT CAST(floor((e - n_tok) / 2048.0) AS BIGINT) AS seq_id,
+           count(*) AS docs_starting,
+           sum(n_tok) AS toks_starting,
+           sum(CASE WHEN floor((e - 1) / 2048.0) > floor((e - n_tok) / 2048.0)
+                    THEN 1 ELSE 0 END) AS boundary_docs
+    FROM cum GROUP BY seq_id
+    """,
+)
+def sequence_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk training-sequence packing (seq_len=2048): per
+    sequence, the documents starting in it, their token mass, and how
+    many straddle a cut.
+
+    The oracle reproduces the layout with ONE global window sum (fine in
+    DuckDB single-node); the Spark side uses the distributed two-pass
+    prefix sum in llmops.packing — per-bucket window + 16-row offset
+    broadcast — because a global Window.orderBy is a single-task funnel
+    at 100 TB.  Bucket = first hex digit of the md5 order key ⇒ the
+    decomposition reproduces the global order exactly.
+    """
+    from waddleml_spark.llmops.packing import packing_report
+
+    return packing_report(t(spark, sf_dir, "documents"), seq_len=2048)
+
+
+_MIX_RATES = {"src0": 3.0, "src1": 1.25, "src2": 0.5, "src3": 0.0}
+# frac(rate) * 65536 must be an exact integer (0 / .25 / .5 here): every
+# engine's round() then agrees and the Bernoulli thresholds are identical.
+
+
+@_register(
+    "corpus_resample_report",
+    """
+    WITH c AS (
+        SELECT source,
+               CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.25
+                           WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.0
+                           ELSE 1.0 END AS rate,
+               substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 4) AS h4
+        FROM documents)
+    SELECT source, count(*) AS n_docs_in,
+           sum(CAST(floor(rate) AS BIGINT)
+               + CASE WHEN h4 < lpad(lower(hex(CAST(round((rate - floor(rate)) * 65536) AS BIGINT))), 4, '0')
+                      THEN 1 ELSE 0 END) AS n_rows_out
+    FROM c GROUP BY source
+    """,
+)
+def corpus_resample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-mix resampling: src0 upsampled 3x, src1 1.25x,
+    src2 halved, src3 dropped, everything else kept.
+
+    The Spark side ACTUALLY materializes the resampled rows
+    (explode(array_repeat) on the salted-hash copy count — the real
+    operator a training pipeline runs); the oracle sums the copy counts
+    analytically.  Equal outputs prove the emitted row multiset matches
+    the analytic mix.  Input counts come from the pre-sample side and
+    LEFT JOIN the output so rate-0 sources report n_rows_out = 0.
+    """
+    from waddleml_spark.llmops.packing import resample_to_mix
+
+    d = t(spark, sf_dir, "documents")
+    out = resample_to_mix(d, _MIX_RATES)
+    out_counts = out.groupBy("source").agg(F.count("*").alias("__out"))
+    ins = d.groupBy("source").agg(F.count("*").alias("n_docs_in"))
+    return (
+        ins.join(out_counts, "source", "left_outer")
+        .select(
+            "source",
+            "n_docs_in",
+            F.coalesce(F.col("__out"), F.lit(0)).alias("n_rows_out"),
+        )
+    )

@@ -1,0 +1,170 @@
+"""Training-sequence packing + deterministic corpus resampling.
+
+Two training-data pipeline stages downstream of dedup/quality filtering:
+
+- `packed_sequences`: concat-and-chunk packing — lay every document's
+  tokens end-to-end in one deterministic global order and cut the tape
+  into fixed-length training sequences.  The global token offsets come
+  from a DISTRIBUTED two-pass prefix sum (per-bucket window cumsum +
+  broadcast bucket offsets), never a single-partition global window: at
+  100 TB a global `Window.orderBy` funnels every row through one task,
+  while the bucketed decomposition shuffles once on a 16-way hash prefix
+  and the offset table is 16 rows regardless of data size.
+- `resample_to_mix`: up/down-sample each source to a target rate with a
+  salted-hash Bernoulli trial + integer repeats — reproducible on any
+  engine/cluster/run, unlike `sample()` whose RNG is partition-dependent.
+
+Cross-engine parity notes: the deterministic order key is the md5 hex
+string of the doc id (DuckDB 1.0 lacks xxhash64); the 16 buckets are the
+FIRST HEX DIGIT of that key, so (bucket, key) order == plain key order
+and a SQL oracle can reproduce the packing with one window sum.  Token
+counts are integers, so all cumulative sums are exact — no float drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from waddleml_spark.llmops.textstats import token_count_bpe
+
+HASH_FRAC_DIGITS = 4  # Bernoulli granularity: 16^4 = 65536 levels
+
+
+def order_key(id_col: Column, salt: str = "") -> Column:
+    """Deterministic shuffle key: md5 hex of the stringified id (+salt).
+
+    md5-as-string survives every engine identically; salting decorrelates
+    independent uses (split assignment vs packing order vs resampling)
+    so one hash never biases another.
+    """
+    return F.md5(F.concat(id_col.cast("string"), F.lit(salt)).cast("binary"))
+
+
+def hash_frac_threshold(p: float) -> str:
+    """Hex-string threshold T such that substr(md5,1,4) < T with
+    probability ~p (granularity 1/65536).  Precomputed in Python and
+    inlined as a LITERAL in both the Spark plan and the SQL oracle —
+    the engines compare identical strings, never parse hex."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"probability out of range: {p}")
+    return format(round(p * 16**HASH_FRAC_DIGITS), "04x")
+
+
+def bernoulli_keep(id_col: Column, p: float, salt: str = "") -> Column:
+    """Deterministic Bernoulli(p) trial on the salted id hash."""
+    h4 = F.substring(order_key(id_col, salt), 1, HASH_FRAC_DIGITS)
+    return h4 < hash_frac_threshold(p)
+
+
+def packed_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Doc-level packing plan: (id, n_tok, start, end, first_seq, last_seq).
+
+    Documents are laid out in md5(id) order; `start`/`end` are global
+    token offsets; a document occupies sequences first_seq..last_seq
+    (last_seq > first_seq ⇔ it straddles a cut).  Zero-token documents
+    are dropped (they occupy no tape).
+
+    Distributed prefix sum, the scale-critical part:
+      1. bucket = first hex digit of the order key (16-way);
+      2. per-bucket running sum via a window PARTITIONED by bucket —
+         parallel, shuffle on the bucket key only;
+      3. bucket offsets = exclusive prefix over the 16 bucket totals —
+         a single-partition window over a CONSTANT 16 rows (explicitly
+         safe: its input is an aggregate, not the data), broadcast back.
+    Because the bucket is a prefix of the order key, concatenated bucket
+    order equals global key order — the decomposition is exact.
+    """
+    d = df.select(
+        F.col(id_col).alias("id"),
+        token_count_bpe(F.col(text_col)).cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    d = d.withColumn("h", order_key(F.col("id"))).withColumn(
+        "b", F.substring("h", 1, 1)
+    )
+    w_local = (
+        Window.partitionBy("b")
+        .orderBy("h", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("local_end", F.sum("n_tok").over(w_local))
+    totals = d.groupBy("b").agg(F.sum("n_tok").alias("tot"))
+    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "b", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off")
+    )
+    d = d.join(F.broadcast(offs), "b")
+    d = d.withColumn("end", F.col("off") + F.col("local_end")).withColumn(
+        "start", F.col("end") - F.col("n_tok")
+    )
+    return d.select(
+        "id",
+        "n_tok",
+        "start",
+        "end",
+        F.floor(F.col("start") / seq_len).alias("first_seq"),
+        F.floor((F.col("end") - 1) / seq_len).alias("last_seq"),
+    )
+
+
+def packing_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Per-sequence summary of the packing plan: how many documents START
+    in each sequence, their token mass, and how many straddle the next
+    cut.  Output is ~total_tokens/seq_len rows — tiny at any scale."""
+    plan = packed_sequences(df, text_col, id_col, seq_len)
+    return plan.groupBy(F.col("first_seq").alias("seq_id")).agg(
+        F.count("*").alias("docs_starting"),
+        F.sum("n_tok").alias("toks_starting"),
+        F.sum(
+            F.when(F.col("last_seq") > F.col("first_seq"), 1).otherwise(0)
+        ).alias("boundary_docs"),
+    )
+
+
+def resample_to_mix(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = ":mix",
+) -> DataFrame:
+    """Deterministically up/down-sample each group to its target rate.
+
+    rate r ⇒ each row is emitted floor(r) times plus one more with
+    probability frac(r), decided by a salted hash of the id — the same
+    document always gets the same fate, so the resampled corpus is
+    reproducible across engines, runs, and cluster sizes (the property
+    `sample()`/rand() cannot give).  Emission is explode(array_repeat),
+    all JVM-side; rate 0 drops the group entirely.
+    """
+    rate_expr: Column = F.lit(float(default_rate))
+    for src, r in sorted(rates.items()):
+        rate_expr = F.when(F.col(group_col) == src, float(r)).otherwise(rate_expr)
+    base = F.floor(rate_expr).cast("int")
+    extra_p = rate_expr - F.floor(rate_expr)
+    # per-row threshold string: rates are column-dependent, so compare the
+    # hash prefix against the hex threshold computed from the rate column
+    # (same arithmetic both engines: round(p * 65536) rendered as 4-hex)
+    h4 = F.substring(order_key(F.col(id_col), salt), 1, HASH_FRAC_DIGITS)
+    thresh = F.lpad(
+        F.lower(F.hex(F.round(extra_p * 16**HASH_FRAC_DIGITS).cast("long"))),
+        HASH_FRAC_DIGITS,
+        "0",
+    )
+    n_copies = base + F.when(h4 < thresh, 1).otherwise(0)
+    return df.withColumn("__copies", n_copies).filter(
+        F.col("__copies") > 0
+    ).withColumn("copy", F.explode(F.array_repeat(F.lit(1), F.col("__copies")))).drop(
+        "__copies", "copy"
+    )
