@@ -142,3 +142,34 @@ def test_sampler_writes_system_metrics(spark, tmp_path, monkeypatch):
         ]
         assert "system/cpu_percent" in keys
     run.finish()
+
+
+def test_metric_pair_stream_stream_join(spark, tmp_path, monkeypatch):
+    from waddleml_spark.streaming.live import metric_pair_join
+
+    monkeypatch.chdir(tmp_path)
+    run = w.init(project="pairjoin", system_metrics=False, spark=spark)
+    base = 1_700_000_000.0
+    # loss every 20s; lr 5s after each — with ±6s tolerance each loss
+    # pairs with exactly its own lr (neighbors are 15s away); the lr at
+    # +300s is beyond every loss's tolerance
+    for i in range(3):
+        run.log_metric("loss", i, 1.0 * i, ts=base + i * 20)
+        run.log_metric("lr", i, 0.1 * i, ts=base + i * 20 + 5)
+    run.log_metric("lr", 99, 9.9, ts=base + 300)
+    run.flush()
+
+    joined = metric_pair_join(spark, run._store, "loss", "lr", tolerance_seconds=6)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pair_out")
+        .start()
+    )
+    q.processAllAvailable()
+    rows = spark.sql(
+        "SELECT l_step, r_step FROM pair_out ORDER BY l_step"
+    ).collect()
+    q.stop()
+    assert [(r.l_step, r.r_step) for r in rows] == [(0, 0), (1, 1), (2, 2)]
+    run.finish()

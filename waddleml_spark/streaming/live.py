@@ -156,3 +156,50 @@ def metric_session_agg(
     return src.groupBy(
         F.session_window("event_time", gap), "run_id", "key"
     ).agg(F.count("*").alias("n"), F.avg("value").alias("avg_value"))
+
+
+def metric_pair_join(
+    spark: SparkSession,
+    store: WaddleStore,
+    left_key: str,
+    right_key: str,
+    tolerance_seconds: int = 30,
+    watermark: str = "2 minutes",
+):
+    """Stream-stream inner join: correlate two live metric keys of the
+    same run whose event times fall within ±tolerance (e.g. pair each
+    `loss` point with the `lr` in effect around it).
+
+    The canonical watermarked interval join: BOTH sides carry a
+    watermark and the join condition bounds event-time distance, so the
+    engine can expire state — each side buffers only
+    watermark + tolerance of data per run, regardless of stream length.
+    Without the time bound this would be an ever-growing state table;
+    with it, state is O(rate × window) — the property that keeps the
+    join runnable forever at scale.  Extension beyond the reference
+    (its dashboard correlates metrics only at query time over DuckDB).
+    """
+    def side(key: str, alias: str):
+        return (
+            spark.readStream.schema(schemas.METRICS)
+            .parquet(store._dir("metrics"))
+            .filter(F.col("key") == key)
+            .withColumn("event_time", F.timestamp_seconds(F.col("ts")))
+            .withWatermark("event_time", watermark)
+            .select(
+                F.col("run_id").alias(f"{alias}_run"),
+                F.col("step").alias(f"{alias}_step"),
+                F.col("value").alias(f"{alias}_value"),
+                F.col("event_time").alias(f"{alias}_time"),
+            )
+        )
+
+    a, b = side(left_key, "l"), side(right_key, "r")
+    tol = F.expr(f"INTERVAL {int(tolerance_seconds)} SECONDS")
+    return a.join(
+        b,
+        (F.col("l_run") == F.col("r_run"))
+        & (F.col("r_time") >= F.col("l_time") - tol)
+        & (F.col("r_time") <= F.col("l_time") + tol),
+        "inner",
+    )
