@@ -580,3 +580,52 @@ def corpus_resample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("__out"), F.lit(0)).alias("n_rows_out"),
         )
     )
+
+
+@_register(
+    "bigram_lm_quality_by_lang",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+               generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        FROM documents),
+    big AS (
+        SELECT doc_id, tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks),
+    pairs AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+    bg AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+    ug AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+    doc_scores AS (
+        SELECT p.doc_id,
+               {_r_sql("avg(ln(c2 * 1.0 / c1))", 6)} AS lm_score
+        FROM pairs p
+        JOIN bg ON bg.w1 = p.w1 AND bg.w2 = p.w2
+        JOIN ug ON ug.w1 = p.w1
+        GROUP BY p.doc_id)
+    SELECT d.lang, count(*) AS n_docs,
+           {_r_sql("avg(s.lm_score)", 6)} AS avg_lm_score
+    FROM doc_scores s JOIN documents d ON d.doc_id = s.doc_id
+    GROUP BY d.lang
+    """,
+)
+def bigram_lm_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM quality score aggregated per language —
+    the self-supervised perplexity-proxy filter of a training pipeline.
+
+    The oracle builds bigrams with unnest + a lead() window; the Spark
+    side zips each token array against its own tail (array-only, no
+    window, no shuffle before the counts) — see
+    llmops.textstats.bigram_lm_scores for the 100 TB shape notes.
+    """
+    d = t(spark, sf_dir, "documents")
+    scores = textstats.bigram_lm_scores(d)
+    return (
+        scores.join(d.select(F.col("doc_id").alias("id"), "lang"), "id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            _r(F.avg("lm_score"), 6).alias("avg_lm_score"),
+        )
+    )

@@ -230,3 +230,56 @@ def ngram_collision_report(
             F.count("__hit").alias("n_contaminated"),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document corpus-trained bigram language-model score — the
+    perplexity proxy of a quality-filter stage: score(doc) = mean over
+    its bigram occurrences of ln P(w2|w1), with P estimated from THIS
+    corpus (count(w1,w2)/count(w1-as-context)).  Low scores flag
+    unusual/garbled text relative to the corpus itself.
+
+    Shape (the part that matters at 100 TB): bigrams are built as a pure
+    array expression — zip the token array against its own tail and
+    explode — no window, no shuffle until counting.  The two count
+    tables aggregate map-side first; the join back to occurrences
+    shuffles on the bigram key, where natural-language skew ("the …")
+    is exactly what AQE skew-join splitting handles.  Returns
+    (id, n_bigrams, lm_score) with lm_score floor-rounded to 6 digits:
+    ln() may differ between engines in the last ulp, and the per-doc
+    mean must hash identically cross-engine.
+    """
+    from waddleml_spark.session import fan_out
+
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
+    base = fan_out(
+        df.select(F.col(id_col).alias("id"), toks.alias("tk")).filter(
+            F.size(toks) >= 2
+        )
+    )
+    n = F.size(F.col("tk"))
+    pairs = base.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, n - 1).alias("w1"),
+                F.slice(F.col("tk"), 2, n - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ug = pairs.groupBy(F.col("w1").alias("u1")).agg(F.count("*").alias("c1"))
+    scored = (
+        pairs.join(bg, ["w1", "w2"])
+        .join(ug, pairs.w1 == F.col("u1"))
+        .select("id", F.log(F.col("c2") / F.col("c1")).alias("lp"))
+    )
+    p6 = 10**6
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        (F.floor(F.avg("lp") * p6 + F.lit(0.5)) / p6).alias("lm_score"),
+    )
