@@ -88,3 +88,40 @@ def test_bernoulli_keep_is_stable_and_salted(spark):
     other_salt = d.filter(bernoulli_keep(F.col("doc_id"), 0.5, ":b"))
     # different salt ⇒ a genuinely different (decorrelated) subset
     assert kept.exceptAll(other_salt).count() > 0
+
+
+def test_chunk_tokens_coverage_and_overlap(spark):
+    from waddleml_spark.llmops.packing import chunk_tokens
+
+    rows = chunk_tokens(docs(spark), chunk=64, overlap=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.id, []).append(r)
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert chunks[0].chunk_idx == 0
+        # all but the last chunk are full-size
+        for ch in chunks[:-1]:
+            assert ch.n_in_chunk == 64
+        # consecutive chunks overlap by exactly 16 tokens
+        for a, b in zip(chunks, chunks[1:]):
+            assert a.toks[48:] == b.toks[:16]
+
+
+def test_top_token_run_matches_explode_groupby(spark):
+    from pyspark.sql import functions as F
+    from waddleml_spark.llmops.textstats import top_token_run
+
+    d = docs(spark)
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    fast = d.select(F.col("doc_id").alias("id"), top_token_run(toks).alias("m"))
+    slow = (
+        d.select(F.col("doc_id").alias("id"), F.explode(toks).alias("w"))
+        .groupBy("id", "w")
+        .count()
+        .groupBy("id")
+        .agg(F.max("count").alias("m"))
+    )
+    assert fast.exceptAll(slow).count() == 0 and slow.exceptAll(fast).count() == 0

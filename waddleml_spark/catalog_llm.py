@@ -629,3 +629,125 @@ def bigram_lm_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.avg("lm_score"), 6).alias("avg_lm_score"),
         )
     )
+
+
+@_register(
+    "chunking_report",
+    """
+    SELECT source, count(*) AS n_docs,
+           sum(1 + CAST(floor((greatest(n_tok - 16, 1) - 1) / 48.0) AS BIGINT))
+               AS total_chunks
+    FROM (SELECT source,
+                 len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+          FROM documents)
+    WHERE n_tok > 0
+    GROUP BY source
+    """,
+)
+def chunking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking audit: chunks per source at chunk=64/overlap=16.
+
+    The Spark side MATERIALIZES every chunk (llmops.packing.chunk_tokens,
+    array-only explode — zero shuffle before the count); the oracle
+    computes the chunk count analytically (1 + ceil-div of the covered
+    span by the stride).  Equality proves the emitted chunk rows match
+    the arithmetic spec.
+    """
+    from waddleml_spark.llmops.packing import chunk_tokens
+
+    d = t(spark, sf_dir, "documents")
+    chunks = chunk_tokens(d, chunk=64, overlap=16)
+    ids = d.select(F.col("doc_id").alias("id"), "source")
+    return (
+        chunks.join(ids, "id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count("*").alias("total_chunks"),
+        )
+    )
+
+
+@_register(
+    "repetition_filter_report",
+    f"""
+    WITH per AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+              FROM documents)
+        GROUP BY doc_id, w),
+    agg AS (
+        SELECT doc_id, max(c) AS max_c, sum(c) AS n_tok
+        FROM per GROUP BY doc_id)
+    SELECT d.source, count(*) AS n_docs,
+           {_r_sql("avg(a.max_c * 1.0 / a.n_tok)", 6)} AS avg_top_ratio,
+           {_r_sql("max(a.max_c * 1.0 / a.n_tok)", 6)} AS max_top_ratio
+    FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+    GROUP BY d.source
+    """,
+)
+def repetition_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal per source: how dominant is each
+    document's single most frequent token.
+
+    The oracle needs explode + two grouped aggregations (a shuffle of
+    every token occurrence); the Spark side computes the same max count
+    with ZERO shuffle — sort each token array and run one aggregate()
+    pass over adjacent runs (textstats.top_token_run).  At 100 TB that
+    is the difference between a token-grain exchange and a pure map.
+    """
+    d = t(spark, sf_dir, "documents")
+    r = textstats.repetition_ratio(d)
+    src = d.select(F.col("doc_id").alias("id"), "source")
+    return (
+        r.join(src, "id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            _r(F.avg("top_ratio"), 6).alias("avg_top_ratio"),
+            _r(F.max("top_ratio"), 6).alias("max_top_ratio"),
+        )
+    )
+
+
+@_register(
+    "top_words_by_lang",
+    """
+    WITH cnt AS (
+        SELECT lang, w, count(*) AS n
+        FROM (SELECT lang,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+              FROM documents)
+        GROUP BY lang, w),
+    rk AS (
+        SELECT lang, w AS word, n,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, w) AS rnk
+        FROM cnt)
+    SELECT lang, word, n, rnk FROM rk WHERE rnk <= 5
+    """,
+)
+def top_words_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: top-5 most frequent words per language (count
+    tie-broken alphabetically, so the cut is deterministic).
+
+    explode → two-phase count aggregate → per-group top-k window.  The
+    rnk<=5 filter triggers Spark's WindowGroupLimit: each map task
+    pre-limits its partition to 5 candidates per lang BEFORE the window
+    shuffle — per-group top-k never materializes the full count table
+    across the cluster.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = F.explode(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+    )
+    cnt = d.select("lang", w.alias("word")).groupBy("lang", "word").agg(
+        F.count("*").alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.col("n").desc(), "word")
+    )
+    return cnt.withColumn("rnk", rnk).filter(F.col("rnk") <= 5)

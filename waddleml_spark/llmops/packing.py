@@ -168,3 +168,38 @@ def resample_to_mix(
     ).withColumn("copy", F.explode(F.array_repeat(F.lit(1), F.col("__copies")))).drop(
         "__copies", "copy"
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """RAG-style token chunking: fixed-size windows with overlap.
+
+    Chunk starts are 1, 1+stride, … while start ≤ max(n−overlap, 1)
+    (stride = chunk − overlap), so every token is covered, consecutive
+    chunks share `overlap` tokens, and a short doc yields exactly one
+    chunk.  Built entirely with array expressions (sequence → transform
+    → slice → explode): embarrassingly parallel, zero shuffle — the
+    shape that matters when chunking 100 TB for an embedding pipeline.
+    Returns (id, chunk_idx, toks, n_in_chunk).
+    """
+    if overlap >= chunk:
+        raise ValueError("overlap must be < chunk")
+    stride = chunk - overlap
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("tk")).filter(
+        F.size(toks) > 0
+    )
+    n = F.size(F.col("tk"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(stride)
+    )
+    chunks = F.transform(starts, lambda s: F.slice(F.col("tk"), s, chunk))
+    out = base.select("id", F.posexplode(chunks).alias("chunk_idx", "toks"))
+    return out.withColumn("n_in_chunk", F.size("toks"))

@@ -283,3 +283,48 @@ def bigram_lm_scores(
         F.count("*").alias("n_bigrams"),
         (F.floor(F.avg("lp") * p6 + F.lit(0.5)) / p6).alias("lm_score"),
     )
+
+
+def top_token_run(toks: Column) -> Column:
+    """Count of the most frequent token in the array — WITHOUT a shuffle.
+
+    Sort the array, then one aggregate() pass tracks the current run
+    length and the best run (equal tokens are adjacent after the sort),
+    carrying a (prev, run, best) struct accumulator.  The obvious
+    explode → groupBy(doc, token) → max(count) implementation shuffles
+    every token occurrence; this stays a per-row projection —
+    embarrassingly parallel at any scale.  Empty arrays → 0.
+    """
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(a: Column, tkn: Column) -> Column:
+        new_run = F.when(tkn == a.prev, a.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            tkn.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(a.best, new_run).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(toks), acc0, step, lambda a: a.best)
+
+
+def repetition_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-token ratio — the Gopher-style repetition filter
+    signal (a doc whose single most frequent token dominates is likely
+    boilerplate/garbage).  Returns (id, n_tok, top_ratio); zero-shuffle
+    (see top_token_run)."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    d = df.select(
+        F.col(id_col).alias("id"), toks.alias("tk")
+    ).filter(F.size(F.col("tk")) > 0)
+    return d.select(
+        "id",
+        F.size("tk").alias("n_tok"),
+        (top_token_run(F.col("tk")) / F.size("tk")).alias("top_ratio"),
+    )
