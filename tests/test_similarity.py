@@ -62,3 +62,30 @@ def test_lakehouse_stub_raises_actionable(spark):
 
     with pytest.raises(NotImplementedError, match="delta"):
         read_delta(spark, "/tmp/nonexistent-delta")
+
+
+def test_distributed_covariance_matches_local_numpy(spark):
+    import numpy as np
+    from waddleml_spark.llmops.similarity import covariance_matrix
+    from tests.conftest import SF_SMOKE
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cov, n = covariance_matrix(e)
+    x = np.stack(
+        [np.array(r.embedding, dtype="float64") for r in e.collect()]
+    )
+    assert n == len(x)
+    local = np.cov(x, rowvar=False, bias=True)
+    assert np.allclose(cov, local, atol=1e-12)
+
+
+def test_pca_variance_report_shape(spark):
+    from waddleml_spark.llmops.similarity import pca_variance_report
+    from tests.conftest import SF_SMOKE
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    rows = pca_variance_report(e, top_k=5).collect()
+    assert [r.component for r in rows] == [0, 1, 2, 3, 4]
+    vals = [r.eigenvalue for r in rows]
+    assert vals == sorted(vals, reverse=True) and vals[-1] >= 0
+    assert 0 < sum(r.explained_ratio for r in rows) <= 1.0001

@@ -751,3 +751,44 @@ def top_words_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("lang").orderBy(F.col("n").desc(), "word")
     )
     return cnt.withColumn("rnk", rnk).filter(F.col("rnk") <= 5)
+
+
+@_register(
+    "embedding_dim_stats",
+    f"""
+    SELECT dim,
+           {_r_sql("avg(x)", 6)} AS mean_x,
+           {_r_sql("min(x)", 6)} AS min_x,
+           {_r_sql("max(x)", 6)} AS max_x
+    FROM (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings)
+    GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution stats (drift/normalization
+    audit): posexplode the vector to (dim, value) long format, one
+    aggregate.  At scale the explode is map-local and the aggregate has
+    exactly d groups — partial aggregation collapses everything
+    map-side.  float32 values are cast to double identically by both
+    engines before averaging; results rounded to 6 digits.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    d = e.select(F.posexplode(F.col("embedding")).alias("dim", "xf")).select(
+        "dim", F.col("xf").cast("double").alias("x")
+    )
+    return d.groupBy("dim").agg(
+        _r(F.avg("x"), 6).alias("mean_x"),
+        _r(F.min("x"), 6).alias("min_x"),
+        _r(F.max("x"), 6).alias("max_x"),
+    )
+
+
+@_register("embedding_pca_variance", None)
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-covariance PCA audit (rows-only: eigendecomposition is
+    not ANSI-SQL-expressible).  See similarity.pca_variance_report."""
+    from waddleml_spark.llmops.similarity import pca_variance_report
+
+    return pca_variance_report(t(spark, sf_dir, "embeddings"))

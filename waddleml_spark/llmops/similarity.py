@@ -148,3 +148,79 @@ def ann_topk_lsh(
             qb |= 1 << i
     cand = bucketed.filter(F.col("lsh_bucket") == qb)
     return cosine_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def covariance_matrix(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+):
+    """Distributed covariance of an embedding column → driver ndarray.
+
+    The scale pattern for second-moment statistics: each Arrow batch
+    reduces to ONE partial (n, Σx, ΣxxT) via numpy einsum inside
+    mapInPandas, partials are a handful of rows regardless of input
+    size, and the final combine touches d² floats once.  Row-wise
+    outer-product explosion (n·d² rows through a shuffle) is the
+    anti-pattern this replaces.  d is small (embedding width), so the
+    driver-side d×d step is trivial — the data-sized work is all
+    distributed.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from waddleml_spark.session import ensure_shipped, fan_out
+
+    ensure_shipped(df.sparkSession)
+    src = fan_out(df.select(F.col(vec_col).alias("v")))
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["v"].to_numpy()).astype("float64")
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(x))],
+                    "s": [x.sum(axis=0).tolist()],
+                    "ss": [np.einsum("ni,nj->ij", x, x).ravel().tolist()],
+                }
+            )
+
+    part = src.mapInPandas(
+        partials, schema="n double, s array<double>, ss array<double>"
+    )
+    rows = part.collect()  # one row per Arrow batch — tiny
+    n = sum(r.n for r in rows)
+    s = np.sum([np.array(r.s) for r in rows], axis=0)
+    ss = np.sum([np.array(r.ss) for r in rows], axis=0)
+    d = int(round(len(s)))
+    mu = s / n
+    cov = ss.reshape(d, d) / n - np.outer(mu, mu)
+    return cov, int(n)
+
+
+def pca_variance_report(
+    df: DataFrame, vec_col: str = "embedding", top_k: int = 8
+) -> DataFrame:
+    """Top-k PCA eigenvalues + explained-variance ratios of the embedding
+    space — the dimensionality/whitening audit of an embedding pipeline.
+
+    Covariance is reduced distributed (see covariance_matrix); the d×d
+    eigendecomposition runs driver-side (d = embedding width, constant
+    and small — NEVER data-sized).  Values are rounded to 4 digits: the
+    distributed float sum is order-nondeterministic in the last ulp and
+    this is a rows-only catalog entry (eig is not SQL-expressible).
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    cov, n = covariance_matrix(df, vec_col)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    total = float(evals.sum())
+    top = evals[:top_k]
+    rows = [
+        (i, float(round(v, 4)), float(round(v / total, 4)))
+        for i, v in enumerate(top)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_ratio double"
+    )
