@@ -1,0 +1,53 @@
+"""Bucketed-table layout: the shuffle-free co-located join this engine's
+docstrings keep promising, made concrete.
+
+Many catalog shapes note "at scale, bucket both facts by the join key and
+this join is shuffle-free".  `write_bucketed` performs that layout with
+Spark's native (Hive-less) bucketing: rows are hash-partitioned into
+`n_buckets` files per partition by the bucket keys at WRITE time, and the
+session catalog records the bucket spec.  A later join or aggregation on
+those keys finds both sides already hash-distributed the same way, so the
+planner drops the Exchange entirely — the one-time write-side shuffle is
+amortized over every subsequent query (the standard trade for a fact
+table queried by the same key forever, e.g. metrics by run_id,
+lineitem⋈orders by orderkey).
+
+tests/test_bucketed.py asserts the property on a real plan: bucketed
+lineitem ⋈ bucketed orders → SortMergeJoin with ZERO Exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist `df` as a bucketed (+optionally sorted) parquet table.
+
+    `sort_by` additionally sorts within each bucket file — that gives
+    sort-merge joins their sort for free AND parquet min/max stats that
+    prune row groups on point lookups (the B-tree-index replacement).
+    Bucket counts must match across tables meant to co-join.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *keys)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back WITH its bucket spec (a plain
+    spark.read.parquet(path) on the same files would lose the spec and
+    reintroduce the shuffle — the catalog carries the layout metadata,
+    so always read through it)."""
+    return spark.table(table)
