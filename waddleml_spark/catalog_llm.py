@@ -792,3 +792,93 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from waddleml_spark.llmops.similarity import pca_variance_report
 
     return pca_variance_report(t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "incremental_dedup_report",
+    r"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+    idx AS (SELECT DISTINCT fp FROM fp WHERE source <> 'src0'),
+    new AS (SELECT * FROM fp WHERE source = 'src0'),
+    fresh AS (SELECT * FROM new WHERE fp NOT IN (SELECT fp FROM idx))
+    SELECT (SELECT count(*) FROM new) AS n_new,
+           (SELECT count(*) FROM new) - (SELECT count(*) FROM fresh)
+               AS n_dup_vs_index,
+           (SELECT count(DISTINCT fp) FROM fresh) AS n_kept
+    """,
+)
+def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurring-crawl dedup audit: treat src0 as the incoming batch and
+    every other source as the already-ingested corpus; report batch
+    size, cross-index duplicates, and surviving representatives.  See
+    llmops.dedup.incremental_dedup for the fingerprint-only join shape.
+    """
+    d = t(spark, sf_dir, "documents")
+    new = d.filter(F.col("source") == "src0")
+    idx = d.filter(F.col("source") != "src0")
+    kept = dedup.incremental_dedup(new, idx)
+    # one distributed plan, no driver-side counts: two 1-row aggregates
+    # cross-joined (both broadcast by construction)
+    batch_stats = new.agg(F.count("*").alias("n_new"))
+    kept_stats = kept.agg(
+        F.count("*").alias("n_kept"),
+        F.coalesce(F.sum("n_dups"), F.lit(0)).alias("__fresh_rows"),
+    )
+    return batch_stats.crossJoin(F.broadcast(kept_stats)).select(
+        "n_new",
+        (F.col("n_new") - F.col("__fresh_rows")).alias("n_dup_vs_index"),
+        "n_kept",
+    )
+
+
+@_register(
+    "filter_funnel_report",
+    """
+    WITH t AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words
+        FROM documents),
+    rep AS (
+        SELECT doc_id, max(c) * 1.0 / sum(c) AS ratio
+        FROM (SELECT doc_id, w, count(*) AS c
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+                    FROM documents)
+              GROUP BY doc_id, w)
+        GROUP BY doc_id)
+    SELECT source,
+           sum(CASE WHEN n_words < 30 THEN 1 ELSE 0 END) AS n_short,
+           sum(CASE WHEN n_words >= 30 AND ratio > 0.12 THEN 1 ELSE 0 END)
+               AS n_repetitive,
+           sum(CASE WHEN n_words >= 30 AND ratio <= 0.12 THEN 1 ELSE 0 END)
+               AS n_kept
+    FROM t JOIN rep USING (doc_id)
+    GROUP BY source
+    """,
+)
+def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate funnel (first-failing-rule-wins): per source, docs
+    dropped as too-short (<30 words), then as too-repetitive (top-token
+    ratio > 0.12), and survivors — the drop-accounting report every
+    filtering pipeline publishes.
+
+    Spark side reuses the ZERO-shuffle repetition signal
+    (textstats.repetition_ratio: sorted-array aggregate) where the
+    oracle needs a token-grain double aggregation; the funnel itself is
+    one conditional-sum pass.  Ratio comparisons are exact small-int
+    divisions — deterministic cross-engine, no rounding needed.
+    """
+    d = t(spark, sf_dir, "documents")
+    r = textstats.repetition_ratio(d)
+    src = d.select(F.col("doc_id").alias("id"), "source")
+    j = r.join(src, "id")
+    short = F.col("n_tok") < 30
+    rep = F.col("top_ratio") > 0.12
+    return j.groupBy("source").agg(
+        F.sum(F.when(short, 1).otherwise(0)).alias("n_short"),
+        F.sum(F.when(~short & rep, 1).otherwise(0)).alias("n_repetitive"),
+        F.sum(F.when(~short & ~rep, 1).otherwise(0)).alias("n_kept"),
+    )

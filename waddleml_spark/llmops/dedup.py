@@ -336,3 +336,29 @@ def simhash_buckets(signatures: DataFrame, band_bits: int = 16) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an incoming batch against an EXISTING corpus, then within
+    itself — the production shape for recurring crawls (the index never
+    rescans; only fingerprints move).
+
+    Two stages: (1) anti join the batch's fingerprints against the
+    index's distinct fingerprints — at scale the index side is a stored
+    fingerprint table read as keys only, and the anti join ships
+    16-byte hashes, never text; (2) exact_dedup within the survivors.
+    Returns (fp, keeper_id, n_dups) for the kept representatives.
+    """
+    idx = index_df.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    batch = new_df.select(
+        fingerprint(F.col(text_col)).alias("fp"), F.col(id_col)
+    )
+    fresh = batch.join(idx, "fp", "left_anti")
+    return fresh.groupBy("fp").agg(
+        F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups")
+    )
