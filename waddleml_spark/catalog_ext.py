@@ -479,3 +479,37 @@ def cdc_changes_since(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == 1, "insert").otherwise("update").alias("op"),
         )
     )
+
+
+@_register(
+    "variant_props_stats",
+    f"""
+    SELECT event_type,
+           count(k) AS n_with_k,
+           min(k) AS k_min, max(k) AS k_max,
+           {_r_sql("avg(k)", 4)} AS k_avg
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4 VariantType: parse_json ONCE into
+    a binary-encoded variant, then variant_get per field — the
+    parse-once/extract-many pattern that replaces repeated
+    get_json_object string re-parsing (each get_json_object call re-reads
+    the JSON text; a variant is parsed a single time and field access is
+    a binary offset lookup — the difference compounds with fields × rows
+    at 100 TB).  Oracle uses DuckDB's JSON extraction on the same path.
+    """
+    ev = t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    d = ev.select("event_type", k.alias("k"))
+    return d.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        _r(F.avg("k"), 4).alias("k_avg"),
+    )
