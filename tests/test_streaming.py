@@ -173,3 +173,36 @@ def test_metric_pair_stream_stream_join(spark, tmp_path, monkeypatch):
     q.stop()
     assert [(r.l_step, r.r_step) for r in rows] == [(0, 0), (1, 1), (2, 2)]
     run.finish()
+
+
+def test_metric_stream_checkpoint_resumes_after_restart(spark, tmp_path, monkeypatch):
+    """Restart-recovery: a NEW MetricStream on the same store resumes from
+    the checkpoint — already-delivered micro-batches are not re-delivered,
+    only rows logged after the stop arrive (file-source offsets + the
+    persisted checkpoint give exactly-once across restarts here; the
+    docstring's at-least-once caveat is about checkpoint deletion)."""
+    monkeypatch.chdir(tmp_path)
+    run = w.init(project="ckpt", system_metrics=False, spark=spark)
+    run.log({"loss": 1.0})
+    run.flush()
+
+    ms1 = MetricStream(run._store, trigger_seconds=0.5)
+    got1 = []
+    ms1.bus.subscribe(lambda rows: got1.extend(rows))
+    ms1.start()
+    ms1.process_all_available()
+    ms1.stop()
+    assert {(r["key"], r["value"]) for r in got1} == {("loss", 1.0)}
+
+    run.log({"loss": 0.5})
+    run.flush()
+
+    ms2 = MetricStream(run._store, trigger_seconds=0.5)
+    got2 = []
+    ms2.bus.subscribe(lambda rows: got2.extend(rows))
+    ms2.start()
+    ms2.process_all_available()
+    ms2.stop()
+    run.finish()
+    # only the post-restart row — nothing replayed
+    assert [(r["key"], r["value"]) for r in got2] == [("loss", 0.5)]
