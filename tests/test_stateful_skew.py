@@ -131,3 +131,33 @@ def test_rollup_sink_materializes_to_duckdb(spark, tmp_path, monkeypatch):
     assert rows == [(6, 0.25)]
     q.stop()
     run.finish()
+
+
+def test_sliced_running_sum_matches_naive_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from waddleml_spark.operators.skew import sliced_running_sum
+    from tests.conftest import SF_SMOKE
+
+    # collapse to one row per (user, ts) so both orderings are total —
+    # running sums are only comparable under a deterministic order
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("user_id", "ts")
+        .agg(F.sum("value").alias("v"))
+    )
+    fast = sliced_running_sum(ev, "user_id", "ts", "v", slice_seconds=86400)
+    naive = ev.withColumn(
+        "running_sum",
+        F.sum("v").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # float addition grouped differently → compare rounded
+    r = lambda df: df.select(  # noqa: E731
+        "user_id", "ts", F.round("running_sum", 6).alias("rs")
+    )
+    assert r(fast).exceptAll(r(naive)).count() == 0
+    assert r(naive).exceptAll(r(fast)).count() == 0
