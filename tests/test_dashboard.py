@@ -155,3 +155,27 @@ def test_list_runs_matches_duckdb_mirror(seeded):
         store.duck.execute("SELECT id, project, name FROM runs").fetchall()
     )
     assert got == want
+
+
+def test_series_downsample_bounds_and_coverage(spark):
+    from pyspark.sql import functions as F
+    from waddleml_spark.operators.dashboard import series_downsample
+    from tests.conftest import SF_SMOKE
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+        "__x", F.col("ts").cast("double")
+    )
+    out = series_downsample(ev, ["event_type"], "__x", "value", target_points=20)
+    rows = out.collect()
+    per_type = {}
+    for r in rows:
+        per_type.setdefault(r.event_type, []).append(r)
+    n_in = {
+        r.event_type: r["count"]
+        for r in ev.groupBy("event_type").count().collect()
+    }
+    for et, pts in per_type.items():
+        assert len(pts) <= 20
+        assert all(0 <= p.bucket < 20 for p in pts)
+        assert sum(p.n_points for p in pts) == n_in[et]  # every row counted
+        assert all(p.y_min <= p.y_mean <= p.y_max for p in pts)

@@ -513,3 +513,50 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("k_max"),
         _r(F.avg("k"), 4).alias("k_avg"),
     )
+
+
+@_register(
+    "series_downsample_50",
+    f"""
+    WITH ext AS (
+        SELECT event_type, min(epoch(ts)) AS lo, max(epoch(ts)) AS hi
+        FROM events GROUP BY event_type),
+    b AS (
+        SELECT e.event_type,
+               CASE WHEN ext.hi <= ext.lo THEN 0
+                    ELSE least(CAST(floor((epoch(e.ts) - ext.lo)
+                                          / (ext.hi - ext.lo) * 50) AS INTEGER), 49)
+               END AS bucket,
+               epoch(e.ts) AS x0, e.value AS v
+        FROM events e JOIN ext USING (event_type))
+    SELECT event_type, bucket,
+           {_r_sql("avg(x0)", 4)} AS x,
+           {_r_sql("avg(v)", 4)} AS y_mean,
+           min(v) AS y_min, max(v) AS y_max,
+           count(*) AS n_points
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def series_downsample_50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chart downsampling to ≤50 points per series (dashboard.
+    series_downsample): equal-width buckets over each series' time
+    extent, mean point + min/max band per bucket.
+
+    The reference truncates series at a row cap (get_metrics limit=5000,
+    _dashboard_api.py:136); this preserves the whole series' shape at
+    bounded output — and stays two broadcast-joined aggregates, so a
+    billion-point series downsamples in one pass with no sort.
+    """
+    from waddleml_spark.operators.dashboard import series_downsample
+
+    ev = t(spark, sf_dir, "events").withColumn("__x", _epoch("ts"))
+    out = series_downsample(ev, ["event_type"], "__x", "value", target_points=50)
+    return out.select(
+        "event_type",
+        "bucket",
+        _r(F.col("x"), 4).alias("x"),
+        _r(F.col("y_mean"), 4).alias("y_mean"),
+        F.col("y_min"),
+        F.col("y_max"),
+        "n_points",
+    )

@@ -19,9 +19,10 @@ from __future__ import annotations
 
 import json
 import time
+from collections.abc import Sequence
 from typing import Any
 
-from pyspark.sql import Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from waddleml_spark.operators import core as ops
@@ -186,3 +187,50 @@ class SparkDashboard:
             return True
         except Exception:
             return False
+
+
+def series_downsample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    target_points: int = 1000,
+) -> DataFrame:
+    """Chart-ready series downsampling: bucket each group's order range
+    into ≤target_points equal-width buckets and emit one averaged point
+    per bucket (bucket midpoint as x, mean as y, min/max to draw error
+    bands).
+
+    The reference CAPS series at 5,000 rows (get_metrics limit —
+    _dashboard_api.py:136) and silently drops the rest; this keeps the
+    whole series' shape at bounded output size.  Pure two-pass
+    aggregate: per-group extent (tiny, broadcast back), then one
+    grouped mean over (group, bucket) — no window, no sort, scales to
+    series of any length.  Constant-valued order ranges (hi == lo)
+    collapse to bucket 0.
+    """
+    ext = df.groupBy(*group_cols).agg(
+        F.min(order_col).alias("__lo"), F.max(order_col).alias("__hi")
+    )
+    j = df.join(F.broadcast(ext), list(group_cols))
+    span = F.col("__hi") - F.col("__lo")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col(order_col) - F.col("__lo")) / span * target_points
+            ).cast("int"),
+            F.lit(target_points - 1),
+        )
+    )
+    return (
+        j.withColumn("__b", bucket)
+        .groupBy(*group_cols, "__b")
+        .agg(
+            F.avg(order_col).alias("x"),
+            F.avg(value_col).alias("y_mean"),
+            F.min(value_col).alias("y_min"),
+            F.max(value_col).alias("y_max"),
+            F.count("*").alias("n_points"),
+        )
+        .withColumnRenamed("__b", "bucket")
+    )
