@@ -149,3 +149,55 @@ def test_stale_status_matches_bruteforce(spark, rows, threshold):
         last = max(ts) if ts else 0.0  # falls back to started_at=0
         want.add((str(u), "aborted" if last < now - threshold else "running"))
     assert got == want
+
+
+# random "documents": token counts realized as space-joined synthetic words
+docs_st = st.lists(
+    st.integers(0, 140),  # token count per doc (covers < chunk, = chunk, > chunk)
+    min_size=1,
+    max_size=12,
+)
+
+
+@SET
+@given(counts=docs_st)
+def test_chunk_count_matches_analytic_formula(spark, counts):
+    """chunk_tokens materializes exactly
+    1 + floor((max(n-overlap,1)-1)/stride) chunks per non-empty doc —
+    the closed form the SQL oracle uses."""
+    from waddleml_spark.llmops.packing import chunk_tokens
+
+    rows = [(i, " ".join(["ab"] * n)) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_tokens(df, chunk=64, overlap=16)
+    got = {r["id"]: r["cnt"] for r in out.groupBy("id").agg(F.count("*").alias("cnt")).collect()}
+    for i, n in enumerate(counts):
+        if n == 0:
+            assert i not in got
+        else:
+            expect = 1 + (max(n - 16, 1) - 1) // 48
+            assert got[i] == expect, (n, got[i], expect)
+
+
+@SET
+@given(counts=docs_st, seq_len=st.integers(8, 64))
+def test_packed_sequences_layout_invariants(spark, counts, seq_len):
+    """Packing invariants hold for arbitrary token counts and seq_len:
+    gapless tape, conserved totals, correct first/last sequence ids."""
+    from waddleml_spark.llmops.packing import packed_sequences
+
+    # letter-only words: one BPE token each (digits would split in two)
+    rows = [(i, " ".join(["ab"] * n)) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    plan = sorted(packed_sequences(df, seq_len=seq_len).collect(), key=lambda r: r.start)
+    nonzero = [n for n in counts if n > 0]
+    assert len(plan) == len(nonzero)
+    if not plan:
+        return
+    assert plan[0].start == 0
+    for a, b in zip(plan, plan[1:]):
+        assert b.start == a.end
+    assert plan[-1].end == sum(nonzero)
+    for r in plan:
+        assert r.first_seq == r.start // seq_len
+        assert r.last_seq == (r.end - 1) // seq_len
