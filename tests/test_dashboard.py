@@ -179,3 +179,16 @@ def test_series_downsample_bounds_and_coverage(spark):
         assert all(0 <= p.bucket < 20 for p in pts)
         assert sum(p.n_points for p in pts) == n_in[et]  # every row counted
         assert all(p.y_min <= p.y_mean <= p.y_max for p in pts)
+
+
+def test_lttb_keeps_spikes_mean_downsample_flattens(spark):
+    from pyspark.sql import functions as F
+    from waddleml_spark.operators.dashboard import lttb_downsample
+
+    # flat series with one huge spike mid-way
+    rows = [(0, float(i), 1.0 if i != 500 else 100.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    out = lttb_downsample(df, ["g"], "x", "y", target_points=20)
+    ys = [r.y for r in out.collect()]
+    assert 100.0 in ys  # the spike survives
+    assert len(ys) <= 20

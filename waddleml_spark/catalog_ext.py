@@ -560,3 +560,62 @@ def series_downsample_50(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y_max"),
         "n_points",
     )
+
+
+@_register(
+    "series_lttb_50",
+    """
+    WITH ext AS (
+        SELECT event_type, min(epoch(ts)) AS lo, max(epoch(ts)) AS hi
+        FROM events GROUP BY event_type),
+    d AS (
+        SELECT e.event_type,
+               CASE WHEN ext.hi <= ext.lo THEN 0
+                    ELSE least(CAST(floor((epoch(e.ts) - ext.lo)
+                                          / (ext.hi - ext.lo) * 50) AS INTEGER), 49)
+               END AS b,
+               epoch(e.ts) AS x, e.value AS y
+        FROM events e JOIN ext USING (event_type)),
+    m AS (
+        SELECT event_type, b,
+               floor(avg(x) * 1000000 + 0.5) / 1000000 AS mx,
+               floor(avg(y) * 1000000 + 0.5) / 1000000 AS my
+        FROM d GROUP BY event_type, b),
+    a AS (
+        SELECT event_type, b,
+               lag(mx)  OVER w AS px, lag(my)  OVER w AS py,
+               lead(mx) OVER w AS nx, lead(my) OVER w AS ny
+        FROM m WINDOW w AS (PARTITION BY event_type ORDER BY b)),
+    c AS (
+        SELECT d.event_type, d.b, d.x, d.y, a.px, a.nx,
+               CASE WHEN a.px IS NOT NULL AND a.nx IS NOT NULL
+                    THEN abs(a.px * (d.y - a.ny) + d.x * (a.ny - a.py)
+                             + a.nx * (a.py - d.y)) END AS area
+        FROM d JOIN a USING (event_type, b)),
+    r AS (
+        SELECT *,
+          row_number() OVER (PARTITION BY event_type, b
+                             ORDER BY area DESC NULLS LAST, x, y) AS rsel,
+          row_number() OVER (PARTITION BY event_type, b ORDER BY x, y) AS rfirst,
+          row_number() OVER (PARTITION BY event_type, b
+                             ORDER BY x DESC, y DESC) AS rlast
+        FROM c)
+    SELECT event_type, b AS bucket, x, y FROM r
+    WHERE (px IS NOT NULL AND nx IS NOT NULL AND rsel = 1)
+       OR (px IS NULL AND rfirst = 1)
+       OR (px IS NOT NULL AND nx IS NULL AND rlast = 1)
+    """,
+)
+def series_lttb_50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB chart downsampling to ≤50 points per series (parallel
+    neighbor-mean variant — dashboard.lttb_downsample): keeps the
+    visually dominant point of each bucket instead of the mean, which
+    preserves spikes a mean-downsample flattens.  Fully relational:
+    bucket means + one lag/lead window + per-bucket argmax."""
+    from waddleml_spark.operators.dashboard import lttb_downsample
+
+    ev = t(spark, sf_dir, "events").withColumn("__x", _epoch("ts"))
+    out = lttb_downsample(ev, ["event_type"], "__x", "value", target_points=50)
+    return out.select(
+        "event_type", "bucket", F.col("__x").alias("x"), F.col("value").alias("y")
+    )

@@ -234,3 +234,86 @@ def series_downsample(
         )
         .withColumnRenamed("__b", "bucket")
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    target_points: int = 1000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets chart downsampling, parallel variant.
+
+    Classic LTTB selects, per bucket, the point forming the largest
+    triangle with the PREVIOUS SELECTED point and the next bucket's mean
+    — a sequential dependency chain.  The standard parallel relaxation
+    anchors on the neighbor buckets' MEANS instead (both sides), which
+    breaks the chain: every bucket selects independently, one window
+    pass over bucket-level rows.  First/last buckets keep their
+    first/last points exactly (LTTB's endpoint rule).
+
+    Cross-engine determinism: bucket means are floor-rounded before the
+    area formula (double SUM order is engine-dependent; everything after
+    is per-row IEEE arithmetic), and the per-bucket argmax is a
+    row_number ordered by (area DESC, order_col) — ties break on the
+    x position, never on float identity.
+    """
+    ext = df.groupBy(*group_cols).agg(
+        F.min(order_col).alias("__lo"), F.max(order_col).alias("__hi")
+    )
+    j = df.join(F.broadcast(ext), list(group_cols))
+    span = F.col("__hi") - F.col("__lo")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col(order_col) - F.col("__lo")) / span * target_points
+            ).cast("int"),
+            F.lit(target_points - 1),
+        )
+    )
+    d = j.withColumn("__b", bucket).drop("__lo", "__hi")
+    p = 10**round_digits
+    rr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    means = d.groupBy(*group_cols, "__b").agg(
+        rr(F.avg(order_col)).alias("__mx"),
+        rr(F.avg(value_col)).alias("__my"),
+        F.max("__b").alias("__bmax"),  # placeholder to keep schema simple
+    ).drop("__bmax")
+    wb = Window.partitionBy(*group_cols).orderBy("__b")
+    anchors = (
+        means.withColumn("__px", F.lag("__mx").over(wb))
+        .withColumn("__py", F.lag("__my").over(wb))
+        .withColumn("__nx", F.lead("__mx").over(wb))
+        .withColumn("__ny", F.lead("__my").over(wb))
+    )
+    cand = d.join(anchors, [*group_cols, "__b"])
+    x, y = F.col(order_col), F.col(value_col)
+    area = F.abs(
+        F.col("__px") * (y - F.col("__ny"))
+        + x * (F.col("__ny") - F.col("__py"))
+        + F.col("__nx") * (F.col("__py") - y)
+    )
+    interior = F.col("__px").isNotNull() & F.col("__nx").isNotNull()
+    # value_col joins every tie-break: duplicate timestamps must not make
+    # the selection depend on row order
+    wsel = Window.partitionBy(*group_cols, "__b").orderBy(
+        F.col("__area").desc(), order_col, value_col
+    )
+    wfirst = Window.partitionBy(*group_cols, "__b").orderBy(order_col, value_col)
+    wlast = Window.partitionBy(*group_cols, "__b").orderBy(
+        F.col(order_col).desc(), F.col(value_col).desc()
+    )
+    out = (
+        cand.withColumn("__area", F.when(interior, area))
+        .withColumn("__rsel", F.row_number().over(wsel))
+        .withColumn("__rfirst", F.row_number().over(wfirst))
+        .withColumn("__rlast", F.row_number().over(wlast))
+        .filter(
+            (interior & (F.col("__rsel") == 1))
+            | (F.col("__px").isNull() & (F.col("__rfirst") == 1))
+            | (F.col("__px").isNotNull() & F.col("__nx").isNull() & (F.col("__rlast") == 1))
+        )
+    )
+    return out.select(*group_cols, F.col("__b").alias("bucket"), order_col, value_col)
