@@ -279,8 +279,7 @@ def lttb_downsample(
     means = d.groupBy(*group_cols, "__b").agg(
         rr(F.avg(order_col)).alias("__mx"),
         rr(F.avg(value_col)).alias("__my"),
-        F.max("__b").alias("__bmax"),  # placeholder to keep schema simple
-    ).drop("__bmax")
+    )
     wb = Window.partitionBy(*group_cols).orderBy("__b")
     anchors = (
         means.withColumn("__px", F.lag("__mx").over(wb))
