@@ -619,3 +619,24 @@ def series_lttb_50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "bucket", F.col("__x").alias("x"), F.col("value").alias("y")
     )
+
+
+@_register("hll_daily_rollup", None)
+def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (rows-only: DuckDB has no DataSketches):
+    one HLL user sketch per event-day plus the all-days merged estimate
+    on every row — the materialize-once / query-any-range distinct-count
+    pattern (operators.sketches).  Accuracy pinned by
+    tests/test_sketches.py against exact counts."""
+    from waddleml_spark.operators.sketches import bucket_sketches, merge_sketches
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    daily = bucket_sketches(ev, "day", "user_id")
+    total = merge_sketches(daily)
+    return (
+        daily.select("day", "estimate")
+        .crossJoin(F.broadcast(total))
+        .orderBy("day")
+    )
