@@ -1,0 +1,56 @@
+"""End-to-end LLM training-data pipeline over the documents table:
+exact dedup → quality gate (length + repetition) → corpus-mix resample →
+sequence packing — every stage a deterministic, engine-portable Spark
+plan (the catalog checks each one against a DuckDB oracle; this example
+just composes them).
+
+Run: PYTHONPATH=. python examples/training_data_pipeline.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from waddleml_spark.llmops.dedup import exact_dedup_keep
+from waddleml_spark.llmops.packing import packed_sequences, resample_to_mix
+from waddleml_spark.llmops.textstats import repetition_ratio
+from waddleml_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+spark = get_spark(app_name="training-data-pipeline")
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+n0 = docs.count()
+
+# 1. exact dedup (lowest doc_id survives per normalized-content hash)
+deduped = exact_dedup_keep(docs)
+n1 = deduped.count()
+
+# 2. quality gate: minimum length, then repetition ceiling (first-fail order)
+rep = repetition_ratio(deduped)
+gated = (
+    deduped.join(rep.withColumnRenamed("id", "doc_id"), "doc_id")
+    .filter((F.col("n_tok") >= 30) & (F.col("top_ratio") <= 0.12))
+    .drop("n_tok", "top_ratio")
+)
+n2 = gated.count()
+
+# 3. deterministic corpus-mix resample (upsample src0, drop src3)
+mixed = resample_to_mix(gated, {"src0": 2.0, "src3": 0.0})
+n3 = mixed.count()
+
+# 4. pack into fixed-length training sequences (distributed prefix sum)
+plan = packed_sequences(mixed.dropDuplicates(["doc_id"]), seq_len=512)
+total_tokens = plan.agg(F.max("end")).collect()[0][0] or 0
+n_seqs = total_tokens // 512 + (1 if total_tokens % 512 else 0)
+
+print(f"documents in          : {n0}")
+print(f"after exact dedup     : {n1}")
+print(f"after quality gate    : {n2}")
+print(f"after mix resample    : {n3}")
+print(f"packed tokens         : {total_tokens} -> {n_seqs} sequences of 512")
