@@ -640,3 +640,37 @@ def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .orderBy("day")
     )
+
+
+@_register(
+    "distribution_ranks_orders",
+    f"""
+    SELECT o_orderkey,
+           ntile(4) OVER w AS quartile,
+           {_r_sql("percent_rank() OVER w", 6)} AS pct_rank,
+           {_r_sql("cume_dist() OVER w", 6)} AS cume
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def distribution_ranks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions (ntile / percent_rank /
+    cume_dist) over a filtered order set — the ranking repertoire beyond
+    row_number/rank.  The window ORDER BY carries o_orderkey as a
+    tiebreaker so every rank is engine-deterministic; the two ratio
+    functions are floor-rounded (they divide row positions — exact
+    integers — but the division result needs the shared rounding to
+    hash-match).  Note this is a GLOBAL window — fine for a filtered
+    slice, a single-task funnel on an unfiltered fact (the filter is
+    the design)."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        _r(F.percent_rank().over(w), 6).alias("pct_rank"),
+        _r(F.cume_dist().over(w), 6).alias("cume"),
+    )
