@@ -674,3 +674,43 @@ def distribution_ranks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.percent_rank().over(w), 6).alias("pct_rank"),
         _r(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@_register(
+    "locf_gap_fill",
+    """
+    SELECT user_id, event_id,
+           last_value(pv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_purchase_value
+    FROM (SELECT user_id, event_id, ts,
+                 CASE WHEN event_type = 'purchase' THEN value END AS pv
+          FROM events WHERE user_id <= 20)
+    """,
+)
+def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) gap fill: every event row
+    carries the user's most recent purchase value — the standard
+    forward-fill for sparse metrics onto a dense event timeline
+    (`last(ignorenulls=True)` over an unbounded-preceding frame).
+
+    NULL rows before a user's first purchase stay NULL (LOCF has nothing
+    to carry).  The frame is per-user and time-ordered with an event_id
+    tiebreak — deterministic, and at scale the window partitions on the
+    same user/run key the fact is bucketed by (no extra shuffle).
+    """
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(_epoch("ts"), "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.last(pv, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
