@@ -201,3 +201,21 @@ def test_packed_sequences_layout_invariants(spark, counts, seq_len):
     for r in plan:
         assert r.first_seq == r.start // seq_len
         assert r.last_seq == (r.end - 1) // seq_len
+
+
+def test_resample_interpolate_hand_series(spark):
+    """Hand-checkable grid: points (t=90,v=10) (t=210,v=40) (t=300,v=40),
+    step=60 → grid 120,180,240,300 with linear values between neighbors."""
+    from waddleml_spark.operators.temporal import resample_interpolate
+
+    rows = [(1, 90.0, 10.0), (1, 210.0, 40.0), (1, 300.0, 40.0)]
+    df = spark.createDataFrame(rows, "k int, ts double, v double")
+    out = {
+        r.grid_ts: r.value_interp
+        for r in resample_interpolate(df, "k", "ts", "v", 60).collect()
+    }
+    assert out[120.0] == 10.0 + 30.0 * (120 - 90) / (210 - 90)   # 17.5
+    assert out[180.0] == 10.0 + 30.0 * (180 - 90) / (210 - 90)   # 32.5
+    assert out[240.0] == 40.0 + 0.0 * (240 - 210) / (300 - 210)  # 40.0
+    assert out[300.0] == 40.0  # exact hit on a real point
+    assert set(out) == {120.0, 180.0, 240.0, 300.0}

@@ -714,3 +714,51 @@ def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.last(pv, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+@_register(
+    "resample_purchase_1h",
+    f"""
+    WITH pts AS (
+        SELECT user_id AS k, epoch(ts) AS t, value AS v
+        FROM events WHERE user_id <= 10 AND event_type = 'purchase'),
+    ext AS (SELECT k, min(t) AS lo, max(t) AS hi FROM pts GROUP BY k),
+    grid AS (
+        SELECT k,
+               unnest(generate_series(CAST(ceil(lo / 3600) AS BIGINT),
+                                      CAST(floor(hi / 3600) AS BIGINT))) * 3600.0 AS t
+        FROM ext),
+    u AS (SELECT k, t, v, 0 AS is_grid FROM pts
+          UNION ALL SELECT k, t, NULL, 1 FROM grid),
+    f AS (
+        SELECT *,
+          last_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS) OVER wp AS py,
+          last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER wp AS pt,
+          first_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS) OVER wn AS ny,
+          first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER wn AS nt
+        FROM u WINDOW
+          wp AS (PARTITION BY k ORDER BY t, is_grid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wn AS (PARTITION BY k ORDER BY t, is_grid
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT k AS user_id, t AS grid_ts,
+           {_r_sql("CASE WHEN py IS NULL THEN ny WHEN ny IS NULL THEN py "
+                   "WHEN nt = pt THEN py "
+                   "ELSE py + (ny - py) * (t - pt) / (nt - pt) END", 6)}
+               AS value_interp
+    FROM f WHERE is_grid = 1
+    """,
+)
+def resample_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with linear interpolation (hourly grid per
+    user over the purchase series) — temporal.resample_interpolate.  The
+    oracle rebuilds the identical grid-union + bidirectional
+    ignore-nulls window-fill plan in SQL."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter((F.col("user_id") <= 10) & (F.col("event_type") == "purchase"))
+    )
+    out = temporal.resample_interpolate(ev, "user_id", "ts", "value", 3600)
+    return out.select(
+        "user_id", "grid_ts", _r(F.col("value_interp"), 6).alias("value_interp")
+    )

@@ -153,3 +153,85 @@ def rollup_hierarchy(
         )
         out[lvl] = cur
     return out
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Resample each key's irregular series onto a regular time grid with
+    linear interpolation — the hypertable `time_bucket_gapfill` +
+    `interpolate` analog.
+
+    Relational construction (no per-key Python, no UDFs):
+      1. per-key grid = explode(sequence(ceil(min/step), floor(max/step)))
+         — grid rows carry NULL values;
+      2. union grid with the real points and window-fill BOTH directions:
+         last(ignorenulls) over preceding rows → the previous real point,
+         first(ignorenulls) over following rows → the next one (value AND
+         timestamp each);
+      3. y = py + (ny − py) · (t − pt)/(nt − pt), degenerating to the
+         single neighbor at the series edges and to the exact value when
+         a real point lands on the grid.
+    One shuffle on the key (the fact's natural bucketing); the grid adds
+    ≤ span/step rows per key.  Interpolated values are floor-rounded to
+    6 digits by the caller when cross-engine hashing matters.
+    """
+    ep = F.col(ts_col).cast("double")
+    pts = df.select(
+        F.col(key_col).alias("k"), ep.alias("t"), F.col(value_col).alias("v")
+    )
+    ext = pts.groupBy("k").agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    grid = ext.select(
+        "k",
+        F.explode(
+            F.sequence(
+                F.ceil(F.col("lo") / step_seconds).cast("long"),
+                F.floor(F.col("hi") / step_seconds).cast("long"),
+            )
+        ).alias("slot"),
+    ).select("k", (F.col("slot") * float(step_seconds)).alias("t"))
+    unioned = pts.select(
+        "k", "t", "v", F.lit(0).alias("is_grid")
+    ).unionByName(grid.select("k", "t", F.lit(None).cast("double").alias("v"), F.lit(1).alias("is_grid")))
+    # real points sort BEFORE the grid row at the same instant, so an
+    # exact-hit grid row sees that point as its "previous" neighbor and
+    # interpolation degenerates to the exact value
+    w_prev = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pv = F.when(F.col("is_grid") == 0, F.col("v"))
+    pt = F.when(F.col("is_grid") == 0, F.col("t"))
+    filled = (
+        unioned.withColumn("py", F.last(pv, ignorenulls=True).over(w_prev))
+        .withColumn("pt", F.last(pt, ignorenulls=True).over(w_prev))
+        .withColumn("ny", F.first(pv, ignorenulls=True).over(w_next))
+        .withColumn("nt", F.first(pt, ignorenulls=True).over(w_next))
+        .filter(F.col("is_grid") == 1)
+    )
+    y = (
+        F.when(F.col("py").isNull(), F.col("ny"))
+        .when(F.col("ny").isNull(), F.col("py"))
+        .when(F.col("nt") == F.col("pt"), F.col("py"))
+        .otherwise(
+            F.col("py")
+            + (F.col("ny") - F.col("py"))
+            * (F.col("t") - F.col("pt"))
+            / (F.col("nt") - F.col("pt"))
+        )
+    )
+    return filled.select(
+        F.col("k").alias(key_col),
+        F.col("t").alias("grid_ts"),
+        y.alias("value_interp"),
+    )
