@@ -123,3 +123,18 @@ def test_run_serve_dashboard(spark, tmp_path, monkeypatch):
     assert runs[0]["project"] == "dashsrv"
     server.shutdown()
     run.finish()
+
+
+def test_write_batches_fill_ingest_observations(spark, tmp_path, monkeypatch):
+    """df.observe() on the write path: every micro-batch records its row
+    count from JVM-side accumulators (no second pass over the data)."""
+    import waddleml_spark as w
+
+    monkeypatch.chdir(tmp_path)
+    run = w.init(project="obs", system_metrics=False, spark=spark)
+    run.log({"loss": 1.0, "acc": 0.5})
+    run.flush()
+    stats = run._store.ingest_stats
+    assert stats["metrics"]["rows"] == 2  # one row per metric key
+    assert stats["runs"]["rows"] == 1
+    run.finish()

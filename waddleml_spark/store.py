@@ -82,6 +82,9 @@ class WaddleStore:
         self.duck_path = os.path.join(self.root, "waddle.duckdb")
         self.duck = duckdb.connect(self.duck_path)
         self._duck_lock = threading.Lock()  # single-writer (ref S5)
+        # last observed write-batch metrics per table ({"rows": n}) —
+        # filled by _write_batch via df.observe()
+        self.ingest_stats: dict[str, dict] = {}
         for stmt in schemas.DUCKDB_DDL.split(";"):
             if stmt.strip():
                 self.duck.execute(stmt)
@@ -136,7 +139,17 @@ class WaddleStore:
         if versioned:
             pdf["_seq"] = seq
         df = self.spark.createDataFrame(pdf, schema)
+        # Spark-native write observability: the parquet write action fills
+        # the Observation (JVM-side accumulators, no extra pass over the
+        # data, unlike a separate .count()).  ingest_stats keeps the last
+        # observed batch per table for dashboards/tests.
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation(f"ingest_{table}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         df.coalesce(1).write.mode("append").parquet(self._dir(table))
+        self.ingest_stats[table] = obs.get
         # Arrow handoff: the SAME DataFrame content lands in DuckDB
         arrow_tbl = df.drop("_seq").toArrow() if versioned else df.toArrow()
         with self._duck_lock:
