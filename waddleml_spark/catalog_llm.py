@@ -882,3 +882,35 @@ def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~short & rep, 1).otherwise(0)).alias("n_repetitive"),
         F.sum(F.when(~short & ~rep, 1).otherwise(0)).alias("n_kept"),
     )
+
+
+@_register(
+    "corpus_snapshot_diff",
+    r"""
+    WITH a AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+               FROM documents WHERE source = 'src0'),
+         b AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+               FROM documents WHERE source = 'src1')
+    SELECT (SELECT count(*) FROM b WHERE fp NOT IN (SELECT fp FROM a)) AS n_added,
+           (SELECT count(*) FROM a WHERE fp NOT IN (SELECT fp FROM b)) AS n_removed,
+           (SELECT count(*) FROM a WHERE fp IN (SELECT fp FROM b)) AS n_common
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning audit: content-level diff between two corpus
+    snapshots (src0 = old, src1 = new) on normalized fingerprints —
+    added / removed / unchanged counts.
+
+    Anti/semi joins on 16-byte hashes: the diff of two 100 TB snapshots
+    ships fingerprints only, never text, and each side deduplicates
+    before the join (distinct on the hash).  The three scalar counts
+    cross-join broadcast into one row.
+    """
+    d = t(spark, sf_dir, "documents")
+    fp = textstats.fingerprint(F.col("text")).alias("fp")
+    a = d.filter(F.col("source") == "src0").select(fp).distinct()
+    b = d.filter(F.col("source") == "src1").select(fp).distinct()
+    added = b.join(a, "fp", "left_anti").agg(F.count("*").alias("n_added"))
+    removed = a.join(b, "fp", "left_anti").agg(F.count("*").alias("n_removed"))
+    common = a.join(b, "fp", "left_semi").agg(F.count("*").alias("n_common"))
+    return added.crossJoin(F.broadcast(removed)).crossJoin(F.broadcast(common))
