@@ -762,3 +762,61 @@ def resample_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "grid_ts", _r(F.col("value_interp"), 6).alias("value_interp")
     )
+
+
+@_register(
+    "metric_anomaly_report",
+    f"""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type),
+    mad AS (
+        SELECT e.event_type,
+               {_r_sql("median(abs(e.value - m.med))", 6)} AS mad,
+               {_r_sql("any_value(m.med)", 6)} AS med
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type)
+    SELECT e.event_type,
+           count(*) AS n,
+           a.med, a.mad,
+           sum(CASE WHEN abs(e.value - a.med) > 3 * a.mad THEN 1 ELSE 0 END)
+               AS n_outliers
+    FROM events e JOIN mad a USING (event_type)
+    GROUP BY e.event_type, a.med, a.mad
+    """,
+)
+def metric_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per metric stream: median + MAD (median
+    absolute deviation), then count points beyond 3 MADs — the
+    dashboard's anomaly badge, insensitive to the outliers it hunts
+    (unlike mean/stddev z-scores).
+
+    Two grouped exact medians (Spark `percentile(0.5)` == DuckDB
+    `median`: same sorted-interpolation definition) with the medians
+    broadcast back; med/mad are floor-rounded BEFORE the 3-MAD
+    comparison so boundary points can't flip between engines.
+    """
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med0")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            _r(F.expr("percentile(abs(value - med0), 0.5)"), 6).alias("mad"),
+            _r(F.first("med0"), 6).alias("med"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1)
+                .otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select("event_type", "n", "med", "mad", "n_outliers")
+    )
