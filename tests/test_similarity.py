@@ -89,3 +89,15 @@ def test_pca_variance_report_shape(spark):
     vals = [r.eigenvalue for r in rows]
     assert vals == sorted(vals, reverse=True) and vals[-1] >= 0
     assert 0 < sum(r.explained_ratio for r in rows) <= 1.0001
+
+
+def test_ann_recall_report_monotone_in_probes(spark):
+    import waddleml_spark.catalog as c
+    from tests.conftest import SF_SMOKE
+
+    rows = c.QUERIES["ann_recall_report"](spark, SF_SMOKE).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0.0 <= r.recall_lsh <= 1.0
+        # more probed cells can only add candidates → recall is monotone
+        assert r.recall_ivf_p1 <= r.recall_ivf_p2 <= r.recall_ivf_p4

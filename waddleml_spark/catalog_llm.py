@@ -914,3 +914,52 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed = a.join(b, "fp", "left_anti").agg(F.count("*").alias("n_removed"))
     common = a.join(b, "fp", "left_semi").agg(F.count("*").alias("n_common"))
     return added.crossJoin(F.broadcast(removed)).crossJoin(F.broadcast(common))
+
+
+@_register("ann_recall_report", None)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement (rows-only): recall@10 of the LSH and IVF
+    paths against brute-force cosine ground truth, for three probe
+    vectors, with IVF at n_probe ∈ {1, 2, 4}.  The approximate indexes
+    are useless if their recall is unmeasured — this keeps the
+    speed/recall trade visible in the catalog itself.  The synthetic
+    embeddings are near-uniform (no cluster structure — the hardest ANN
+    case), so absolute recall is modest; the report's job is the
+    MONOTONE n_probe→recall curve, which is what operators tune at
+    scale.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    planes = np.random.RandomState(42).randn(4, dim).tolist()
+    model, with_cells = similarity.ivf_index(emb)
+    rows = []
+    for qid in (0, 1, 2):
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).select("embedding").head()[0]
+        ]
+        cand = emb.filter(F.col("vec_id") != qid)
+        exact = {
+            r.vec_id
+            for r in similarity.cosine_topk(cand, qvec, k=10).collect()
+        }
+        lsh = {
+            r.vec_id
+            for r in similarity.ann_topk_lsh(cand, qvec, planes, k=10).collect()
+        }
+        ivf_cand = with_cells.filter(F.col("vec_id") != qid)
+        ivf_recall = []
+        for n_probe in (1, 2, 4):
+            got = {
+                r.vec_id
+                for r in similarity.ivf_topk(
+                    ivf_cand, model, qvec, k=10, n_probe=n_probe
+                ).collect()
+            }
+            ivf_recall.append(len(got & exact) / 10.0)
+        rows.append((qid, 10, len(lsh & exact) / 10.0, *ivf_recall))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, k int, recall_lsh double, "
+        "recall_ivf_p1 double, recall_ivf_p2 double, recall_ivf_p4 double",
+    )
