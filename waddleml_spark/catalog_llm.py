@@ -963,3 +963,25 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, k int, recall_lsh double, "
         "recall_ivf_p1 double, recall_ivf_p2 double, recall_ivf_p4 double",
     )
+
+
+@_register("neardup_cluster_report", None)
+def neardup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup pipeline in one query (rows-only: the
+    component resolution is iterative): MinHash+LSH candidate pairs →
+    connected components (min-label propagation) → cluster-size
+    histogram plus the doc count a keep-one-per-cluster pass would
+    delete.  This is the number a dedup run reports: "N docs in M
+    near-dup clusters, N−M dropped"."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(d, num_hashes=32, bands=8)
+    comps = dedup.connected_components(pairs)
+    sizes = comps.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum(F.col("cluster_size") - 1).alias("docs_droppable"),
+        )
+        .orderBy("cluster_size")
+    )
