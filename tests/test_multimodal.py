@@ -50,3 +50,19 @@ def test_payload_stats_metadata_only(spark, media):
     row = multimodal.payload_stats(media).head()
     assert row.modality == "image" and row.n == 500
     assert row.min_bytes > 0 and row.total_bytes >= row.n * row.min_bytes
+
+
+def test_frame_neardup_pairs_finds_shared_prefix(spark):
+    from waddleml_spark.llmops.multimodal import chunk_fingerprints, frame_neardup_pairs
+
+    base = bytes(range(256))  # 8 aligned 32-byte chunks
+    rows = [
+        (1, base),
+        (2, base + b"tail-edit-only"),        # shares all 8 chunks with 1
+        (3, bytes(reversed(base))),           # different content entirely
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {(r.id_a, r.id_b): r.shared_chunks for r in frame_neardup_pairs(media).collect()}
+    assert pairs == {(1, 2): 8}
+    fps = chunk_fingerprints(media).filter("media_id = 1").collect()
+    assert len(fps) == 8 and len({r.chunk_sha for r in fps}) == 8

@@ -985,3 +985,14 @@ def neardup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@_register("media_frame_neardup_pairs", None)
+def media_frame_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup candidates on binary payloads (rows-only):
+    aligned 32-byte content-chunk fingerprints, hash-bucket self-join,
+    pairs sharing ≥ 4 chunks — the byte-level analog of shingle dedup,
+    entirely JVM-side (payloads never decode, digests shuffle, bytes
+    don't).  See multimodal.frame_neardup_pairs."""
+    media = multimodal.docs_as_media(t(spark, sf_dir, "documents"))
+    return multimodal.frame_neardup_pairs(media).orderBy("id_a", "id_b")

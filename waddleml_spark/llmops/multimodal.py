@@ -198,3 +198,62 @@ def payload_stats(media: DataFrame) -> DataFrame:
         F.min(F.octet_length("payload")).alias("min_bytes"),
         F.max(F.octet_length("payload")).alias("max_bytes"),
     )
+
+
+def chunk_fingerprints(
+    media: DataFrame, chunk_bytes: int = 32, max_chunks: int = 64
+) -> DataFrame:
+    """Content-defined frame fingerprints: hash each aligned chunk_bytes
+    slice of the payload (up to max_chunks).  Unlike sample_frames —
+    whose stub derives frame identity from the WHOLE payload digest —
+    each fingerprint covers only its own bytes, so payloads sharing
+    aligned content (same video with trailing edits, re-muxed streams,
+    doc re-encodes) share fingerprints.  All JVM-side (substring on
+    binary + sha2 inside a transform) — no Python, no decode.
+    Returns (media_id, chunk_idx, chunk_sha).
+    """
+    n = F.least(
+        F.ceil(F.octet_length("payload") / F.lit(chunk_bytes)).cast("int"),
+        F.lit(max_chunks),
+    )
+    idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
+    shas = F.transform(
+        idx,
+        lambda i: F.sha2(
+            F.substring(F.col("payload"), i * chunk_bytes + 1, chunk_bytes), 256
+        ),
+    )
+    return media.select(
+        "media_id", F.posexplode(shas).alias("chunk_idx", "chunk_sha")
+    )
+
+
+def frame_neardup_pairs(
+    media: DataFrame,
+    chunk_bytes: int = 32,
+    max_chunks: int = 64,
+    min_shared: int = 4,
+) -> DataFrame:
+    """Media near-dup candidates by shared content chunks: media pairs
+    with ≥ min_shared identical chunk fingerprints.
+
+    Plan shape: explode fingerprints → self-join ON THE HASH (each hash
+    bucket holds only payloads containing that exact 32-byte slice —
+    bounded fan-out, the binary analog of shingle-bucket joins; payload
+    bytes never shuffle, only 32-byte digests) → pair count ≥ threshold.
+    Returns (id_a, id_b, shared_chunks).
+    """
+    fp = chunk_fingerprints(media, chunk_bytes, max_chunks).select(
+        F.col("media_id").alias("id"), "chunk_sha"
+    ).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_sha") == F.col("b.chunk_sha"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared_chunks"))
+        .filter(F.col("shared_chunks") >= min_shared)
+    )
