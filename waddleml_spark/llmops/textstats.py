@@ -200,6 +200,13 @@ def ngram_collision_report(
             shingles_from_tokens(F.col("__t"), k), lambda g: F.xxhash64(g)
         ).alias("__gh"),
     )
+    # Second exchange ABOVE the shingle transform: both consumers (the
+    # bench dictionary and the corpus probe) reuse this shuffle's output,
+    # so shingling computes ONCE.  Without it only the tokenization
+    # exchange is shared and each branch re-runs the hash transform
+    # (measured 0.7s of 1.9s at sf0.1).  The shuffle itself moves only
+    # hashed longs — cheap relative to the recompute it prevents.
+    sh = sh.repartition("__id")
     # explode_OUTER + drop-null, not plain explode: for inner explode the
     # InferFiltersFromGenerate rule clones `size(<whole shingle expr>) > 0`
     # as a filter below the fan_out exchange, recomputing the entire
