@@ -107,3 +107,18 @@ def test_cli_module_invocation(served, run=None):
     )
     assert p.returncode == 0
     assert "init" in p.stdout and "serve" in p.stdout
+
+
+def test_http_downsampled_metrics(served):
+    import json
+    import urllib.request
+
+    base, run = served
+    with urllib.request.urlopen(
+        f"{base}/api/runs/{run.id}/metrics/downsampled?key=loss&points=5",
+        timeout=30,
+    ) as r:
+        rows = json.loads(r.read())
+    assert 0 < len(rows) <= 5
+    assert all(r["value_min"] <= r["value"] <= r["value_max"] for r in rows)
+    assert [r["bucket"] for r in rows] == sorted(r["bucket"] for r in rows)

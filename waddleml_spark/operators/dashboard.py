@@ -119,6 +119,31 @@ class SparkDashboard:
             m = m.orderBy("key", "step").limit(limit)
         return [r.asDict() for r in m.select("key", "step", "ts", "value").collect()]
 
+    def get_metrics_downsampled(
+        self, run_id: str, key: str, points: int = 200
+    ) -> list[dict[str, Any]]:
+        """Bounded-size chart series: bucket-mean downsample of one
+        (run, key) stream — the scalable replacement for get_metrics'
+        row-cap truncation (extension route; the reference would return
+        the first `limit` rows and silently drop the tail)."""
+        m = (
+            self.store.df("metrics")
+            .filter((F.col("run_id") == run_id) & (F.col("key") == key))
+            .withColumn("__x", F.col("step").cast("double"))
+        )
+        out = series_downsample(m, ["run_id"], "__x", "value", target_points=points)
+        return [
+            {
+                "bucket": r.bucket,
+                "step": r.x,
+                "value": r.y_mean,
+                "value_min": r.y_min,
+                "value_max": r.y_max,
+                "n": r.n_points,
+            }
+            for r in out.orderBy("bucket").collect()
+        ]
+
     # --- compare_runs (P5 A4 A5) -----------------------------------------
 
     def compare_runs(self, run_ids: list[str]) -> dict[str, Any]:

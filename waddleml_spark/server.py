@@ -57,6 +57,12 @@ class Routes:
             run_id, key=q.get("key"), limit=int(q.get("limit", "5000"))
         )
 
+    # GET /api/runs/{run_id}/metrics/downsampled  (extension route)
+    def get_metrics_downsampled(self, run_id: str, q: dict) -> list:
+        return self.dash.get_metrics_downsampled(
+            run_id, q.get("key", ""), points=int(q.get("points", "200"))
+        )
+
     # POST /api/compare
     def compare(self, body: dict) -> dict:
         return self.dash.compare_runs(body.get("run_ids", []))
@@ -128,6 +134,9 @@ def make_http_server(
                 return self._html(page.read_bytes())
             if u.path == "/api/runs":
                 return self._json(routes.list_runs(q))
+            m = re.fullmatch(r"/api/runs/([^/]+)/metrics/downsampled", u.path)
+            if m:
+                return self._json(routes.get_metrics_downsampled(m.group(1), q))
             m = re.fullmatch(r"/api/runs/([^/]+)/metrics", u.path)
             if m:
                 return self._json(routes.get_metrics(m.group(1), q))
