@@ -122,3 +122,21 @@ def test_http_downsampled_metrics(served):
     assert 0 < len(rows) <= 5
     assert all(r["value_min"] <= r["value"] <= r["value_max"] for r in rows)
     assert [r["bucket"] for r in rows] == sorted(r["bucket"] for r in rows)
+
+
+def test_cli_query_prints_json_rows(capsys):
+    from waddleml_spark.cli import main
+
+    rc = main(["query", "forecast_revenue_q6", "--sf-dir", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and len(out) == 1
+    import json
+
+    row = json.loads(out[0])
+    assert set(row) == {"revenue", "n_items"}
+
+
+def test_cli_query_unknown_name(capsys):
+    from waddleml_spark.cli import main
+
+    assert main(["query", "no_such_query"]) == 1

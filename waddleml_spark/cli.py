@@ -118,6 +118,38 @@ def cmd_explain(a: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query(a: argparse.Namespace) -> int:
+    """Run a named catalog query and print rows as JSON lines (the CLI
+    face of the catalog: every operator a reference user can run from
+    the shell, same names as `explain list`)."""
+    import json
+
+    from waddleml_spark import catalog
+    from waddleml_spark.session import get_spark
+
+    if a.query not in catalog.QUERIES:
+        print(f"unknown query {a.query!r}; run `explain list`", file=sys.stderr)
+        return 1
+    from pyspark.sql import SparkSession
+
+    # only stop a session this command itself created — when embedded in a
+    # host process (tests, notebooks) the active session is not ours to kill
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="query", master="local[2]", shuffle_partitions=2)
+    try:
+        spark.sparkContext.setLogLevel("ERROR")
+    except Exception:
+        pass
+    df = catalog.QUERIES[a.query](spark, a.sf_dir)
+    rows = df.limit(a.limit).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    print(f"({len(rows)} rows)", file=sys.stderr)
+    if not preexisting:
+        spark.stop()
+    return 0
+
+
 def _find_store(explicit: str | None = None) -> str | None:
     """Find the store root: explicit path, cwd, then walk up (ref _find_db)."""
     if explicit:
@@ -160,6 +192,11 @@ def build() -> argparse.ArgumentParser:
     pe.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     pe.add_argument("--mode", default="formatted", choices=["simple", "formatted", "extended", "cost"])
     pe.set_defaults(func=cmd_explain)
+    pq = sub.add_parser("query", help="Run a catalog query, print JSON lines")
+    pq.add_argument("query", help="query name (see `explain list`)")
+    pq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pq.add_argument("--limit", type=int, default=100)
+    pq.set_defaults(func=cmd_query)
     return p
 
 
