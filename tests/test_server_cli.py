@@ -140,3 +140,18 @@ def test_cli_query_unknown_name(capsys):
     from waddleml_spark.cli import main
 
     assert main(["query", "no_such_query"]) == 1
+
+
+def test_http_static_route_and_traversal_guard(served):
+    import urllib.error
+    import urllib.request
+
+    base, _ = served
+    with urllib.request.urlopen(f"{base}/static/index.html", timeout=30) as r:
+        assert r.status == 200 and b"<" in r.read()
+    try:
+        urllib.request.urlopen(f"{base}/static/../server.py", timeout=30)
+        hit = 200
+    except urllib.error.HTTPError as e:
+        hit = e.code
+    assert hit == 404  # traversal blocked

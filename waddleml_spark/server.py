@@ -132,6 +132,27 @@ def make_http_server(
 
                 page = pathlib.Path(__file__).parent / "static" / "index.html"
                 return self._html(page.read_bytes())
+            if u.path.startswith("/static/"):
+                # ref route parity (waddle/_server.py:108): serve bundled
+                # static assets; resolve() + prefix check blocks traversal
+                import pathlib
+
+                static = (pathlib.Path(__file__).parent / "static").resolve()
+                target = (static / u.path[len("/static/"):]).resolve()
+                if static in target.parents or target == static:
+                    if target.is_file():
+                        ctype = (
+                            "text/html; charset=utf-8"
+                            if target.suffix == ".html"
+                            else "application/octet-stream"
+                        )
+                        body = target.read_bytes()
+                        self.send_response(200)
+                        self.send_header("Content-Type", ctype)
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        return self.wfile.write(body)
+                return self._json({"error": "not found"}, 404)
             if u.path == "/api/runs":
                 return self._json(routes.list_runs(q))
             m = re.fullmatch(r"/api/runs/([^/]+)/metrics/downsampled", u.path)
