@@ -85,7 +85,7 @@ def cmd_serve(a: argparse.Namespace) -> int:
 
     store = WaddleStore(store_root)
     print(f"[waddleml-spark] serving {store_root} at http://{a.host}:{a.port}")
-    server = make_http_server(store, a.host, a.port)
+    server = make_http_server(store, a.host, a.port, static_dir=a.static_dir)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
@@ -185,7 +185,8 @@ def build() -> argparse.ArgumentParser:
     ps = sub.add_parser("serve", help="Serve the dashboard API")
     ps.add_argument("--db", help="path to store root or waddle.duckdb")
     ps.add_argument("--host", default="127.0.0.1")
-    ps.add_argument("--port", type=int, default=8000)
+    ps.add_argument("--port", type=int, default=8080)  # ref default (cli.py:144)
+    ps.add_argument("--static-dir", help="override bundled static assets")
     ps.set_defaults(func=cmd_serve)
     pe = sub.add_parser("explain", help="Show a catalog query's physical plan")
     pe.add_argument("query", nargs="?", default="list", help="query name or 'list'")

@@ -101,8 +101,10 @@ def make_http_server(
     host: str = "127.0.0.1",
     port: int = 8000,
     bus: LiveBus | None = None,
+    static_dir: str | None = None,
 ) -> ThreadingHTTPServer:
-    """stdlib adapter: same routes, JSON responses, plus SSE /events."""
+    """stdlib adapter: same routes, JSON responses, plus SSE /events.
+    static_dir overrides the bundled assets (ref cli.py:146 parity)."""
     routes = Routes(SparkDashboard(store), bus=bus)
 
     class Handler(BaseHTTPRequestHandler):
@@ -130,14 +132,22 @@ def make_http_server(
             if u.path == "/":
                 import pathlib
 
-                page = pathlib.Path(__file__).parent / "static" / "index.html"
-                return self._html(page.read_bytes())
+                base = (
+                    pathlib.Path(static_dir)
+                    if static_dir
+                    else pathlib.Path(__file__).parent / "static"
+                )
+                return self._html((base / "index.html").read_bytes())
             if u.path.startswith("/static/"):
                 # ref route parity (waddle/_server.py:108): serve bundled
                 # static assets; resolve() + prefix check blocks traversal
                 import pathlib
 
-                static = (pathlib.Path(__file__).parent / "static").resolve()
+                static = (
+                    pathlib.Path(static_dir)
+                    if static_dir
+                    else pathlib.Path(__file__).parent / "static"
+                ).resolve()
                 target = (static / u.path[len("/static/"):]).resolve()
                 if static in target.parents or target == static:
                     if target.is_file():
