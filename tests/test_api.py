@@ -234,3 +234,14 @@ def test_unicode_json_round_trip(spark, tmp_path, monkeypatch):
     assert d["params"]["β"] == 0.9
     assert d["tags"]["label"] == "ünïcode—值"
     assert d["run"]["config"]["note"] == "日本語 · émoji ✓"
+
+
+def test_module_level_serve_dashboard_requires_active_run():
+    import pytest
+
+    import waddleml_spark as w
+    from waddleml_spark import state
+
+    state.set_active_run(None)
+    with pytest.raises(RuntimeError, match="No active run"):
+        w.serve_dashboard()

@@ -29,6 +29,7 @@ from waddleml_spark.api import (  # noqa: F401
     log_artifact,
     log_param,
     log_tag,
+    serve_dashboard,
 )
 from waddleml_spark.run import Run  # noqa: F401
 from waddleml_spark.session import get_spark  # noqa: F401

@@ -136,3 +136,13 @@ def finish() -> None:
         return
     run.finish()
     state.set_active_run(None)
+
+
+def serve_dashboard(host: str = "0.0.0.0", port: int = 8000):
+    """Module-level dashboard launcher on the ACTIVE run's store — export
+    parity with the reference (waddle/_api.py:111-116): raises when no
+    run is active, otherwise delegates to Run.serve_dashboard."""
+    run = state.get_active_run()
+    if run is None:
+        raise RuntimeError("No active run. Call waddleml_spark.init() first.")
+    return run.serve_dashboard(host=host, port=port)
