@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from waddleml_spark.catalog import _r, _r_sql, _register, t
-from waddleml_spark.llmops import dedup, multimodal, similarity, textstats
+from waddleml_spark.llmops import dedup, multimodal, pii, similarity, textstats
 
 # --- exact dedup -----------------------------------------------------------
 
