@@ -162,7 +162,9 @@ def test_series_downsample_bounds_and_coverage(spark):
     from waddleml_spark.operators.dashboard import series_downsample
     from tests.conftest import SF_SMOKE
 
-    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+    from waddleml_spark.session import read_table
+
+    ev = read_table(spark, SF_SMOKE, "events").withColumn(
         "__x", F.col("ts").cast("double")
     )
     out = series_downsample(ev, ["event_type"], "__x", "value", target_points=20)

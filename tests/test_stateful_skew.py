@@ -141,8 +141,10 @@ def test_sliced_running_sum_matches_naive_window(spark):
 
     # collapse to one row per (user, ts) so both orderings are total —
     # running sums are only comparable under a deterministic order
+    from waddleml_spark.session import read_table
+
     ev = (
-        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        read_table(spark, SF_SMOKE, "events")
         .groupBy("user_id", "ts")
         .agg(F.sum("value").alias("v"))
     )

@@ -116,18 +116,27 @@ def fan_out(df, min_partitions: int | None = None):
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver parquet table, normalizing nano-precision timestamps.
+    """Read one driver parquet table, normalizing timestamp physical types.
 
-    events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives as a
-    long of nanoseconds.  DuckDB truncates nanos to micros on read, so we do
-    the same (`div 1000` then timestamp_micros) for oracle hash-parity.
+    The driver testdata writes naive parquet timestamps; depending on the
+    writer these surface as TIMESTAMP(NANOS) (older gens — read as long via
+    nanosAsLong, truncated to micros like DuckDB does) or plain timestamp[us]
+    which Spark 4 reads as TIMESTAMP_NTZ.  NTZ cannot cast to double, so
+    every downstream epoch projection would break; normalize all NTZ columns
+    to UTC-instant TIMESTAMP here instead.  Session tz is pinned to UTC
+    first (runtime-settable — the driver hands us a bare session) so the
+    NTZ→LTZ reinterpretation and DuckDB's naive-as-UTC epoch() agree.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     if name == "events":
-        # the driver may hand us a session built without this conf; it is
-        # runtime-settable, and without it the nanos column refuses to read
+        # older testdata gens write ts as TIMESTAMP(NANOS); without this
+        # runtime-settable conf the nanos column refuses to read
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
@@ -135,6 +144,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
