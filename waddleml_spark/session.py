@@ -134,6 +134,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
+    try:
+        # plain timestamp[us] (no isAdjustedToUTC) would infer as NTZ, which
+        # can't cast to double AND forces a cast-Project over every scan that
+        # blocks parquet predicate pushdown on timestamp columns.  Reading it
+        # as TIMESTAMP directly (raw micros == UTC instant == DuckDB epoch())
+        # keeps filters like `o_orderdate >= lit` in PushedFilters.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     if name == "events":
         # older testdata gens write ts as TIMESTAMP(NANOS); without this
         # runtime-settable conf the nanos column refuses to read
