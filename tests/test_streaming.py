@@ -206,3 +206,66 @@ def test_metric_stream_checkpoint_resumes_after_restart(spark, tmp_path, monkeyp
     run.finish()
     # only the post-restart row — nothing replayed
     assert [(r["key"], r["value"]) for r in got2] == [("loss", 0.5)]
+
+
+def test_stream_dedup_drops_repeats_within_watermark(spark, tmp_path):
+    """Streaming exact-dedup: duplicate text arriving in the same or a later
+    micro-batch (inside the watermark) is dropped; distinct text passes."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import types as T
+
+    from waddleml_spark.streaming.live import stream_dedup
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ingest_time", T.TimestampType()),
+        ]
+    )
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    # batch 1: A, B, and an in-batch dup of A
+    write_batch(
+        [
+            (1, "alpha document body", t0),
+            (2, "beta document body", t0 + timedelta(seconds=1)),
+            (3, "alpha document body", t0 + timedelta(seconds=2)),
+        ]
+    )
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = stream_dedup(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    q.processAllAvailable()
+
+    # batch 2: cross-batch dup of A (within watermark) + fresh C
+    write_batch(
+        [
+            (4, "alpha document body", t0 + timedelta(seconds=30)),
+            (5, "gamma document body", t0 + timedelta(seconds=31)),
+        ]
+    )
+    q.processAllAvailable()
+    rows = spark.sql("SELECT doc_id, text FROM dedup_out").collect()
+    q.stop()
+
+    kept = sorted(r.doc_id for r in rows)
+    assert kept == [1, 2, 5]  # 3 (in-batch dup) and 4 (cross-batch dup) dropped
+    assert {r.text.split()[0] for r in rows} == {"alpha", "beta", "gamma"}

@@ -158,6 +158,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     ]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
+    # same insurance for date32 drift: every temporal column in the driver
+    # schema is semantically a timestamp (TESTDATA.md); cast(date as double)
+    # would fail exactly like NTZ did, and date→timestamp(midnight UTC)
+    # equals DuckDB epoch(DATE)
+    date_cols = {"ts", "o_orderdate", "l_shipdate"}
+    for f in df.schema.fields:
+        if f.name in date_cols and isinstance(f.dataType, T.DateType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

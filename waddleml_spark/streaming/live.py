@@ -158,6 +158,41 @@ def metric_session_agg(
     ).agg(F.count("*").alias("n"), F.avg("value").alias("avg_value"))
 
 
+def stream_dedup(
+    docs,
+    text_col: str = "text",
+    time_col: str = "ingest_time",
+    watermark: str = "10 minutes",
+):
+    """Streaming exact-dedup of a document stream: drop any doc whose
+    normalized content fingerprint was already seen within the watermark
+    horizon (dropDuplicatesWithinWatermark).
+
+    The streaming twin of llmops.dedup.incremental_dedup: that one is the
+    recurring-crawl batch shape (anti join against the FULL stored index —
+    exact forever, one scheduled job per crawl); this one is the live-firehose
+    shape, where exactness-forever would mean unbounded state.  Keyed state
+    holds one 16-byte fingerprint per distinct doc seen within the watermark
+    and is evicted as event time advances, so state is O(ingest rate ×
+    watermark), independent of corpus size — the property that keeps the
+    query runnable forever on a 1000-executor cluster.  Re-crawls typically
+    re-surface a URL within minutes; anything beyond the horizon is caught
+    by the nightly incremental_dedup pass (belt and suspenders).
+
+    `docs` is a STREAMING DataFrame with `text_col` and an event-time
+    `time_col`; returns the deduplicated stream (original columns).
+    Extension beyond the reference (no streaming surface there at all).
+    """
+    from waddleml_spark.llmops.textstats import fingerprint
+
+    deduped = (
+        docs.withColumn("__fp", fingerprint(F.col(text_col)))
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+    )
+    return deduped.drop("__fp")
+
+
 def metric_pair_join(
     spark: SparkSession,
     store: WaddleStore,
