@@ -996,3 +996,98 @@ def media_frame_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     don't).  See multimodal.frame_neardup_pairs."""
     media = multimodal.docs_as_media(t(spark, sf_dir, "documents"))
     return multimodal.frame_neardup_pairs(media).orderBy("id_a", "id_b")
+
+
+_PII_ORACLE = r"""
+    WITH planted AS (
+        SELECT source,
+               text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' call (555) 123-4567'
+                       ELSE '' END AS ptext
+        FROM documents
+    ), scrubbed AS (
+        SELECT source, ptext,
+               len(regexp_extract_all(ptext, '@EMAIL@')) AS e,
+               len(regexp_extract_all(ptext, '@PHONE@')) AS p,
+               len(regexp_extract_all(ptext, '@IP@')) AS i,
+               regexp_replace(regexp_replace(regexp_replace(ptext,
+                   '@EMAIL@', '<EMAIL>', 'g'),
+                   '@PHONE@', '<PHONE>', 'g'),
+                   '@IP@', '<IP>', 'g') AS rtext
+        FROM planted
+    )
+    SELECT source,
+           count(*) AS docs,
+           sum(e) AS n_emails,
+           sum(p) AS n_phones,
+           sum(i) AS n_ips,
+           sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS docs_with_pii,
+           sum(len(ptext) - len(rtext)) AS chars_removed
+    FROM scrubbed
+    GROUP BY source
+""".replace("@EMAIL@", pii.EMAIL_RE).replace("@PHONE@", pii.PHONE_RE).replace(
+    "@IP@", pii.IPV4_RE
+)
+
+
+@_register("pii_scrub_report", _PII_ORACLE)
+def pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub accounting per source: detections by class, docs touched,
+    chars removed by redaction (llmops.pii — chained JVM regexes, map-only,
+    zero shuffle before the tiny per-source aggregate).
+
+    The synthetic corpus carries no natural PII, so the query PLANTS
+    deterministic PII (doc_id-derived email / IPv4 / phone on modular
+    subsets) with the identical expression in both engines — the regex
+    scan, the redaction chain, and the byte accounting are what is being
+    differentially tested.  Dialect note: patterns are the Java/RE2 common
+    subset; Spark regexp_replace is global by default, DuckDB needs 'g'.
+    """
+    d = t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call (555) 123-4567")).otherwise(
+            F.lit("")
+        ),
+    )
+    s = d.select("source", planted.alias("ptext")).select(
+        "source",
+        "ptext",
+        pii.count_matches(F.col("ptext"), pii.EMAIL_RE).alias("e"),
+        pii.count_matches(F.col("ptext"), pii.PHONE_RE).alias("p"),
+        pii.count_matches(F.col("ptext"), pii.IPV4_RE).alias("i"),
+        pii.redact(F.col("ptext")).alias("rtext"),
+    )
+    return s.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum("e").alias("n_emails"),
+        F.sum("p").alias("n_phones"),
+        F.sum("i").alias("n_ips"),
+        F.sum(F.when(F.col("e") + F.col("p") + F.col("i") > 0, 1).otherwise(0)).alias(
+            "docs_with_pii"
+        ),
+        F.sum(F.length("ptext") - F.length("rtext")).alias("chars_removed"),
+    )
