@@ -820,3 +820,55 @@ def metric_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "med", "mad", "n_outliers")
     )
+
+
+# --- data profiling ---------------------------------------------------------
+
+
+@_register(
+    "profile_orders",
+    """
+    SELECT * FROM (
+        SELECT 'o_orderkey' AS column, count(*) AS n_rows,
+               count(*) - count(o_orderkey) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_s
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+               count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+               count(DISTINCT o_orderdate),
+               strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+               strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+        FROM orders
+    )
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight column profile of `orders` (operators.core.profile_columns):
+    nulls / exact distincts / min / max for every audited column in ONE
+    aggregation pass — the oracle's UNION ALL twin scans the table once per
+    column; the Spark plan scans once total.  Doubles excluded by design
+    (shortest-repr string rendering is not engine-stable; see operator doc).
+    """
+    from waddleml_spark.operators import core as ops
+
+    return ops.profile_columns(
+        t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
+    )

@@ -21,6 +21,7 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def equality_filter(df: DataFrame, conditions: Mapping[str, object]) -> DataFrame:
@@ -201,3 +202,55 @@ def anti_insert(new_rows: DataFrame, existing: DataFrame, key_cols: Sequence[str
     INSERT ON CONFLICT DO NOTHING, as a set-based left-anti join.
     """
     return new_rows.join(existing.select(*key_cols), on=list(key_cols), how="left_anti")
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Per-column data-profile: (column, n_rows, n_nulls, n_distinct,
+    min_s, max_s) — the pre-flight audit every ingest pipeline runs
+    before committing a corpus version.
+
+    ONE aggregation job over the table (all columns' count/distinct/
+    min/max computed in a single pass; the multi-distinct plan uses
+    Catalyst's Expand, shuffling n_cols rows per input row of the
+    distinct-key projections only), then the 1-row result fans out to
+    one row per column via an array explode — no per-column rescans,
+    unlike the naive loop (or the oracle's UNION ALL twin, which scans
+    once per column).
+
+    min/max render as strings: timestamps via an explicit pattern,
+    other types via cast.  Doubles are engine-renderable but their
+    shortest-repr formatting is not guaranteed stable across engines —
+    oracle-paired profiles should stick to integer/string/timestamp
+    columns (see catalog `profile_orders`).
+    """
+    cols = list(cols or df.columns)
+
+    def _render(c: str):
+        if isinstance(df.schema[c].dataType, (T.TimestampType, T.TimestampNTZType)):
+            return lambda x: F.date_format(x, "yyyy-MM-dd HH:mm:ss")
+        return lambda x: x.cast("string")
+
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        r = _render(c)
+        aggs += [
+            F.count(c).alias(f"__cnt_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            r(F.min(c)).alias(f"__min_{c}"),
+            r(F.max(c)).alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__cnt_{c}")).alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_s"),
+                F.col(f"__max_{c}").alias("max_s"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")
