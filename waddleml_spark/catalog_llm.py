@@ -1091,3 +1091,84 @@ def pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.length("ptext") - F.length("rtext")).alias("chars_removed"),
     )
+
+
+@_register(
+    "stratified_eval_sample",
+    """
+    SELECT source, doc_id, n_chars
+    FROM (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly N docs per source, picked
+    by md5(doc_id) order — the eval-set carving shape.  Hash order is
+    engine-stable and reproducible across cluster sizes (unlike sample(),
+    whose output depends on partitioning), and per-stratum top-N compiles
+    to WindowGroupLimit: each task pre-limits to N before the stratum
+    shuffle, so the full corpus never moves — only ~N rows per stratum per
+    task do.  Complements `corpus_resample_report` (proportional Bernoulli
+    mix) with the exact-count-per-stratum variant."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id", "n_chars")
+    )
+
+
+@_register(
+    "levenshtein_pairs_src0",
+    """
+    WITH d AS (
+        SELECT doc_id, lower(trim(text)) AS tx
+        FROM documents WHERE source = 'src0' AND n_chars < 220
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.tx, b.tx) AS edit_dist
+    FROM d a, d b
+    WHERE a.doc_id < b.doc_id
+      AND levenshtein(a.tx, b.tx) * 10 <= 4 * (len(a.tx) + len(b.tx))
+    """,
+)
+def levenshtein_pairs_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verifier over one candidate bucket (short
+    docs of src0): pairs whose Levenshtein distance ≤ 80% of their mean
+    length (the synthetic corpus has no true char-level near-dups, so the
+    floor demonstrates the primitive).  The character-level complement of
+    the token-level Jaccard verifier — catches single-character edits
+    Jaccard's word sets miss.
+    O(len²) DP per pair ⇒ production feeds it LSH candidate pairs, never
+    a global cross join; the bucket bound here mirrors that.  JVM
+    built-in levenshtein on both engines (identical classic DP
+    semantics), whole-stage codegen, no UDF."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("source") == "src0") & (F.col("n_chars") < 220))
+        .select("doc_id", F.lower(F.trim(F.col("text"))).alias("tx"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.tx"), F.col("b.tx"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            dist * 10 <= 4 * (F.length(F.col("a.tx")) + F.length(F.col("b.tx")))
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.alias("edit_dist"),
+        )
+    )
