@@ -64,3 +64,55 @@ def test_runs_nullable_fk(tmp_path, spark):
 
 def test_run_status_enum(tmp_path, spark):
     assert schemas.RUN_STATUSES == ("running", "completed", "failed", "aborted")
+
+
+def test_read_table_normalizes_timestamp_physical_types(tmp_path, spark):
+    """Driver testdata timestamp physical types drift between rounds
+    (TIMESTAMP(NANOS) → timestamp[us]/NTZ observed r1→r2); read_table must
+    deliver cast-to-double-able instant timestamps with identical epoch
+    values for every variant, on any session."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from waddleml_spark.session import read_table
+
+    inst = datetime.datetime(2024, 1, 15, 12, 30, 0)
+    epoch = 1705321800.0
+
+    # timestamp[us] no tz → Spark would infer TIMESTAMP_NTZ
+    d1 = tmp_path / "v_us"
+    d1.mkdir()
+    pq.write_table(
+        pa.table({"event_id": pa.array([1], pa.int64()),
+                  "ts": pa.array([inst], pa.timestamp("us"))}),
+        str(d1 / "events.parquet"),
+    )
+    # timestamp[ns] → nanosAsLong path (long → timestamp_micros)
+    d2 = tmp_path / "v_ns"
+    d2.mkdir()
+    pq.write_table(
+        pa.table({"event_id": pa.array([1], pa.int64()),
+                  "ts": pa.array([inst], pa.timestamp("ns"))}),
+        str(d2 / "events.parquet"),
+    )
+    # date32 → midnight-UTC timestamp
+    d3 = tmp_path / "v_date"
+    d3.mkdir()
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([1], pa.int64()),
+                  "o_orderdate": pa.array([inst.date()], pa.date32())}),
+        str(d3 / "orders.parquet"),
+    )
+
+    for d, name, col, want in [
+        (d1, "events", "ts", epoch),
+        (d2, "events", "ts", epoch),
+        (d3, "orders", "o_orderdate", 1705276800.0),
+    ]:
+        df = read_table(spark, str(d), name)
+        assert df.schema[col].dataType.typeName() == "timestamp", (d, col)
+        got = df.select(F.col(col).cast("double")).collect()[0][0]
+        assert got == want, (d, col, got, want)
