@@ -38,6 +38,7 @@ HEADLINE = [
     "text_quality_by_lang",
     "cosine_topk_q0",
     "minhash_lsh_candidates",
+    "pii_scrub_report",
 ]
 
 
