@@ -146,3 +146,24 @@ def test_packing_offsets_broadcast_no_merge_join(spark):
         spark.read.parquet(f"{SF_SMOKE}/documents.parquet"), seq_len=512
     )
     assert_plan(df, contains=["BroadcastHashJoin"], absent=["SortMergeJoin"])
+
+
+def test_profile_single_scan(spark):
+    # one aggregation pass over orders: exactly one FileScan feeds the
+    # whole multi-column profile (the oracle's UNION ALL twin scans 5x)
+    df = q(spark, "profile_orders")
+    assert count_op(df, "Scan parquet") == 1
+    assert_plan(df, contains=["Expand"])  # multi-distinct via Expand, not rescans
+
+
+def test_stratified_sample_pre_limits_per_group(spark):
+    # per-stratum top-N compiles to WindowGroupLimit: tasks pre-limit to N
+    # rows per stratum before the shuffle — the corpus never moves
+    assert_plan(q(spark, "stratified_eval_sample"), contains=["WindowGroupLimit"])
+
+
+def test_pii_scrub_is_map_only(spark):
+    # regex detection + redaction is a pure projection: the only exchange
+    # is the final tiny per-source aggregate
+    df = q(spark, "pii_scrub_report")
+    assert count_op(df, "Exchange") == 1
