@@ -127,3 +127,17 @@ def test_ngram_collision_report_semantics(spark):
         ).collect()
     }
     assert out == {"web": (3, 1), "books": (1, 1)}
+
+
+def test_simhash32_jvm_matches_semantics_and_is_close_for_neardups(spark, docs):
+    """JVM 32-bit simhash: identical text → identical signature; near-dup
+    closer than unrelated (the property banding relies on)."""
+    sigs = {r.doc_id: r.simhash32 for r in dedup.simhash32_jvm(docs).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFF).count("1")
+
+    assert hamming(sigs[0], sigs[1]) == 0           # identical text
+    assert hamming(sigs[0], sigs[3]) <= 8           # near dup: close
+    assert hamming(sigs[0], sigs[4]) > hamming(sigs[0], sigs[3])
+    assert all(0 <= s < (1 << 32) for s in sigs.values())

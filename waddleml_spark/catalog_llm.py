@@ -1172,3 +1172,50 @@ def levenshtein_pairs_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_dist"),
         )
     )
+
+
+def _simhash32_oracle() -> str:
+    """Generate the 32-per-bit-sum SQL twin of dedup.simhash32_jvm.
+
+    Token hash: big-endian first 4 md5 bytes.  DuckDB's md5_number_upper
+    is the LITTLE-endian uint64 of the first 8 bytes, so the swizzle
+    below reassembles bytes 0..3 big-endianly — bit-identical to Spark's
+    conv(substring(md5,1,8),16,10)."""
+    sums = ",\n               ".join(
+        f"sum(CASE WHEN (h32 >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(32)
+    )
+    pack = " + ".join(
+        f"CASE WHEN s{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(32)
+    )
+    return rf"""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(str_split_regex(lower(trim(text)), '\s+')) AS ws
+        FROM documents
+    ), t AS (
+        SELECT doc_id, unnest(ws) AS tok FROM d
+    ), h AS (
+        SELECT doc_id,
+               CAST(((md5_number_upper(tok) & 255) * 16777216)
+                    + (((md5_number_upper(tok) >> 8) & 255) * 65536)
+                    + (((md5_number_upper(tok) >> 16) & 255) * 256)
+                    + ((md5_number_upper(tok) >> 24) & 255) AS BIGINT) AS h32
+        FROM t
+    ), b AS (
+        SELECT doc_id, {sums}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, {pack} AS simhash32 FROM b
+    """
+
+
+@_register("simhash32_docs", _simhash32_oracle())
+def simhash32_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-paired SimHash (dedup.simhash32_jvm): 32-bit signatures over
+    md5 token hashes, zero-shuffle JVM projection vs the oracle's
+    unnest + 32-way grouped sum — bit-identical results.  Complements the
+    64-bit Arrow-kernel `simhash_signatures` (rows-only) with a variant
+    the differential gate can check exactly."""
+    return dedup.simhash32_jvm(t(spark, sf_dir, "documents"))

@@ -362,3 +362,55 @@ def incremental_dedup(
     return fresh.groupBy("fp").agg(
         F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups")
     )
+
+
+def simhash32_jvm(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """32-bit SimHash computed entirely JVM-side — no Python workers — and
+    bit-identical to an ANSI-SQL twin (unlike `simhash_signatures`, whose
+    64-bit Arrow-batch kernel is rows-only-checkable).
+
+    Token hash = big-endian first 4 md5 bytes (Spark: one conv of the
+    leading 8 hex chars; DuckDB: byte-swizzle of md5_number_upper) — the
+    engine-portable trick: md5 is the only hash both engines compute
+    identically.  Per doc, one pass over the distinct-word array with a
+    32-counter accumulator (zip_with add, like the minhash running-min);
+    sign of each counter packs into a long.  Zero shuffle: a pure
+    projection, so at 100 TB it rides the scan.
+    """
+    toks = F.array_distinct(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " "), " ")
+    )
+    h32 = lambda tok: F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")  # noqa: E731
+    bits = F.sequence(F.lit(0), F.lit(31))
+    # bit b of h via pow-arithmetic (shiftright needs a literal count;
+    # doubles are exact far past 2^32 so the division is lossless)
+    contrib = lambda h: F.transform(  # noqa: E731
+        bits,
+        lambda b: F.pmod(
+            (h / F.pow(F.lit(2.0), b.cast("double"))).cast("long"), F.lit(2)
+        )
+        * 2
+        - 1,
+    )
+    acc0 = F.array_repeat(F.lit(0).cast("long"), 32)
+    sums = F.aggregate(
+        F.transform(toks, h32),
+        acc0,
+        lambda acc, h: F.zip_with(acc, contrib(h), lambda a, d: a + d),
+    )
+    # two projections: the 32-counter pass materializes once, then the
+    # bit-pack reads it 32 times (CollapseProject keeps them separate —
+    # inlining would recompute the token pass per bit)
+    mid = df.select(F.col(id_col), sums.alias("__sums"))
+    sig = F.aggregate(
+        bits,
+        F.lit(0).cast("long"),
+        lambda s, b: s
+        + F.when(
+            F.element_at(F.col("__sums"), b + 1) >= 0,
+            F.pow(F.lit(2.0), b.cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return mid.select(F.col(id_col), sig.alias("simhash32"))
