@@ -141,3 +141,22 @@ def test_simhash32_jvm_matches_semantics_and_is_close_for_neardups(spark, docs):
     assert hamming(sigs[0], sigs[3]) <= 8           # near dup: close
     assert hamming(sigs[0], sigs[4]) > hamming(sigs[0], sigs[3])
     assert all(0 <= s < (1 << 32) for s in sigs.values())
+
+
+def test_minhash32_exact_estimates_jaccard(spark, docs):
+    """Signature agreement rate ≈ Jaccard: exact dups agree on all 32
+    functions; the docs-0/3 near-dup pair (true J=0.4) agrees on
+    substantially more functions than unrelated docs."""
+    from collections import defaultdict
+
+    sig = defaultdict(dict)
+    for r in dedup.minhash32_exact(docs).collect():
+        sig[r.doc_id][r.h_index] = r.minhash
+
+    def agree(a, b):
+        return sum(sig[a][i] == sig[b][i] for i in range(32))
+
+    assert agree(0, 1) == 32                  # identical text
+    assert agree(0, 2) == 32                  # whitespace/case-normalized dup
+    assert agree(0, 3) >= 6                   # J=0.4 → E[agree]=12.8
+    assert agree(0, 3) > agree(0, 5)          # near-dup beats unrelated

@@ -1219,3 +1219,54 @@ def simhash32_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit Arrow-kernel `simhash_signatures` (rows-only) with a variant
     the differential gate can check exactly."""
     return dedup.simhash32_jvm(t(spark, sf_dir, "documents"))
+
+
+def _minhash32_oracle() -> str:
+    """SQL twin of dedup.minhash32_exact: same shingles (word 3-grams,
+    slice-clamped short docs), same md5-BE32 shingle hash, same
+    (a_i·x+b_i) mod 2^31−1 family, long-form via UNION ALL over i."""
+    p = dedup._MH_P
+    mins = ",\n               ".join(
+        f"min(({a} * h32 + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(dedup._MH_AB)
+    )
+    unpivot = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {i} AS h_index, m{i} AS minhash FROM g"
+        for i in range(len(dedup._MH_AB))
+    )
+    return rf"""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(ws[i:i+2], ' ')
+                   for i in generate_series(1, greatest(len(ws) - 2, 1))
+               ]) AS sh
+        FROM (
+            SELECT doc_id,
+                   str_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents
+        )
+    ), t AS (
+        SELECT doc_id, unnest(sh) AS s FROM d
+    ), h AS (
+        SELECT doc_id,
+               CAST(((md5_number_upper(s) & 255) * 16777216)
+                    + (((md5_number_upper(s) >> 8) & 255) * 65536)
+                    + (((md5_number_upper(s) >> 16) & 255) * 256)
+                    + ((md5_number_upper(s) >> 24) & 255) AS BIGINT) AS h32
+        FROM t
+    ), g AS (
+        SELECT doc_id, {mins}
+        FROM h GROUP BY doc_id
+    )
+    {unpivot}
+    """
+
+
+@_register("minhash32_docs", _minhash32_oracle())
+def minhash32_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact MinHash signatures in long form (dedup.minhash32_exact):
+    certifies the minhash construction differentially — md5 shingle hashes
+    and arithmetic rehashes are bit-identical across engines, unlike the
+    xxhash64 production path (rows-only by necessity)."""
+    return dedup.minhash32_exact(t(spark, sf_dir, "documents"))

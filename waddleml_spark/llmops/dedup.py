@@ -414,3 +414,40 @@ def simhash32_jvm(
         ).otherwise(F.lit(0).cast("long")),
     )
     return mid.select(F.col(id_col), sig.alias("simhash32"))
+
+
+# Fixed (a, b) pairs for the arithmetic minhash family h_i(x) = (a_i x + b_i)
+# mod p, p = 2^31-1.  Deterministic LCG-derived constants, embedded verbatim
+# in the SQL oracle twin; a_i forced odd and nonzero.
+_MH_P = (1 << 31) - 1
+_MH_AB = [
+    (((1103515245 * i + 12345) % _MH_P) | 1, (69069 * i + 1234567) % _MH_P)
+    for i in range(1, 33)
+]
+
+
+def minhash32_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Oracle-exact MinHash: long-form 32-function signatures
+    (doc_id, h_index, minhash), bit-identical to an ANSI-SQL twin.
+
+    The production LSH path (minhash_lsh_candidates) uses xxhash64 —
+    fastest on the JVM but not reproducible in DuckDB, so it is only
+    rows-only-checkable.  This variant swaps the shingle hash for the
+    big-endian first 4 md5 bytes (identical in both engines) and the
+    per-function rehash for (a_i·x + b_i) mod (2^31−1) — products stay
+    under 2^63, exact in signed 64-bit everywhere.  Same zero-shuffle
+    accumulator shape as the fast path; the differential gate can then
+    certify the minhash CONSTRUCTION itself, not just row counts.
+    """
+    sh = shingles(text_col)  # distinct word 3-grams, JVM higher-order fns
+    h32 = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+    acc0 = F.array_repeat(F.lit(_MH_P).cast("long"), len(_MH_AB))
+    rehs = lambda x: F.array(  # noqa: E731
+        *[(F.lit(a) * x + F.lit(b)) % F.lit(_MH_P) for a, b in _MH_AB]
+    )
+    sig = F.aggregate(
+        F.transform(sh, h32),
+        acc0,
+        lambda acc, x: F.zip_with(acc, rehs(x), lambda m, v: F.least(m, v)),
+    )
+    return df.select(F.col(id_col), F.posexplode(sig).alias("h_index", "minhash"))
