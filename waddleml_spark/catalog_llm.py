@@ -1270,3 +1270,36 @@ def minhash32_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and arithmetic rehashes are bit-identical across engines, unlike the
     xxhash64 production path (rows-only by necessity)."""
     return dedup.minhash32_exact(t(spark, sf_dir, "documents"))
+
+
+def _simhash32_pairs_oracle() -> str:
+    """SQL twin of dedup.simhash32_band_pairs (band_bits=16): the simhash32
+    chain, then bands via integer division, then a self-join per shared
+    (band, bucket) with DISTINCT across bands."""
+    base = _simhash32_oracle()
+    return rf"""
+    WITH sigs AS (
+        {base}
+    ), bands AS (
+        SELECT doc_id, b.band,
+               (simhash32 // POWER(65536, b.band)::BIGINT) % 65536 AS bucket
+        FROM sigs, (SELECT unnest(generate_series(0, 1)) AS band) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+
+@_register("simhash32_band_pairs", _simhash32_pairs_oracle())
+def simhash32_band_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact near-dup CANDIDATE pairs (dedup.simhash32_band_pairs):
+    the first candidate-generation query the differential gate can check
+    value-exactly — signature, banding, and pair expansion all built from
+    cross-engine-exact primitives.  The xxhash64 MinHash-LSH path stays
+    the production default (faster hashes, tunable recall).  Note: the
+    synthetic corpus draws from a ~50-word vocabulary, so simhashes
+    concentrate and the candidate rate (~10%) is far above what a real
+    corpus produces — the check certifies the machinery, not the recall
+    curve (that is ann_recall_report's job)."""
+    return dedup.simhash32_band_pairs(t(spark, sf_dir, "documents"))

@@ -451,3 +451,57 @@ def minhash32_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         lambda acc, x: F.zip_with(acc, rehs(x), lambda m, v: F.least(m, v)),
     )
     return df.select(F.col(id_col), F.posexplode(sig).alias("h_index", "minhash"))
+
+
+def simhash32_band_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16
+) -> DataFrame:
+    """Banded-SimHash candidate pairs (id_a < id_b), oracle-exact end to end.
+
+    32-bit md5 SimHash (simhash32_jvm) split into 32/band_bits bands;
+    docs sharing any (band, bucket) pair up.  Same bucket-group shape as
+    minhash_lsh_candidates — ONE shuffle on (band, bucket), pair expansion
+    with array exprs, distinct across bands — but built entirely from
+    cross-engine-exact primitives, so the whole candidate pipeline
+    (signature → banding → pair generation) is differentially checkable,
+    not just its row count.
+    """
+    n_bands = 32 // band_bits
+    sigs = simhash32_jvm(df, text_col, id_col)
+    band_rows = sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.pmod(
+                            (F.col("simhash32") / F.lit(float(1 << (band_bits * b))))
+                            .cast("long"),
+                            F.lit(1 << band_bits),
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    buckets = (
+        band_rows.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
