@@ -570,8 +570,8 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id, sum(is_new) AS n_sessions, count(*) AS n_events FROM (
         SELECT user_id,
-               CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
-                         OR epoch(ts) - lag(epoch(ts)) OVER w > 3600
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -584,11 +584,17 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     The classic streaming-adjacent batch shape (guide §OLAP patterns);
     single window shuffle on user_id, then reuse of the same partitioning
     for the aggregate (no second shuffle).
+
+    Gap cut is INTEGER-exact: microsecond longs (Spark unix_micros /
+    DuckDB epoch_us) compared against 3600*1_000_000 — a float epoch()
+    diff flips the `> 3600` boundary when source data carries sub-µs
+    precision (the round-2 red row).
     """
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = _epoch("ts") - F.lag(_epoch("ts")).over(w)
-    is_new = F.when(gap.isNull() | (gap > 3600), 1).otherwise(0)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 3600 * 1_000_000), 1).otherwise(0)
     return (
         ev.withColumn("is_new", is_new)
         .groupBy("user_id")

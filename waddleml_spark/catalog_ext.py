@@ -58,18 +58,23 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e1 JOIN events e2
       ON e1.user_id = e2.user_id
      AND e1.event_id < e2.event_id
-     AND abs(epoch(e1.ts) - epoch(e2.ts)) <= 60
+     AND abs(epoch_us(e1.ts) - epoch_us(e2.ts)) <= 60000000
     GROUP BY e1.user_id
     """,
 )
 def range_pairs_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: same-user event pairs within 60 s.  Bucketized equi-join
-    (3-bucket explode + residual filter) vs DuckDB's IEJoin oracle."""
+    (3-bucket explode + residual filter) vs DuckDB's IEJoin oracle.
+
+    Distance cut is integer-exact (µs longs both sides), immune to float
+    epoch() boundary drift under sub-µs source precision."""
     ev = t(spark, sf_dir, "events")
-    e1 = ev.select("user_id", F.col("event_id").alias("id1"), _epoch("ts").alias("t1"))
-    e2 = ev.select("user_id", F.col("event_id").alias("id2"), _epoch("ts").alias("t2"))
+    us = F.unix_micros(F.col("ts"))
+    e1 = ev.select("user_id", F.col("event_id").alias("id1"), us.alias("t1"))
+    e2 = ev.select("user_id", F.col("event_id").alias("id2"), us.alias("t2"))
     pairs = temporal.range_join_bucketized(
-        e1, e2, on=["user_id"], left_val="t1", right_val="t2", max_distance=60.0
+        e1, e2, on=["user_id"], left_val="t1", right_val="t2",
+        max_distance=60 * 1_000_000,
     ).filter(F.col("id1") < F.col("id2"))
     return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
 
