@@ -1,0 +1,42 @@
+"""Driver-contract invariants for __spark_entry__ (no Spark session needed).
+
+The driver hash-checks exactly the FIRST 50 entries of queries() against
+oracle_sql() at sf0.01; these tests pin the certification window so a
+refactor can't silently rotate a rows-only or unregistered query into it.
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+entry = importlib.import_module("__spark_entry__")
+from waddleml_spark import catalog  # noqa: E402
+
+
+def test_window_is_exactly_50_unique_names():
+    assert len(entry._DRIVER_WINDOW) == 50
+    assert len(set(entry._DRIVER_WINDOW)) == 50
+
+
+def test_window_entries_are_all_oracle_paired():
+    # rows-only entries can never hash-match; they must not burn a slot
+    missing_q = [n for n in entry._DRIVER_WINDOW if n not in catalog.QUERIES]
+    missing_o = [n for n in entry._DRIVER_WINDOW if n not in catalog.ORACLE]
+    assert not missing_q, f"window names without a query: {missing_q}"
+    assert not missing_o, f"window names without an oracle: {missing_o}"
+
+
+def test_queries_leads_with_window_and_keeps_everything():
+    q = entry.queries()
+    assert list(q)[:50] == list(entry._DRIVER_WINDOW)
+    assert set(q) == set(catalog.QUERIES)
+
+
+def test_oracle_keys_subset_of_queries():
+    q, o = entry.queries(), entry.oracle_sql()
+    assert set(o) <= set(q)
+    assert set(o) == set(catalog.ORACLE)

@@ -167,3 +167,19 @@ def test_pii_scrub_is_map_only(spark):
     # is the final tiny per-source aggregate
     df = q(spark, "pii_scrub_report")
     assert count_op(df, "Exchange") == 1
+
+
+def test_embedding_neardup_is_shuffle_join_not_broadcast(spark):
+    # near-dup pairs join on the blocking key must NOT broadcast a full
+    # side: at corpus scale that ships every embedding to every executor.
+    # Hash-partitioning both sides on `label` keeps each bucket's
+    # quadratic term local and AQE-splittable.
+    df = q(spark, "embedding_neardup_pairs")
+    assert_plan(df, contains=["SortMergeJoin"], absent=["BroadcastHashJoin"])
+
+
+def test_lsh_fed_verifiers_are_candidate_bounded(spark):
+    # the certified verify path hydrates LSH candidate pairs via equi-joins
+    # — never a non-equi quadratic join (BroadcastNestedLoopJoin)
+    for name in ("jaccard_verify_lsh", "levenshtein_verify_lsh"):
+        assert_plan(q(spark, name), absent=["BroadcastNestedLoopJoin", "CartesianProduct"])

@@ -240,8 +240,6 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with cos >= 0.3 (chosen so sf0.01 yields non-trivial rows).  The blocking key bounds the quadratic term exactly the
     way LSH buckets do at scale (swap label for lsh_bucket / ivf_cell on an
     unlabeled corpus — ann_lsh_topk_q0 / ivf_ann_topk_q0 are that path)."""
-    from waddleml_spark.session import fan_out
-
     # Per-row norms BEFORE the self-join: |a| is the same double whether
     # computed once per row or once per pair (identical sequential-sum op
     # sequence → bit-exact vs the oracle's per-pair sqrt(list_dot_product)),
@@ -250,16 +248,17 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", similarity.as_double(F.col("embedding")).alias("ed")
     )
     e = e.withColumn("nrm", F.sqrt(similarity.dot(F.col("ed"), F.col("ed"))))
-    # fan_out the probe side: the parquet is a single row group, so the
-    # broadcast self-join would otherwise expand every candidate pair in
-    # ONE task — repartition first so all cores share the quadratic term.
-    a, b = fan_out(e).alias("a"), e.alias("b")
+    # Shuffle-join on the blocking key, NEVER a full-side broadcast: at
+    # 100 TB shipping the whole corpus to every executor is the scale
+    # killer; hash-partitioning both sides on `label` keeps each bucket's
+    # quadratic term local to one task and lets AQE split skewed labels.
+    a, b = e.alias("a"), e.hint("shuffle_merge").alias("b")
     cos = similarity.dot(F.col("a.ed"), F.col("b.ed")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
     return (
         a.join(
-            F.broadcast(b),
+            b,
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
@@ -1303,3 +1302,78 @@ def simhash32_band_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus produces — the check certifies the machinery, not the recall
     curve (that is ann_recall_report's job)."""
     return dedup.simhash32_band_pairs(t(spark, sf_dir, "documents"))
+
+
+def _shingle_cte_sql() -> str:
+    """DuckDB twin of dedup.shingles(k=3): distinct word 3-grams with the
+    short-doc slice clamp (docs under 3 words shingle to the whole text)."""
+    return r"""
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(ws[i:i+2], ' ')
+                   for i in generate_series(1, greatest(len(ws) - 2, 1))
+               ]) AS sh
+        FROM (SELECT doc_id,
+                     str_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents)
+    """
+
+
+def _jaccard_verify_lsh_oracle() -> str:
+    return rf"""
+    WITH cand AS (
+        {_simhash32_pairs_oracle()}
+    ), d AS (
+        {_shingle_cte_sql()}
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM cand c
+    JOIN d a ON c.id_a = a.doc_id
+    JOIN d b ON c.id_b = b.doc_id
+    """
+
+
+@_register("jaccard_verify_lsh", _jaccard_verify_lsh_oracle())
+def jaccard_verify_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production near-dup verify shape: LSH candidate generation
+    (simhash32_band_pairs — banded, one shuffle) feeding the exact n-gram
+    Jaccard verifier (dedup.jaccard_pairs with candidates=...), so the
+    quadratic term is bounded by bucket size end to end.  Contrast with
+    jaccard_word_pairs_src0, which demos the verifier on a coarse source
+    block — this entry certifies the scale-safe composition value-exactly
+    (md5-simhash candidates and intersect/union ratios are bit-identical
+    across engines; the division of two small ints needs no rounding)."""
+    docs = t(spark, sf_dir, "documents")
+    cand = dedup.simhash32_band_pairs(docs)
+    return dedup.jaccard_pairs(docs, candidates=cand)
+
+
+def _levenshtein_verify_lsh_oracle() -> str:
+    return rf"""
+    WITH cand AS (
+        {_simhash32_pairs_oracle()}
+    ), d AS (
+        SELECT doc_id, lower(trim(text)) AS tx
+        FROM documents WHERE n_chars < 220
+    )
+    SELECT c.id_a, c.id_b, levenshtein(a.tx, b.tx) AS edit_dist
+    FROM cand c
+    JOIN d a ON c.id_a = a.doc_id
+    JOIN d b ON c.id_b = b.doc_id
+    """
+
+
+@_register("levenshtein_verify_lsh", _levenshtein_verify_lsh_oracle())
+def levenshtein_verify_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verify fed by LSH candidates (dedup.levenshtein_pairs):
+    the character-level complement of jaccard_verify_lsh, O(len²) DP
+    bounded to candidate pairs of short docs (n_chars < 220 pushes to the
+    scan on both engines).  JVM levenshtein built-in vs DuckDB's — same
+    classic DP, integer-exact."""
+    docs = t(spark, sf_dir, "documents")
+    cand = dedup.simhash32_band_pairs(docs)
+    return dedup.levenshtein_pairs(
+        docs.filter(F.col("n_chars") < 220), cand
+    )

@@ -212,6 +212,41 @@ def jaccard_pairs(
     )
 
 
+def levenshtein_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int | None = None,
+) -> DataFrame:
+    """Exact edit-distance verify for candidate pairs (jaccard_pairs' twin).
+
+    O(len²) DP per pair ⇒ ALWAYS candidate-fed: two equi-joins hydrate
+    (id_a, id_b) with normalized text, then the JVM levenshtein built-in
+    runs inside codegen.  `max_chars` optionally bounds the DP cost by
+    dropping long docs before the join (filter pushes to the scan).
+    Returns (id_a, id_b, edit_dist); pairs with either side filtered out
+    are dropped, mirroring an inner verify.
+    """
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.lower(F.trim(F.col(text_col))).alias("tx"),
+        *([F.length(F.trim(F.col(text_col))).alias("ln")] if max_chars else []),
+    )
+    if max_chars is not None:
+        d = d.filter(F.col("ln") < max_chars).drop("ln")
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        candidates.join(a, candidates.id_a == F.col("a.id"))
+        .join(b, candidates.id_b == F.col("b.id"))
+    )
+    return pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.levenshtein(F.col("a.tx"), F.col("b.tx")).alias("edit_dist"),
+    )
+
+
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
 ) -> DataFrame:
