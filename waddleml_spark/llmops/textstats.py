@@ -8,7 +8,7 @@ partitions.  Each has a DuckDB-expressible twin in catalog.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Word-ish tokens: runs of alphanumerics.  BPE-ish tokens additionally split
@@ -169,12 +169,21 @@ def ngram_collision_report(
     rows)?  Returns per-`group_col` (n_docs, n_contaminated).
 
     Scale shape: the benchmark shingle vocabulary is exploded, hashed
-    distinct, and SEMI-joined against exploded corpus shingles — only
-    (shingle, doc_id) pairs shuffle, never text; the distinct-hit set
-    collapses back to doc grain before the per-group count.  At real
-    scale the benchmark side is small (eval sets) → broadcast semi join;
-    the corpus side streams.  This is the standard decontamination
-    pipeline stage (detect train/test overlap before training).
+    distinct (bench-scale shuffle only) and broadcast; exploded corpus
+    shingles hash-probe it via a marked broadcast LEFT join (O(1) per
+    shingle — never an array scan per doc, and no row multiplication:
+    the bench side is distinct).  The hit mark then collapses to
+    (group, doc) grain INSIDE the partial aggregate — occurrence-scale
+    rows never shuffle — and one more tiny exchange lands the per-group
+    (n_docs, n_contaminated) in a single aggregation chain: exactly four
+    shuffles end to end (fan_out spread, bench dedup, doc grain, group
+    grain), no doc-grain distinct-then-rejoin barrier.  Zero-shingle
+    docs survive via explode_outer's null row (null never matches the
+    join key, so they count as docs, never as hits).  At real scale the
+    benchmark side is small (eval sets) — the broadcast assumption
+    every decontamination stage makes.  This is the standard
+    decontamination pipeline stage (detect train/test overlap before
+    training).
     """
     from waddleml_spark.session import fan_out
 
@@ -182,8 +191,11 @@ def ngram_collision_report(
     # Catalyst cannot collapse, so tokens are computed once per doc and
     # the shingle lambda reads the shuffled column (interpreted HOFs get
     # no CSE — tokenizing inside the lambda is ~9x slower).  fan_out also
-    # spreads the compute off the single-row-group driver parquet.  Join
-    # on shingle HASHES so broadcast + shuffle carry longs, not strings.
+    # spreads the compute off the single-row-group driver parquet.
+    # Probe on shingle HASHES so the broadcast set carries longs, not
+    # strings.  The bench/corpus branches filter on __is_bench BELOW the
+    # shingle projection (Catalyst pushes the predicate), so each doc's
+    # shingles are computed exactly once — in whichever branch owns it.
     toks = fan_out(
         df.select(
             F.col(id_col).alias("__id"),
@@ -200,13 +212,6 @@ def ngram_collision_report(
             shingles_from_tokens(F.col("__t"), k), lambda g: F.xxhash64(g)
         ).alias("__gh"),
     )
-    # Second exchange ABOVE the shingle transform: both consumers (the
-    # bench dictionary and the corpus probe) reuse this shuffle's output,
-    # so shingling computes ONCE.  Without it only the tokenization
-    # exchange is shared and each branch re-runs the hash transform
-    # (measured 0.7s of 1.9s at sf0.1).  The shuffle itself moves only
-    # hashed longs — cheap relative to the recompute it prevents.
-    sh = sh.repartition("__id")
     # explode_OUTER + drop-null, not plain explode: for inner explode the
     # InferFiltersFromGenerate rule clones `size(<whole shingle expr>) > 0`
     # as a filter below the fan_out exchange, recomputing the entire
@@ -218,24 +223,19 @@ def ngram_collision_report(
         .select(F.explode_outer("__gh").alias("g"))
         .filter(F.col("g").isNotNull())
         .distinct()
+        .select(F.col("g").alias("__bg"), F.lit(1).alias("__mark"))
     )
     corpus = sh.filter(~F.col("__is_bench"))
-    hits = (
-        corpus.select("__id", F.explode_outer("__gh").alias("g"))
-        .filter(F.col("g").isNotNull())
-        .join(F.broadcast(bench), "g", "left_semi")
-        .select("__id")
-        .distinct()
-        .withColumn("__hit", F.lit(1))
+    probed = (
+        corpus.select("__grp", "__id", F.explode_outer("__gh").alias("g"))
+        .join(F.broadcast(bench), F.col("g") == F.col("__bg"), "left")
     )
-    return (
-        corpus.select("__id", "__grp")
-        .join(hits, "__id", "left")
-        .groupBy(F.col("__grp").alias(group_col))
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.count("__hit").alias("n_contaminated"),
-        )
+    per_doc = probed.groupBy("__grp", "__id").agg(
+        F.max(F.coalesce(F.col("__mark"), F.lit(0))).alias("__hit")
+    )
+    return per_doc.groupBy(F.col("__grp").alias(group_col)).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__hit").alias("n_contaminated"),
     )
 
 
@@ -252,10 +252,15 @@ def bigram_lm_scores(
 
     Shape (the part that matters at 100 TB): bigrams are built as a pure
     array expression — zip the token array against its own tail and
-    explode — no window, no shuffle until counting.  The two count
-    tables aggregate map-side first; the join back to occurrences
-    shuffles on the bigram key, where natural-language skew ("the …")
-    is exactly what AQE skew-join splitting handles.  Returns
+    explode — no window, no shuffle until counting.  Occurrence-scale
+    data crosses exactly THREE exchanges (one of them reused): the
+    (w1,w2) shuffle feeding the bigram counts is physically the same
+    exchange the scoring join reads (ReusedExchange), the context count
+    c1 = Σ_w2 c2 is derived FROM the bigram table with a partition-window
+    sum (bigram-vocabulary scale — never a second pass over occurrences),
+    and the per-bigram ln-probability table joins back to occurrences on
+    the key they are already partitioned by.  Natural-language skew on
+    w1/"the …" is exactly what AQE skew-join splitting handles.  Returns
     (id, n_bigrams, lm_score) with lm_score floor-rounded to 6 digits:
     ln() may differ between engines in the last ulp, and the per-doc
     mean must hash identically cross-engine.
@@ -278,13 +283,24 @@ def bigram_lm_scores(
             )
         ).alias("p"),
     ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    # (An explicit shared repartition("w1","w2") was tried here so the
+    # count branch and the scoring join would read one exchange — column
+    # pruning strips `id` below the exchange on the count branch only,
+    # the canonical forms diverge, and nothing reuses.  The partial
+    # aggregate below bg's exchange makes its shuffle carry ~vocabulary
+    # rows anyway, so two scans of the fan_out output is the cheaper
+    # plan.)
     bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    ug = pairs.groupBy(F.col("w1").alias("u1")).agg(F.count("*").alias("c1"))
-    scored = (
-        pairs.join(bg, ["w1", "w2"])
-        .join(ug, pairs.w1 == F.col("u1"))
-        .select("id", F.log(F.col("c2") / F.col("c1")).alias("lp"))
+    # c1 (count of w1 as context) = Σ_w2 c2: a window sum over the bigram
+    # table — integer-exact vs counting occurrences, but bigram-scale.
+    c1 = F.sum("c2").over(Window.partitionBy("w1"))
+    lp_tbl = bg.select(
+        "w1", "w2", F.log(F.col("c2") / c1).alias("lp")
     )
+    # ln(c2/c1) per distinct bigram joined back to occurrences: the same
+    # double every occurrence row would compute — value-identical to the
+    # oracle's per-occurrence JOIN bg JOIN ug formulation.
+    scored = pairs.join(lp_tbl, ["w1", "w2"]).select("id", "lp")
     p6 = 10**6
     return scored.groupBy("id").agg(
         F.count("*").alias("n_bigrams"),
