@@ -20,11 +20,102 @@ def test_extract_features_schema_and_determinism(spark, media):
     rows = {r.media_id: r for r in out.collect()}
     assert len(rows) == 500
     r0 = rows[0]
+    # text bytes are no known media format -> digest stub fallback
+    assert r0.decoder == "stub"
     assert r0.feat_dim == 8 and 0.0 <= r0.feat_mean <= 1.0
     assert len(r0.payload_sha) == 64
     # deterministic across runs
     again = {r.media_id: r.payload_sha for r in multimodal.extract_features(media).collect()}
     assert again[0] == r0.payload_sha
+
+
+def _ppm_bytes(arr):
+    import numpy as np
+
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode() + np.ascontiguousarray(arr).tobytes()
+
+
+def _bmp_bytes(arr):
+    """Minimal 24-bit BI_RGB BMP writer (bottom-up, padded rows)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    for row in arr[::-1]:  # bottom-up
+        line = np.ascontiguousarray(row[:, ::-1]).tobytes()  # RGB->BGR
+        raster += line + b"\x00" * (stride - len(line))
+    off = 14 + 40
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+        + raster
+    )
+
+
+def _wav_bytes(samples, rate=8000):
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_real_decoders_match_numpy():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    # PPM round-trip is exact
+    assert (multimodal.decode_ppm(_ppm_bytes(img)) == img).all()
+    # BMP round-trip (padded, bottom-up, BGR) is exact
+    assert (multimodal.decode_bmp(_bmp_bytes(img)) == img).all()
+    # WAV PCM16 round-trip
+    samples = (np.sin(np.linspace(0, 20, 64)) * 20000).astype(np.int16)
+    rate, ch, got = multimodal.decode_wav(_wav_bytes(samples))
+    assert rate == 8000 and ch == 1 and (got == samples).all()
+    # dispatcher: real stats equal numpy's
+    dec, feats, w, h = multimodal.decode_media(_ppm_bytes(img))
+    assert dec == "ppm" and (w, h) == (3, 5)
+    px = img.astype(np.float64)
+    assert feats[0] == px[:, :, 0].mean() / 255.0
+    assert feats[3] == px.std() / 255.0
+    dec, feats, _, _ = multimodal.decode_media(_wav_bytes(samples))
+    x = samples.astype(np.float64) / 32768.0
+    assert dec == "wav" and feats[1] == np.sqrt((x * x).mean())
+
+
+def test_extract_features_decodes_real_media(spark):
+    import numpy as np
+
+    img = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(4, 2, 3)
+    samples = np.array([0, 1000, -1000, 32000], dtype=np.int16)
+    rows = [
+        (1, "image", "image/x-portable-pixmap", bytearray(_ppm_bytes(img)), None),
+        (2, "image", "image/bmp", bytearray(_bmp_bytes(img)), None),
+        (3, "audio", "audio/wav", bytearray(_wav_bytes(samples)), None),
+        (4, "image", "image/png", bytearray(b"\x89PNG\r\n\x1a\nrest"), None),
+        (5, "image", "text/plain", bytearray(b"just words"), None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    assert got[1].decoder == "ppm" and (got[1].width, got[1].height) == (2, 4)
+    assert got[2].decoder == "bmp" and got[2].feat_mean == got[1].feat_mean
+    assert got[3].decoder == "wav" and got[3].feat_dim == 3
+    # compressed codec: honest per-row gate, job survives
+    assert got[4].decoder == "unsupported" and got[4].feat_mean is None
+    assert got[5].decoder == "stub" and got[5].feat_dim == 8
+    px = img.astype(np.float64)
+    expect = (px[:, :, 0].mean() / 255 + px[:, :, 1].mean() / 255
+              + px[:, :, 2].mean() / 255 + px.std() / 255) / 4
+    assert abs(got[1].feat_mean - expect) < 1e-12
 
 
 def test_resize_images_tracks_dims(spark, media):

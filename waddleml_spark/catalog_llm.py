@@ -366,7 +366,12 @@ def ivf_ann_topk_q0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("multimodal_features", None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = multimodal.docs_as_media(t(spark, sf_dir, "documents"))
+    """REAL decode end to end (rows-only): documents become binary-PPM
+    payloads JVM-side (multimodal.docs_as_ppm_media), and the Arrow-batch
+    decode kernel (decode_ppm — numpy, no codec libs) computes genuine
+    per-channel pixel statistics; decoder column reads 'ppm', never
+    'stub'.  Compressed codecs remain import-gated."""
+    media = multimodal.docs_as_ppm_media(t(spark, sf_dir, "documents"))
     return multimodal.extract_features(media).orderBy("media_id")
 
 

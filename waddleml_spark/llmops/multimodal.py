@@ -5,10 +5,17 @@ waddle/_schema.py:70).
 Design: image/audio/video travel as `binary` columns with a metadata
 struct (modality, mime, width/height/duration...).  Decode / resize /
 frame-sample run as Arrow-batched functions over mapInPandas so each
-partition processes a columnar batch; the *decode kernel itself* is
-STUBBED (codec libraries are not in this container) behind
-`decode_stub`, which produces a deterministic fake so the Spark-side
-plumbing — schema, partitioning, batch shape — is real and tested.
+partition processes a columnar batch.
+
+Decode kernels: UNCOMPRESSED formats decode for real, numpy-only —
+PPM P6 (decode_ppm), BMP 24-bit BI_RGB (decode_bmp), WAV PCM16
+(decode_wav) — dispatched by magic bytes in decode_media, producing
+real pixel/sample statistics.  Compressed codecs (JPEG/PNG/GIF/media
+containers) stay honestly gated: their magics raise NotImplementedError
+(install PIL/libav in a real deployment), which extract_features maps
+to a per-row decoder='unsupported' marker instead of failing the job.
+Unknown payloads fall back to `decode_stub`'s deterministic fake so
+text-as-bytes fixtures still exercise the plumbing.
 
 At 100 TB: payloads dominate bytes; always project metadata-only unless
 the stage genuinely needs bytes (column pruning keeps payload IO zero
@@ -41,6 +48,9 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("modality", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("payload_sha", T.StringType(), True),
+        T.StructField("decoder", T.StringType(), True),  # ppm|bmp|wav|stub|unsupported
+        T.StructField("width", T.IntegerType(), True),   # images; null otherwise
+        T.StructField("height", T.IntegerType(), True),
         T.StructField("feat_mean", T.DoubleType(), True),
         T.StructField("feat_dim", T.IntegerType(), True),
     ]
@@ -59,11 +69,36 @@ def docs_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def docs_as_ppm_media(documents: DataFrame, side: int = 8) -> DataFrame:
+    """Adapter: build REAL binary-PPM (P6) payloads from document text —
+    header + the first side*side*3 bytes of the (repeated) UTF-8 text as
+    the RGB raster.  Entirely JVM-side (concat/repeat/substring on
+    binary), so the decode path downstream (decode_ppm in
+    extract_features) computes genuine pixel statistics on driver
+    fixtures without any codec library."""
+    need = side * side * 3
+    header = f"P6\n{side} {side}\n255\n"
+    # repeat the text until its UTF-8 encoding covers the raster
+    # (chars are ≥1 byte, so `need` chars always suffice); empty text
+    # falls back to a 1-char filler
+    txt = F.coalesce(F.nullif(F.col("text"), F.lit("")), F.lit("x"))
+    reps = (F.lit(need) / F.greatest(F.length(txt), F.lit(1))).cast("int") + 2
+    raster = F.substring(F.encode(F.repeat(txt, reps), "UTF-8"), 1, need)
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.concat(F.encode(F.lit(header), "UTF-8"), raster).alias("payload"),
+        F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("meta"),
+    )
+
+
 def decode_stub(payload: bytes) -> list[float]:
     """STUB decode kernel — deterministic fake feature vector.
 
-    Real deployments drop in PIL/libav here; the container has neither,
-    so features derive from the payload digest (stable across runs).
+    Fallback for payloads that are no known media format (e.g. text
+    bytes in the driver fixtures): features derive from the payload
+    digest (stable across runs) so the plumbing stays testable.
     """
     if payload is None:
         raise NotImplementedError("no payload; real decoder not bundled")
@@ -71,12 +106,169 @@ def decode_stub(payload: bytes) -> list[float]:
     return [b / 255.0 for b in digest[:8]]
 
 
+# --- real decode kernels (numpy-only, uncompressed formats) -----------------
+
+
+def decode_ppm(payload: bytes):
+    """Decode binary PPM (P6): returns uint8 ndarray of shape (h, w, 3).
+
+    Pure numpy — header is ASCII `P6 <w> <h> <maxval>` with optional
+    `#` comments, then a single whitespace byte and the raw RGB raster.
+    """
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # tokenize header: magic, width, height, maxval (comments skipped)
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    need = w * h * 3
+    raster = payload[pos : pos + need]
+    if len(raster) < need:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes):
+    """Decode uncompressed 24-bit BI_RGB BMP: uint8 ndarray (h, w, 3), RGB.
+
+    Handles the classic BITMAPINFOHEADER layout: 4-byte-aligned rows,
+    bottom-up raster (top-down when height < 0), BGR channel order.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BI_RGB supported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload[data_off : data_off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def decode_wav(payload: bytes):
+    """Decode WAV PCM16: returns (sample_rate, n_channels, int16 ndarray).
+
+    Walks RIFF chunks (fmt / data, skipping others), little-endian PCM.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+    return rate, channels, samples
+
+
+_COMPRESSED_MAGICS = (
+    b"\xff\xd8\xff",      # JPEG
+    b"\x89PNG",           # PNG
+    b"GIF8",              # GIF
+    b"\x00\x00\x00\x18ftyp",  # MP4 (common box size)
+    b"\x1a\x45\xdf\xa3",  # Matroska/WebM
+    b"OggS",              # Ogg
+)
+
+
+def decode_media(payload: bytes):
+    """Magic-byte dispatch → (decoder, feats, width, height).
+
+    Real statistics for uncompressed formats; NotImplementedError for
+    known compressed codecs (the honest gate — drop in PIL/libav);
+    digest-stub for anything else (e.g. text bytes).
+    Image feats: per-channel means + overall std, /255.
+    Audio feats: normalized mean, RMS, zero-crossing rate.
+    """
+    import numpy as np
+
+    if payload is None:
+        raise NotImplementedError("no payload; real decoder not bundled")
+    if payload[:2] == b"P6" or payload[:2] == b"BM":
+        arr = decode_ppm(payload) if payload[:2] == b"P6" else decode_bmp(payload)
+        px = arr.astype(np.float64)
+        feats = [
+            float(px[:, :, 0].mean()) / 255.0,
+            float(px[:, :, 1].mean()) / 255.0,
+            float(px[:, :, 2].mean()) / 255.0,
+            float(px.std()) / 255.0,
+        ]
+        return ("ppm" if payload[:2] == b"P6" else "bmp", feats,
+                int(arr.shape[1]), int(arr.shape[0]))
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        _rate, _ch, s = decode_wav(payload)
+        x = s.astype(np.float64) / 32768.0
+        if len(x) == 0:
+            feats = [0.0, 0.0, 0.0]
+        else:
+            feats = [
+                float(x.mean()),
+                float(np.sqrt((x * x).mean())),
+                float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean())
+                if len(x) > 1
+                else 0.0,
+            ]
+        return ("wav", feats, None, None)
+    for magic in _COMPRESSED_MAGICS:
+        if payload[: len(magic)] == magic:
+            raise NotImplementedError(
+                "compressed codec not bundled (install PIL/libav)"
+            )
+    return ("stub", decode_stub(payload), None, None)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: per-batch decode → fixed schema.
 
     Arrow batches in/out; bytes never round-trip through Python row
     objects.  Output is metadata + small features only (payload dropped) —
-    the pattern that keeps downstream stages payload-free."""
+    the pattern that keeps downstream stages payload-free.  Real decode
+    for PPM/BMP/WAV payloads (decode_media); compressed codecs mark the
+    ROW decoder='unsupported' rather than failing the job — at corpus
+    scale one bad payload must never kill the stage."""
     from waddleml_spark.session import ensure_shipped, fan_out
 
     ensure_shipped(media.sparkSession)
@@ -84,7 +276,20 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def batches(it):
         for pdf in it:
-            feats = [decode_stub(p) for p in pdf["payload"]]
+            out = {k: [] for k in
+                   ("decoder", "width", "height", "feat_mean", "feat_dim")}
+            for p in pdf["payload"]:
+                try:
+                    dec, feats, w, h = decode_media(p)
+                except (NotImplementedError, ValueError):
+                    dec, feats, w, h = "unsupported", None, None, None
+                out["decoder"].append(dec)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["feat_mean"].append(
+                    sum(feats) / len(feats) if feats else None
+                )
+                out["feat_dim"].append(len(feats) if feats else None)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
@@ -94,8 +299,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                         hashlib.sha256(p).hexdigest() if p is not None else None
                         for p in pdf["payload"]
                     ],
-                    "feat_mean": [sum(f) / len(f) for f in feats],
-                    "feat_dim": [len(f) for f in feats],
+                    **out,
                 }
             )
 
