@@ -228,13 +228,47 @@ def serve_in_thread(store: WaddleStore, host="127.0.0.1", port=8000, bus=None):
 
 def create_app(store: WaddleStore, bus: LiveBus | None = None):
     """Starlette app with the reference's exact routes incl. /ws —
-    import-gated (those libs are optional here, as in the ref CLI)."""
+    import-gated (those libs are optional here, as in the ref CLI).
+
+    WS wire parity: every LiveBus micro-batch is pushed to each
+    connected socket as the reference's per-insert frames
+    `{"type": "metric", run_id, key, step, ts, value}`
+    (waddle/_server.py:115-124, waddle/_run.py:133-135); bus publishes
+    arrive on worker threads, so sends hop to the app's event loop via
+    run_coroutine_threadsafe, and a failed send prunes the socket (the
+    reference's dead-client prune, T5)."""
+    import asyncio
+
     from starlette.applications import Starlette
     from starlette.responses import JSONResponse
     from starlette.routing import Route, WebSocketRoute
 
     routes = Routes(SparkDashboard(store), bus=bus)
     sockets: list = []
+    state: dict = {"loop": None}
+
+    async def _capture_loop():
+        state["loop"] = asyncio.get_running_loop()
+
+    def _push(rows: list[dict]) -> None:
+        loop = state["loop"]
+        if loop is None:
+            return
+        payloads = [json.dumps(m) for m in _metric_messages(rows)]
+
+        def _prune(ws):
+            def cb(fut):
+                if fut.exception() is not None and ws in sockets:
+                    sockets.remove(ws)
+            return cb
+
+        for ws in list(sockets):
+            for p in payloads:
+                fut = asyncio.run_coroutine_threadsafe(ws.send_text(p), loop)
+                fut.add_done_callback(_prune(ws))
+
+    if bus is not None:
+        bus.subscribe(_push)
 
     async def list_runs(request):
         return JSONResponse(routes.list_runs(dict(request.query_params)))
@@ -281,5 +315,6 @@ def create_app(store: WaddleStore, bus: LiveBus | None = None):
             Route("/api/metric-keys", metric_keys),
             Route("/api/metric-summary", metric_summary),
             WebSocketRoute("/ws", ws_endpoint),
-        ]
+        ],
+        on_startup=[_capture_loop],
     )
