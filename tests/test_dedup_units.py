@@ -160,3 +160,24 @@ def test_minhash32_exact_estimates_jaccard(spark, docs):
     assert agree(0, 2) == 32                  # whitespace/case-normalized dup
     assert agree(0, 3) >= 6                   # J=0.4 → E[agree]=12.8
     assert agree(0, 3) > agree(0, 5)          # near-dup beats unrelated
+
+
+def test_band_bits_must_divide_32(spark, docs):
+    import pytest as _pytest
+
+    from waddleml_spark.llmops import dedup as _dedup
+
+    with _pytest.raises(ValueError, match="band_bits must divide 32"):
+        _dedup.simhash32_band_pairs(docs, band_bits=12)
+
+
+def test_levenshtein_pairs_candidate_fed(spark):
+    from waddleml_spark.llmops import dedup as _dedup
+
+    rows = [(1, "kitten goes home"), (2, "sitting goes home"), (3, "zzz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = _dedup.levenshtein_pairs(df, cand).collect()
+    assert len(got) == 1 and got[0].edit_dist == 3  # kitten->sitting
+    # max_chars drops long docs before the join (pair disappears)
+    assert _dedup.levenshtein_pairs(df, cand, max_chars=10).count() == 0

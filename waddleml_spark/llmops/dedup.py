@@ -419,8 +419,11 @@ def simhash32_jvm(
     )
     h32 = lambda tok: F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")  # noqa: E731
     bits = F.sequence(F.lit(0), F.lit(31))
-    # bit b of h via pow-arithmetic (shiftright needs a literal count;
-    # doubles are exact far past 2^32 so the division is lossless)
+    # bit b of h via pow-arithmetic (shiftright needs a literal count).
+    # CAUTION — this trick is tied to the 32-bit hash width: h/2^b stays
+    # exact only while h < 2^53 (IEEE double mantissa).  A 64-bit variant
+    # must NOT reuse it (bits past 2^53 would silently corrupt); use the
+    # Arrow kernel (simhash_signatures) for 64-bit instead.
     contrib = lambda h: F.transform(  # noqa: E731
         bits,
         lambda b: F.pmod(
@@ -500,7 +503,15 @@ def simhash32_band_pairs(
     cross-engine-exact primitives, so the whole candidate pipeline
     (signature → banding → pair generation) is differentially checkable,
     not just its row count.
+
+    band_bits must divide 32 — otherwise the high `32 % band_bits`
+    signature bits would silently never land in any band.  The registered
+    catalog oracle (_simhash32_pairs_oracle) is pinned to band_bits=16.
     """
+    if 32 % band_bits != 0:
+        raise ValueError(
+            f"band_bits must divide 32 (got {band_bits}); valid: 1,2,4,8,16,32"
+        )
     n_bands = 32 // band_bits
     sigs = simhash32_jvm(df, text_col, id_col)
     band_rows = sigs.select(

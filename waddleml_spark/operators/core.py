@@ -222,6 +222,13 @@ def profile_columns(df: DataFrame, cols: Sequence[str] | None = None) -> DataFra
     shortest-repr formatting is not guaranteed stable across engines —
     oracle-paired profiles should stick to integer/string/timestamp
     columns (see catalog `profile_orders`).
+
+    CONTRACT: the timestamp pattern is SECOND precision by design —
+    the oracle twin renders with strftime('%Y-%m-%d %H:%M:%S'), so both
+    engines truncate sub-second digits identically.  Profiling a
+    micro-precision column (events.ts) therefore reports second-level
+    min/max; if fractional seconds are ever needed, extend BOTH
+    renderers in lockstep ('.SSSSSS' / '%f').
     """
     cols = list(cols or df.columns)
 

@@ -126,6 +126,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     to UTC-instant TIMESTAMP here instead.  Session tz is pinned to UTC
     first (runtime-settable — the driver hands us a bare session) so the
     NTZ→LTZ reinterpretation and DuckDB's naive-as-UTC epoch() agree.
+
+    SIDE EFFECT (deliberate, process-wide): the first read_table call
+    flips the session to UTC + inferTimestampNTZ=false and leaves it
+    there — every catalog query requires those semantics, and restoring
+    per-call would let a mid-plan conf flip change how a lazily-analyzed
+    sibling frame reads.  Co-resident code that needs local-time session
+    semantics must use its own SparkSession.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
