@@ -150,16 +150,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
-    if name == "events":
-        # older testdata gens write ts as TIMESTAMP(NANOS); without this
-        # runtime-settable conf the nanos column refuses to read
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass
+    # any driver table's temporal column may drift to TIMESTAMP(NANOS)
+    # between rounds (events.ts did in r1); without this runtime-settable
+    # conf a nanos column refuses to read at all
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    temporal_cols = {"ts", "o_orderdate", "l_shipdate"}
+    for f in df.schema.fields:
+        if f.name in temporal_cols and isinstance(f.dataType, T.LongType):
+            # nanosAsLong surfaced raw nanos: truncate to micros, exactly
+            # like DuckDB's ns→µs read of the same file
+            df = df.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000"))
+            )
     ntz_cols = [
         f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)
     ]
@@ -169,9 +175,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     # schema is semantically a timestamp (TESTDATA.md); cast(date as double)
     # would fail exactly like NTZ did, and date→timestamp(midnight UTC)
     # equals DuckDB epoch(DATE)
-    date_cols = {"ts", "o_orderdate", "l_shipdate"}
     for f in df.schema.fields:
-        if f.name in date_cols and isinstance(f.dataType, T.DateType):
+        if f.name in temporal_cols and isinstance(f.dataType, T.DateType):
             df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
