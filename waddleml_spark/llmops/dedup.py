@@ -16,6 +16,8 @@ Scale design:
 
 from __future__ import annotations
 
+from functools import reduce
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -409,49 +411,42 @@ def simhash32_jvm(
     Token hash = big-endian first 4 md5 bytes (Spark: one conv of the
     leading 8 hex chars; DuckDB: byte-swizzle of md5_number_upper) — the
     engine-portable trick: md5 is the only hash both engines compute
-    identically.  Per doc, one pass over the distinct-word array with a
-    32-counter accumulator (zip_with add, like the minhash running-min);
-    sign of each counter packs into a long.  Zero shuffle: a pure
-    projection, so at 100 TB it rides the scan.
+    identically.
+
+    Shape: explode distinct tokens → 32 SUM(±1)-per-bit aggregates
+    grouped by doc (literal shiftright per bit — plain codegen'd
+    expressions) → sign-pack into one long.  An earlier version folded
+    a 32-counter array accumulator over the token array as a pure
+    projection ("rides the scan") — but Spark evaluates higher-order
+    lambdas INTERPRETED, outside whole-stage codegen, and it measured
+    70x slower than this aggregate at sf0.1 (28.6 s → codegen sums).
+    The shuffle this buys is doc-grain: partial aggregation collapses
+    token rows map-side, so only ~32 longs per doc per partition move —
+    at 100 TB that is KBs per million docs, noise next to the text scan.
     """
     toks = F.array_distinct(
         F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " "), " ")
     )
-    h32 = lambda tok: F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")  # noqa: E731
-    bits = F.sequence(F.lit(0), F.lit(31))
-    # bit b of h via pow-arithmetic (shiftright needs a literal count).
-    # CAUTION — this trick is tied to the 32-bit hash width: h/2^b stays
-    # exact only while h < 2^53 (IEEE double mantissa).  A 64-bit variant
-    # must NOT reuse it (bits past 2^53 would silently corrupt); use the
-    # Arrow kernel (simhash_signatures) for 64-bit instead.
-    contrib = lambda h: F.transform(  # noqa: E731
-        bits,
-        lambda b: F.pmod(
-            (h / F.pow(F.lit(2.0), b.cast("double"))).cast("long"), F.lit(2)
-        )
-        * 2
-        - 1,
-    )
-    acc0 = F.array_repeat(F.lit(0).cast("long"), 32)
-    sums = F.aggregate(
-        F.transform(toks, h32),
-        acc0,
-        lambda acc, h: F.zip_with(acc, contrib(h), lambda a, d: a + d),
-    )
-    # two projections: the 32-counter pass materializes once, then the
-    # bit-pack reads it 32 times (CollapseProject keeps them separate —
-    # inlining would recompute the token pass per bit)
-    mid = df.select(F.col(id_col), sums.alias("__sums"))
-    sig = F.aggregate(
-        bits,
+    tok_rows = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+    h = F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10).cast("long")
+    hashed = tok_rows.select(id_col, h.alias("__h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"__s{b}")
+        for b in range(32)
+    ]
+    grouped = hashed.groupBy(id_col).agg(*bit_sums)
+    sig = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"__s{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+        range(32),
         F.lit(0).cast("long"),
-        lambda s, b: s
-        + F.when(
-            F.element_at(F.col("__sums"), b + 1) >= 0,
-            F.pow(F.lit(2.0), b.cast("double")).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
     )
-    return mid.select(F.col(id_col), sig.alias("simhash32"))
+    return grouped.select(F.col(id_col), sig.alias("simhash32"))
 
 
 # Fixed (a, b) pairs for the arithmetic minhash family h_i(x) = (a_i x + b_i)
@@ -473,22 +468,28 @@ def minhash32_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     rows-only-checkable.  This variant swaps the shingle hash for the
     big-endian first 4 md5 bytes (identical in both engines) and the
     per-function rehash for (a_i·x + b_i) mod (2^31−1) — products stay
-    under 2^63, exact in signed 64-bit everywhere.  Same zero-shuffle
-    accumulator shape as the fast path; the differential gate can then
-    certify the minhash CONSTRUCTION itself, not just row counts.
+    under 2^63, exact in signed 64-bit everywhere.
+
+    Shape: explode distinct shingles → 32 MIN aggregates grouped by doc
+    (plain codegen'd arithmetic) → long form via posexplode.  Like
+    simhash32_jvm, this replaces an interpreted array-accumulator
+    projection (HOF lambdas bypass whole-stage codegen and measured
+    several times slower); partial aggregation keeps the doc-grain
+    shuffle at 32 longs per doc per partition, and the differential
+    gate still certifies the minhash CONSTRUCTION itself.
     """
-    sh = shingles(text_col)  # distinct word 3-grams, JVM higher-order fns
-    h32 = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
-    acc0 = F.array_repeat(F.lit(_MH_P).cast("long"), len(_MH_AB))
-    rehs = lambda x: F.array(  # noqa: E731
-        *[(F.lit(a) * x + F.lit(b)) % F.lit(_MH_P) for a, b in _MH_AB]
+    sh_rows = df.select(F.col(id_col), F.explode(shingles(text_col)).alias("__s"))
+    h32 = F.conv(F.substring(F.md5(F.col("__s")), 1, 8), 16, 10).cast("long")
+    hashed = sh_rows.select(id_col, h32.alias("__h"))
+    mins = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(_MH_P)).alias(f"__m{i}")
+        for i, (a, b) in enumerate(_MH_AB)
+    ]
+    grouped = hashed.groupBy(id_col).agg(*mins)
+    sig = F.array(*[F.col(f"__m{i}") for i in range(len(_MH_AB))])
+    return grouped.select(
+        F.col(id_col), F.posexplode(sig).alias("h_index", "minhash")
     )
-    sig = F.aggregate(
-        F.transform(sh, h32),
-        acc0,
-        lambda acc, x: F.zip_with(acc, rehs(x), lambda m, v: F.least(m, v)),
-    )
-    return df.select(F.col(id_col), F.posexplode(sig).alias("h_index", "minhash"))
 
 
 def simhash32_band_pairs(

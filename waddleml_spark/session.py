@@ -115,6 +115,17 @@ def fan_out(df, min_partitions: int | None = None):
         return df.repartition(min_partitions or 32)
 
 
+# Per-session memo of normalized driver-table frames: a DataFrame is an
+# immutable lazy plan, so reuse is safe, and it saves the ~0.1 s of
+# driver-side file listing + footer/schema work EVERY call pays otherwise
+# (multi-table TPC-H shapes pay it up to 6x per query).  This mirrors the
+# DuckDB oracle harness, which registers each parquet view once per
+# connection.  WeakKeyDictionary: entries die with their session.
+from weakref import WeakKeyDictionary
+
+_TABLE_MEMO: WeakKeyDictionary = WeakKeyDictionary()
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver parquet table, normalizing timestamp physical types.
 
@@ -137,6 +148,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    memo = _TABLE_MEMO.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    if key in memo:
+        return memo[key]
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
@@ -178,6 +193,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     for f in df.schema.fields:
         if f.name in temporal_cols and isinstance(f.dataType, T.DateType):
             df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    memo[key] = df
     return df
 
 
