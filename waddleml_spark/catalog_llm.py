@@ -1277,9 +1277,11 @@ def minhash32_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash32_pairs_oracle() -> str:
-    """SQL twin of dedup.simhash32_band_pairs (band_bits=16): the simhash32
-    chain, then bands via integer division, then a self-join per shared
-    (band, bucket) with DISTINCT across bands."""
+    """SQL twin of dedup.simhash32_band_pairs (band_bits=16, max_bucket=64):
+    the simhash32 chain, then bands via integer division, then a self-join
+    per shared (band, bucket) with DISTINCT across bands.  The bsz CTE
+    mirrors the Spark-side mega-bucket star guard (buckets of more than 64
+    docs are excluded from pair expansion on BOTH engines)."""
     base = _simhash32_oracle()
     return rf"""
     WITH sigs AS (
@@ -1288,9 +1290,14 @@ def _simhash32_pairs_oracle() -> str:
         SELECT doc_id, b.band,
                (simhash32 // POWER(65536, b.band)::BIGINT) % 65536 AS bucket
         FROM sigs, (SELECT unnest(generate_series(0, 1)) AS band) b
+    ), bsz AS (
+        SELECT band, bucket FROM bands
+        GROUP BY band, bucket HAVING COUNT(*) BETWEEN 2 AND 64
+    ), kept AS (
+        SELECT bands.* FROM bands JOIN bsz USING (band, bucket)
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
+    FROM kept a JOIN kept b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     """
 

@@ -493,7 +493,11 @@ def minhash32_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def simhash32_band_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Banded-SimHash candidate pairs (id_a < id_b), oracle-exact end to end.
 
@@ -508,6 +512,17 @@ def simhash32_band_pairs(
     band_bits must divide 32 — otherwise the high `32 % band_bits`
     signature bits would silently never land in any band.  The registered
     catalog oracle (_simhash32_pairs_oracle) is pinned to band_bits=16.
+
+    max_bucket is the mega-bucket star guard (same 64 default as
+    minhash_lsh_candidates): a bucket of k docs expands to k(k-1)/2 pairs,
+    so one hot bucket — e.g. a boilerplate cluster whose members all share
+    a signature — turns the banded join quadratic (measured: a 370-doc
+    signature cluster at sf0.1 alone contributes ~68k pairs; unguarded the
+    banded join emitted 1.34M pairs from 5k docs).  Buckets past the cap
+    are dropped from pair expansion; dedup them via an exact-hash
+    representative pass instead (they're near-identical by construction).
+    The guard is mirrored in the oracle SQL, so the capped pipeline stays
+    differentially certified.  max_bucket=None disables the guard.
     """
     if 32 % band_bits != 0:
         raise ValueError(
@@ -538,6 +553,8 @@ def simhash32_band_pairs(
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     pairs = F.flatten(
         F.transform(
             F.col("ids"),
