@@ -65,10 +65,17 @@ def main() -> None:
 
     names = sorted(catalog.ORACLE)
     rows = []
-    # Queries slower than this on their FIRST pass are timed once per
-    # engine (the heavy near-dup verifies run for minutes; 4 passes of
-    # JIT-warming a 100 s query measures nothing new).
+    # Queries slower than this on their FIRST pass get ONE extra timed
+    # pass (min of the two): a first execution can be inflated several
+    # seconds by plan compilation + C2 JIT, and recording it cold
+    # penalizes whichever query pays it.  Past very_slow_cutoff the
+    # first pass stands — re-warming a minutes-long query measures
+    # nothing new.
     slow_cutoff = float(os.environ.get("SPARK_GRAFT_SLOW_CUTOFF", "5.0"))
+    very_slow_cutoff = float(os.environ.get("SPARK_GRAFT_VERY_SLOW_CUTOFF", "30.0"))
+    # Session warmup so the alphabetically-first query doesn't absorb
+    # executor/codegen startup (~5 s) into its own number.
+    force(catalog.QUERIES[names[0]](spark, args.sf_dir))
     for name in names:
         q = catalog.QUERIES[name]
         sql = catalog.ORACLE[name]
@@ -78,6 +85,13 @@ def main() -> None:
         t0 = time.perf_counter()
         con.execute(sql).fetchall()
         td = time.perf_counter() - t0
+        if max(ts, td) >= slow_cutoff and max(ts, td) < very_slow_cutoff:
+            t0 = time.perf_counter()
+            force(q(spark, args.sf_dir))
+            ts = min(ts, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            td = min(td, time.perf_counter() - t0)
         if max(ts, td) < slow_cutoff:
             # warm, then best-of-two (first pass above was the warmup)
             force(q(spark, args.sf_dir))

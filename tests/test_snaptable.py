@@ -1,0 +1,117 @@
+"""SnapTable: versioned commits, time travel, manifest pruning, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from waddleml_spark.sources import snaptable as st
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(tag).alias("tag"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_append_read_back_and_history(spark, tmp_path):
+    tbl = str(tmp_path / "t1")
+    v1 = st.write(_df(spark, 0, 100, "a"), tbl, mode="append")
+    v2 = st.write(_df(spark, 100, 150, "b"), tbl, mode="append")
+    assert (v1, v2) == (1, 2)
+    got = st.read(spark, tbl)
+    assert got.count() == 150
+    assert got.filter(F.col("tag") == "b").count() == 50
+    h = st.history(tbl)
+    assert [e["version"] for e in h] == [1, 2]
+    assert [e["rows"] for e in h] == [100, 150]
+    assert h[1]["operation"] == "append"
+
+
+def test_overwrite_and_time_travel(spark, tmp_path):
+    tbl = str(tmp_path / "t2")
+    st.write(_df(spark, 0, 100, "old"), tbl)
+    st.write(_df(spark, 0, 10, "new"), tbl, mode="overwrite")
+    assert st.read(spark, tbl).count() == 10
+    old = st.read(spark, tbl, version=1)
+    assert old.count() == 100
+    assert old.select(F.collect_set("tag")).first()[0] == ["old"]
+    with pytest.raises(FileNotFoundError):
+        st.read(spark, tbl, version=9)
+
+
+def test_append_schema_mismatch_rejected(spark, tmp_path):
+    tbl = str(tmp_path / "t3")
+    st.write(_df(spark, 0, 10, "a"), tbl)
+    widened = _df(spark, 10, 20, "b").withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="extra"):
+        st.write(widened, tbl, mode="append")
+    # overwrite MAY change schema (snapshot replaces the table wholesale)
+    st.write(widened, tbl, mode="overwrite")
+    assert "extra" in st.read(spark, tbl).columns
+
+
+def test_manifest_prune_skips_files(spark, tmp_path):
+    tbl = str(tmp_path / "t4")
+    # three commits with disjoint id ranges -> disjoint footer min/max
+    for lo in (0, 1000, 2000):
+        st.write(_df(spark, lo, lo + 500, f"r{lo}"), tbl, mode="append")
+    files = st.file_list(tbl)
+    assert all("id" in f["stats"] for f in files)
+    pruned = st._prune(files, "id", 1200, 1300)
+    assert 0 < len(pruned) < len(files)
+    got = st.read(spark, tbl, prune=("id", 1200, 1300))
+    # pruning is a file skip, not the predicate: still filter, same answer
+    assert got.filter(F.col("id").between(1200, 1300)).count() == 101
+    assert len(got.inputFiles()) < len(st.read(spark, tbl).inputFiles())
+    # a prune that excludes every file yields an empty frame, same schema
+    empty = st.read(spark, tbl, prune=("id", 10**9, None))
+    assert empty.count() == 0 and empty.columns == got.columns
+
+
+def test_prune_never_skips_without_stats(spark, tmp_path):
+    files = [{"path": "p", "rows": 1, "stats": {}}]
+    assert st._prune(files, "id", 0, 1) == files
+
+
+def test_commit_race_append_rebases_overwrite_refuses(spark, tmp_path):
+    tbl = str(tmp_path / "t5")
+    st.write(_df(spark, 0, 10, "a"), tbl)
+    entries = st._collect_entries(tbl, st.file_list(tbl)[0]["path"].rsplit("/", 1)[0])
+    # stale parent=0 while v1 exists: append rebases onto the tip -> v2
+    v = st._commit(tbl, entries, _df(spark, 0, 10, "a").schema, "append", parent=0)
+    assert v == 2
+    assert st.read(spark, tbl).count() == 10  # same files, deduped by path
+    with pytest.raises(RuntimeError, match="concurrent"):
+        st._commit(tbl, entries, _df(spark, 0, 10, "a").schema, "overwrite", parent=0)
+
+
+def test_vacuum_reclaims_unreferenced_files(spark, tmp_path):
+    tbl = str(tmp_path / "t6")
+    st.write(_df(spark, 0, 100, "old"), tbl)
+    st.write(_df(spark, 0, 10, "new"), tbl, mode="overwrite")
+    # crashed-commit orphan: a data dir no manifest references
+    orphan = os.path.join(tbl, st._DATA_DIR, "deadbeef")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-0.parquet"), "wb").close()
+    deleted = st.vacuum(tbl, keep_versions=1)
+    assert any("deadbeef" in p for p in deleted)
+    assert st.read(spark, tbl).count() == 10  # tip intact
+    with pytest.raises(FileNotFoundError):
+        st.read(spark, tbl, version=1)  # expired by vacuum
+    assert st.vacuum(tbl, keep_versions=1) == []  # idempotent
+
+
+def test_date_bounds_normalized_for_prune(spark, tmp_path):
+    import datetime as dt
+
+    tbl = str(tmp_path / "t7")
+    df = spark.range(0, 10).select(
+        F.col("id"), F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d")
+    )
+    st.write(df, tbl)
+    files = st.file_list(tbl)
+    got = st._prune(files, "d", dt.date(2024, 1, 1), dt.date(2024, 1, 5))
+    assert got  # date objects compare against ISO-string stats

@@ -183,12 +183,13 @@ def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            floor((CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.ws, b.ws)))) * 1000000 + 0.5)
+                  / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))))
+                 * 1000000 + 0.5)
                / 1000000 AS jac
     FROM d a, d b
     WHERE a.doc_id < b.doc_id
       AND len(list_intersect(a.ws, b.ws)) * 2
-          >= len(list_distinct(list_concat(a.ws, b.ws)))
+          >= len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))
     """,
 )
 def jaccard_word_pairs_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,7 +208,7 @@ def jaccard_word_pairs_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
-    union = F.size(F.array_union(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .filter(inter * 2 >= union)
@@ -1340,7 +1341,8 @@ def _jaccard_verify_lsh_oracle() -> str:
     )
     SELECT c.id_a, c.id_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-               / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               AS jaccard
     FROM cand c
     JOIN d a ON c.id_a = a.doc_id
     JOIN d b ON c.id_b = b.doc_id

@@ -190,8 +190,15 @@ def jaccard_pairs(
 
     With `candidates=None` computes all pairs — ONLY for tests/oracles;
     production always feeds LSH candidates so the join is bucket-bounded.
+
+    |A∪B| is computed as |A|+|B|−|A∩B| (shingle arrays are distinct by
+    construction), so each pair pays ONE hash-set pass (the intersect)
+    instead of two; the sizes ride in from the per-doc projection.
     """
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh"))
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(text_col, k).alias("sh"),
+    ).withColumn("n", F.size("sh"))
     if candidates is None:
         a, b = sh.alias("a"), sh.alias("b")
         pairs = a.join(b, F.col("a.id") < F.col("b.id"))
@@ -202,7 +209,7 @@ def jaccard_pairs(
             .join(b, candidates.id_b == F.col("b.id"))
         )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    union = F.col("a.n") + F.col("b.n") - inter
     jac = inter.cast("double") / union.cast("double")
     return (
         pairs.select(

@@ -1,10 +1,15 @@
-"""Lakehouse table-format connectors — import-gated stubs.
+"""Lakehouse table-format connectors.
 
 Delta/Iceberg/Hudi need their runtime jars on the Spark classpath; this
 container ships none (environment policy: no installs).  The functions
 probe for the format and raise an actionable error otherwise, so callers
 can feature-detect with try/except.  On a cluster with the jars present
 they work as-is.
+
+When none of the external formats resolve, ``sources/snaptable.py`` is
+the built-in, fully-functional fallback: versioned snapshot commits over
+plain parquet + JSON manifests with time travel, manifest-level min/max
+file pruning, history, and vacuum — no jars required.
 """
 
 from __future__ import annotations

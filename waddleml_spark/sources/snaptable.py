@@ -1,0 +1,330 @@
+"""SnapTable — a minimal self-contained snapshot table format.
+
+The lakehouse connectors in this package (sources/lakehouse.py) feature-
+probe for Delta/Iceberg/Hudi and step aside when their jars are absent.
+SnapTable is the built-in fallback: the same core capabilities — ACID-ish
+versioned commits, time travel, and manifest-level file pruning — built
+from nothing but parquet data files plus JSON manifests, the public
+design shared by Delta Lake's transaction log and Iceberg's manifests.
+
+Layout::
+
+    <table>/
+      _snaptable/
+        v00000001.json       # one manifest per committed version
+        v00000002.json
+      data/
+        <commit-uuid>/part-*.parquet
+
+A manifest is the COMPLETE state of one version: schema (Spark JSON),
+the list of live data files with per-file row counts and per-column
+min/max stats, the parent version, and the operation.  Readers never
+list the data directory — they read one manifest and load exactly the
+files it names, which is what makes old versions immutable (time
+travel) and lets the planner skip files whose [min, max] range can't
+match a predicate before Spark ever sees them.
+
+Commit protocol (optimistic concurrency, single-writer-wins per
+version): data files land under a fresh uuid directory first, then the
+manifest is written to a temp name and atomically renamed to
+``v{N+1}.json``.  ``os.rename`` fails or overwrites only within the
+same filesystem — on a real object store you'd use a conditional PUT;
+the protocol shape is identical.  A crashed writer leaves an orphan
+uuid directory that no manifest references; ``vacuum`` collects those.
+
+Scale notes: all SnapTable bookkeeping is METADATA-ONLY — stats come
+from parquet footers (never data pages), manifests are O(n_files), and
+the actual rows move exclusively through Spark jobs.  Per-file stats
+collection parallelizes over a thread pool (footer reads are I/O
+bound).  At 100 TB / tens of thousands of files the manifest is a few
+MB of JSON; Iceberg splits manifests hierarchically at that point,
+which this deliberately does not (documented simplification).
+
+No counterpart in the reference (briangu/waddleml stores everything in
+one embedded DuckDB file, waddle/_db.py); this extends the engine the
+way its users would need for reproducible corpus snapshots (see
+llmops: corpus_snapshot_diff, incremental_dedup_report).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_MANIFEST_DIR = "_snaptable"
+_DATA_DIR = "data"
+
+# stats are kept only for types with a total order that JSON round-trips
+# exactly; everything else records nulls (pruning then never skips).
+_STATS_TYPES = {"long", "integer", "short", "byte", "double", "float", "string",
+                "date", "boolean"}
+
+
+@dataclass(frozen=True)
+class FileEntry:
+    path: str  # relative to table root
+    rows: int
+    stats: dict[str, tuple[Any, Any]]  # col -> (min, max), absent = unknown
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(table, _MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def _versions(table: str) -> list[int]:
+    mdir = os.path.join(table, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for n in os.listdir(mdir):
+        if n.startswith("v") and n.endswith(".json"):
+            try:
+                out.append(int(n[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def current_version(table: str) -> int:
+    """Latest committed version, or 0 if the table doesn't exist yet."""
+    vs = _versions(table)
+    return vs[-1] if vs else 0
+
+
+def _load_manifest(table: str, version: int) -> dict:
+    with open(_manifest_path(table, version)) as f:
+        return json.load(f)
+
+
+def _footer_stats(table: str, rel_path: str) -> FileEntry:
+    """Row count + per-column min/max from the parquet FOOTER only."""
+    md = pq.read_metadata(os.path.join(table, rel_path))
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            name = col.path_in_schema
+            if st is None or not st.has_min_max or "." in name:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue
+            if hasattr(mn, "isoformat"):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    stats = {c: (mins[c], maxs[c]) for c in mins}
+    return FileEntry(path=rel_path, rows=md.num_rows, stats=stats)
+
+
+def _collect_entries(table: str, rel_dir: str) -> list[FileEntry]:
+    data_dir = os.path.join(table, rel_dir)
+    rels = [
+        os.path.join(rel_dir, n)
+        for n in sorted(os.listdir(data_dir))
+        if n.endswith(".parquet")
+    ]
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(rels)))) as ex:
+        return list(ex.map(lambda r: _footer_stats(table, r), rels))
+
+
+def _commit(
+    table: str,
+    entries: list[FileEntry],
+    schema: StructType,
+    operation: str,
+    parent: int,
+) -> int:
+    """Atomically publish version parent+1; retries on version races."""
+    manifest = {
+        "format": "snaptable/1",
+        "operation": operation,
+        "committed_at": time.time(),
+        "schema": json.loads(schema.json()),
+        "files": [
+            {"path": e.path, "rows": e.rows, "stats": e.stats} for e in entries
+        ],
+    }
+    os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
+    version = parent + 1
+    while True:
+        manifest["parent"] = version - 1
+        tmp = os.path.join(table, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        target = _manifest_path(table, version)
+        if os.path.exists(target):  # lost the race: rebase onto the new tip
+            os.unlink(tmp)
+            if operation == "overwrite":
+                raise RuntimeError(
+                    f"concurrent commit conflict at version {version} "
+                    "(overwrite cannot auto-rebase; retry the write)"
+                )
+            prev = _load_manifest(table, version)
+            prior = [
+                FileEntry(f["path"], f["rows"],
+                          {c: tuple(v) for c, v in f["stats"].items()})
+                for f in prev["files"]
+            ]
+            ours = [e for e in entries if e.path not in {p.path for p in prior}]
+            manifest["files"] = [
+                {"path": e.path, "rows": e.rows, "stats": e.stats}
+                for e in prior + ours
+            ]
+            version += 1
+            continue
+        os.rename(tmp, target)
+        return version
+
+
+def write(
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+) -> int:
+    """Commit ``df`` as a new snapshot version; returns the version number.
+
+    mode='append' adds the new files to the parent snapshot's file list;
+    mode='overwrite' makes the new files the entire table.  Either way
+    every pre-existing data file is left untouched on disk — old
+    versions stay readable (time travel) until ``vacuum``.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    parent = current_version(table)
+    commit_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+    df.write.mode("overwrite").parquet(os.path.join(table, commit_dir))
+    new_entries = _collect_entries(table, commit_dir)
+    if mode == "append" and parent > 0:
+        prev = _load_manifest(table, parent)
+        if json.loads(df.schema.json()) != prev["schema"]:
+            added = {f.name for f in df.schema} - {
+                f["name"] for f in prev["schema"]["fields"]
+            }
+            raise ValueError(
+                "append schema mismatch vs current snapshot"
+                + (f" (new columns: {sorted(added)})" if added else "")
+            )
+        prior = [
+            FileEntry(f["path"], f["rows"],
+                      {c: tuple(v) for c, v in f["stats"].items()})
+            for f in prev["files"]
+        ]
+        new_entries = prior + new_entries
+    return _commit(table, new_entries, df.schema, mode, parent)
+
+
+def _prune(files: list[dict], col: str, lo: Any, hi: Any) -> list[dict]:
+    # stats JSON-normalize temporals to ISO strings; mirror that on the
+    # caller's bounds so date/datetime prune bounds compare like-for-like
+    lo = lo.isoformat() if hasattr(lo, "isoformat") else lo
+    hi = hi.isoformat() if hasattr(hi, "isoformat") else hi
+    kept = []
+    for f in files:
+        st = f["stats"].get(col)
+        if st is None:  # unknown stats -> cannot skip
+            kept.append(f)
+            continue
+        mn, mx = st
+        if (hi is None or mn <= hi) and (lo is None or mx >= lo):
+            kept.append(f)
+    return kept
+
+
+def read(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    prune: tuple[str, Any, Any] | None = None,
+) -> DataFrame:
+    """Read a snapshot (latest by default; ``version=`` time-travels).
+
+    ``prune=(col, lo, hi)`` drops files whose footer [min, max] for
+    ``col`` can't intersect [lo, hi] BEFORE Spark plans the scan — the
+    manifest-level skip Iceberg/Delta do; Spark's own row-group pushdown
+    still applies inside the files that survive.  lo/hi of None are
+    open-ended.  Pruning is an optimization only: Spark re-applies the
+    real predicate, so a too-wide prune never changes results.
+    """
+    v = current_version(table) if version is None else version
+    if v < 1 or not os.path.exists(_manifest_path(table, v)):
+        raise FileNotFoundError(f"snaptable {table!r} has no version {v}")
+    man = _load_manifest(table, v)
+    files = man["files"]
+    if prune is not None:
+        files = _prune(files, *prune)
+    schema = StructType.fromJson(man["schema"])
+    if not files:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(table, f["path"]) for f in files]
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def history(table: str) -> list[dict]:
+    """Commit log, oldest first: version/operation/time/files/rows."""
+    out = []
+    for v in _versions(table):
+        m = _load_manifest(table, v)
+        out.append(
+            {
+                "version": v,
+                "parent": m["parent"],
+                "operation": m["operation"],
+                "committed_at": m["committed_at"],
+                "n_files": len(m["files"]),
+                "rows": sum(f["rows"] for f in m["files"]),
+            }
+        )
+    return out
+
+
+def file_list(table: str, version: int | None = None) -> list[dict]:
+    """The manifest's file entries (path/rows/stats) for inspection."""
+    v = current_version(table) if version is None else version
+    return _load_manifest(table, v)["files"]
+
+
+def vacuum(table: str, keep_versions: int = 1) -> list[str]:
+    """Delete data files unreachable from the newest ``keep_versions``
+    manifests (plus orphans from crashed commits); drops the expired
+    manifests too.  Returns the deleted file paths.  After vacuum,
+    time travel only reaches the kept versions — that's the trade.
+    """
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    vs = _versions(table)
+    if not vs:
+        return []
+    keep, drop = vs[-keep_versions:], vs[:-keep_versions]
+    live: set[str] = set()
+    for v in keep:
+        live |= {f["path"] for f in _load_manifest(table, v)["files"]}
+    deleted: list[str] = []
+    data_root = os.path.join(table, _DATA_DIR)
+    for dirpath, _dirs, names in os.walk(data_root, topdown=False):
+        for n in names:
+            rel = os.path.relpath(os.path.join(dirpath, n), table)
+            if rel not in live and (n.endswith(".parquet") or n.startswith(("_", "."))):
+                os.unlink(os.path.join(dirpath, n))
+                deleted.append(rel)
+        if not os.listdir(dirpath):
+            os.rmdir(dirpath)
+    for v in drop:
+        os.unlink(_manifest_path(table, v))
+    return deleted
