@@ -104,6 +104,40 @@ def test_vacuum_reclaims_unreferenced_files(spark, tmp_path):
     assert st.vacuum(tbl, keep_versions=1) == []  # idempotent
 
 
+def test_versioned_corpus_with_incremental_dedup(spark, tmp_path):
+    """The production loop SnapTable exists for: each crawl batch is
+    deduped against the PREVIOUS corpus snapshot (fingerprint anti-join —
+    text never rescans), survivors append as a new immutable version, and
+    every earlier snapshot stays reproducible for training-run pinning."""
+    from waddleml_spark.llmops import dedup
+    from waddleml_spark.session import read_table
+
+    tbl = str(tmp_path / "corpus")
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    batch1 = docs.filter(F.col("doc_id") % 2 == 0)
+    batch2 = docs  # second crawl re-sees ALL of batch1 plus the odd docs
+
+    v1 = st.write(dedup.exact_dedup_keep(batch1), tbl)
+    snap1 = st.read(spark, tbl, version=v1)
+    keep2 = dedup.incremental_dedup(batch2, snap1)
+    fresh = batch2.join(
+        keep2.select(F.col("keeper_id").alias("doc_id")), "doc_id", "semi"
+    )
+    v2 = st.write(fresh, tbl, mode="append")
+
+    n1, n2 = snap1.count(), st.read(spark, tbl, version=v2).count()
+    assert n1 > 0 and n2 > n1
+    # the combined snapshot has no duplicate content fingerprints
+    combined = st.read(spark, tbl)
+    n_fp = combined.select(
+        dedup.fingerprint(F.col("text")).alias("fp")
+    ).distinct().count()
+    assert n_fp == n2
+    # time travel: v1 is byte-stable after the append
+    assert st.read(spark, tbl, version=v1).count() == n1
+    assert [h["operation"] for h in st.history(tbl)] == ["append", "append"]
+
+
 def test_date_bounds_normalized_for_prune(spark, tmp_path):
     import datetime as dt
 
