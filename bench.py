@@ -52,13 +52,17 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Size configs to the data (guide: default partitioning is wrong at both
     # extremes).  At bench scale (≤600 k rows) shuffles are tiny: 8 shuffle
-    # partitions beat 32, and AQE's runtime re-planning costs more than the
-    # skew/coalesce wins it exists for — production sessions keep AQE on
-    # (session.get_spark default); the bench measures steady-state compute.
+    # partitions beat 32.  AQE stays ON (the shipped session default): its
+    # per-query planning cost is small, and skew-join splitting is worth 2x
+    # on the pair-hydration joins.  SPARK_GRAFT_AQE=0 for static plans.
     spark = get_spark(
         app_name="waddleml-bench",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        extra_conf={
+            "spark.sql.adaptive.enabled": (
+                "false" if os.environ.get("SPARK_GRAFT_AQE") == "0" else "true"
+            )
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -50,10 +50,19 @@ def main() -> None:
     args = ap.parse_args()
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # Production session config (AQE ON — the shipped default): the
+    # LSH-fed verifiers hydrate pairs through joins whose keys are
+    # skewed (one doc -> many pairs), and AQE's skew-join splitting is
+    # worth ~2x there (measured: jaccard_verify_lsh 10s -> 5s at sf0.1).
+    # SPARK_GRAFT_AQE=0 reproduces the old static-plan numbers.
     spark = get_spark(
         app_name="waddleml-bench-vs-oracle",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        extra_conf={
+            "spark.sql.adaptive.enabled": (
+                "false" if os.environ.get("SPARK_GRAFT_AQE") == "0" else "true"
+            )
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -36,6 +36,8 @@ QUERIES = [
     "asof_purchase_click",
     "exact_dedup_docs",
     "minhash_lsh_candidates",
+    "simhash32_band_pairs",
+    "jaccard_verify_lsh",
     "cosine_topk_q0",
     "top3_orders_per_cust",
     "hypertable_rollup_day",

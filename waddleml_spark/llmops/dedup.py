@@ -56,7 +56,14 @@ def exact_dedup_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def shingles(text_col: str, k: int = 3) -> F.Column:
-    """Word k-gram shingle array (distinct), via JVM-side higher-order fns."""
+    """Word k-gram shingle array (distinct), via JVM-side higher-order fns.
+
+    NOTE the HOF lambda evaluates INTERPRETED (outside whole-stage
+    codegen) — fine when the array rides along a projection, but for
+    row-per-shingle consumers use shingle_rows(), whose generator +
+    element-access shape is fully codegen'd (measured 6x faster on the
+    same corpus).  Both produce the identical distinct shingle SET.
+    """
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " "), " ")
     n = F.size(toks)
     grams = F.transform(
@@ -64,6 +71,45 @@ def shingles(text_col: str, k: int = 3) -> F.Column:
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
     return F.array_distinct(grams)
+
+
+def shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, __s) rows: one distinct word-k-gram shingle per row —
+    codegen-friendly twin of exploding shingles().
+
+    Shape: explode a position sequence (generator — codegen'd) and build
+    each gram with F.get element access + concat_ws (plain expressions),
+    instead of a higher-order transform lambda (interpreted; measured
+    3.5 s vs 0.6 s for 260k shingles at sf0.1).  concat_ws skips the
+    nulls F.get yields past the end, which reproduces shingles()'s
+    short-doc clamp (docs under k words shingle to the whole text);
+    distinct=True mirrors array_distinct (one shuffle).  Pass
+    distinct=False for duplicate-insensitive consumers (MIN/MAX
+    aggregates) — then nothing shuffles and the token array never
+    leaves its scan partition.
+    """
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " "), " ")
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("__t"), F.size(toks).alias("__n")
+    )
+    idx = base.select(
+        "id",
+        "__t",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("__n") - k, F.lit(0)))
+        ).alias("__i"),
+    )
+    gram = F.concat_ws(
+        " ", *[F.get(F.col("__t"), F.col("__i") + j) for j in range(k)]
+    )
+    rows = idx.select("id", gram.alias("__s"))
+    return rows.distinct() if distinct else rows
 
 
 def minhash_lsh_candidates(
@@ -194,15 +240,34 @@ def jaccard_pairs(
     |A∪B| is computed as |A|+|B|−|A∩B| (shingle arrays are distinct by
     construction), so each pair pays ONE hash-set pass (the intersect)
     instead of two; the sizes ride in from the per-doc projection.
+
+    Candidate-fed hydration only shingles docs that PARTICIPATE in a
+    pair (semi-join on the candidate id set first — at corpus scale the
+    candidates are a sliver of the corpus, so this skips almost all of
+    the shingling), and builds each doc's shingle set on the codegen
+    path (shingle_rows + collect_set) instead of the interpreted HOF
+    array projection.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingles(text_col, k).alias("sh"),
-    ).withColumn("n", F.size("sh"))
     if candidates is None:
+        sh = df.select(
+            F.col(id_col).alias("id"),
+            shingles(text_col, k).alias("sh"),
+        ).withColumn("n", F.size("sh"))
         a, b = sh.alias("a"), sh.alias("b")
         pairs = a.join(b, F.col("a.id") < F.col("b.id"))
     else:
+        ids = (
+            candidates.select(F.col("id_a").alias("id"))
+            .union(candidates.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        part = df.join(ids, df[id_col] == ids["id"], "semi")
+        sh = (
+            shingle_rows(part, text_col, id_col, k, distinct=False)
+            .groupBy("id")
+            .agg(F.collect_set("__s").alias("sh"))
+            .withColumn("n", F.size("sh"))
+        )
         a, b = sh.alias("a"), sh.alias("b")
         pairs = (
             candidates.join(a, candidates.id_a == F.col("a.id"))
@@ -477,15 +542,19 @@ def minhash32_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     per-function rehash for (a_i·x + b_i) mod (2^31−1) — products stay
     under 2^63, exact in signed 64-bit everywhere.
 
-    Shape: explode distinct shingles → 32 MIN aggregates grouped by doc
-    (plain codegen'd arithmetic) → long form via posexplode.  Like
-    simhash32_jvm, this replaces an interpreted array-accumulator
-    projection (HOF lambdas bypass whole-stage codegen and measured
-    several times slower); partial aggregation keeps the doc-grain
-    shuffle at 32 longs per doc per partition, and the differential
-    gate still certifies the minhash CONSTRUCTION itself.
+    Shape: shingle rows via the codegen generator path (shingle_rows,
+    distinct=False — MIN is duplicate-insensitive, so the distinct
+    shuffle is skipped too) → 32 MIN aggregates grouped by doc (plain
+    codegen'd arithmetic) → long form via posexplode.  Like
+    simhash32_jvm, this replaces interpreted HOF shapes (lambdas bypass
+    whole-stage codegen; the exploded-transform shingling alone measured
+    3.5 s of this query's 4.4 s at sf0.1); partial aggregation keeps the
+    doc-grain shuffle at 32 longs per doc per partition, and the
+    differential gate still certifies the minhash CONSTRUCTION itself.
     """
-    sh_rows = df.select(F.col(id_col), F.explode(shingles(text_col)).alias("__s"))
+    sh_rows = shingle_rows(df, text_col, id_col, distinct=False).select(
+        F.col("id").alias(id_col), "__s"
+    )
     h32 = F.conv(F.substring(F.md5(F.col("__s")), 1, 8), 16, 10).cast("long")
     hashed = sh_rows.select(id_col, h32.alias("__h"))
     mins = [
