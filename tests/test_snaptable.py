@@ -138,6 +138,24 @@ def test_versioned_corpus_with_incremental_dedup(spark, tmp_path):
     assert [h["operation"] for h in st.history(tbl)] == ["append", "append"]
 
 
+def test_concurrent_appenders_all_land(spark, tmp_path):
+    """8 threads race append commits; OCC rebase must lose no batch."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    tbl = str(tmp_path / "race")
+    st.write(_df(spark, 0, 10, "seed"), tbl)
+
+    def append(i):
+        return st.write(_df(spark, 100 * (i + 1), 100 * (i + 1) + 10, f"w{i}"), tbl)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        versions = list(ex.map(append, range(8)))
+    assert len(set(versions)) == 8  # every commit got its own version
+    final = st.read(spark, tbl)
+    assert final.count() == 90  # seed + 8 batches of 10, none lost
+    assert final.select("tag").distinct().count() == 9
+
+
 def test_date_bounds_normalized_for_prune(spark, tmp_path):
     import datetime as dt
 

@@ -241,12 +241,15 @@ def jaccard_pairs(
     construction), so each pair pays ONE hash-set pass (the intersect)
     instead of two; the sizes ride in from the per-doc projection.
 
-    Candidate-fed hydration only shingles docs that PARTICIPATE in a
-    pair (semi-join on the candidate id set first — at corpus scale the
-    candidates are a sliver of the corpus, so this skips almost all of
-    the shingling), and builds each doc's shingle set on the codegen
+    Candidate-fed hydration builds each doc's shingle set on the codegen
     path (shingle_rows + collect_set) instead of the interpreted HOF
-    array projection.
+    array projection, and the two hydration joins are INNER — docs with
+    no candidate pair drop at the join.  Their shingle sets are still
+    computed map-side first (cheap, codegen); deriving the participant
+    id set from `candidates` instead would re-evaluate the entire
+    candidate pipeline per branch (measured: 19 exchanges vs 7).  At
+    corpus scale, persist the small candidates frame and semi-filter
+    `df` on it BEFORE calling this if shingling cost ever dominates.
     """
     if candidates is None:
         sh = df.select(
@@ -256,14 +259,8 @@ def jaccard_pairs(
         a, b = sh.alias("a"), sh.alias("b")
         pairs = a.join(b, F.col("a.id") < F.col("b.id"))
     else:
-        ids = (
-            candidates.select(F.col("id_a").alias("id"))
-            .union(candidates.select(F.col("id_b").alias("id")))
-            .distinct()
-        )
-        part = df.join(ids, df[id_col] == ids["id"], "semi")
         sh = (
-            shingle_rows(part, text_col, id_col, k, distinct=False)
+            shingle_rows(df, text_col, id_col, k, distinct=False)
             .groupBy("id")
             .agg(F.collect_set("__s").alias("sh"))
             .withColumn("n", F.size("sh"))
