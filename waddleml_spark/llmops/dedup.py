@@ -129,46 +129,42 @@ def minhash_lsh_candidates(
     from waddleml_spark.session import fan_out
 
     rows_per_band = num_hashes // bands
-    # fan out before the hash-heavy projection: single-row-group inputs
+    # fan out before the hash-heavy stage: single-row-group inputs
     # otherwise pin num_hashes × |shingles| hashing onto one core
     src = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-    # Shingle hashing without building shingle strings: hash each token
-    # once, then hash k consecutive token-hashes (xxhash64 over 3 longs ≪
-    # concat_ws + hashing a 20-char string per shingle).  num_hashes minhash
-    # functions are cheap long re-hashes (multiplicative mixing would trip
-    # ANSI overflow checks).  Zero shuffle: signatures are a pure projection
-    # via array_min(transform) (vs the naive explode → groupBy which
-    # shuffles every (id, shingle) pair).
+    # Signature stage, fully codegen'd: shingle ROWS via an exploded
+    # position sequence (generator) + multi-arg xxhash64 over k token
+    # F.get accesses (nulls past the end hash as absent — the short-doc
+    # clamp), then num_hashes grouped MINs of cheap long re-hashes.
+    # Earlier versions kept signatures a zero-shuffle HOF array
+    # accumulator projection; HOF lambdas evaluate interpreted, and the
+    # accumulator was this operator's whole cost (measured 1.7s -> 0.6s
+    # end-to-end at sf0.1 after the rewrite).  The shuffle this buys is
+    # doc-grain only: partial MIN aggregation collapses shingle rows
+    # map-side, so ~num_hashes longs per doc per partition move.  No
+    # array_distinct: MIN is duplicate-insensitive.
     k = 3
     toks = F.split(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " "), " "
     )
-    hashed_toks = src.select("id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th"))
-    gram_hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(F.col("th")) - (k - 1), F.lit(1))),
-        # try_element_at: short docs (<k tokens) index past the end — NULL
-        # hashes deterministically instead of tripping ANSI bounds checks
-        lambda i: F.xxhash64(*[F.try_element_at(F.col("th"), i + j) for j in range(k)]),
+    base = src.select("id", toks.alias("__t"), F.size(toks).alias("__n"))
+    idx = base.select(
+        "id",
+        "__t",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("__n") - k, F.lit(0)))
+        ).alias("__i"),
     )
-    sh = hashed_toks.select("id", F.array_distinct(gram_hashes).alias("hs"))
-
-    # All num_hashes signatures in ONE pass over the shingle array: a
-    # running-min array accumulator (aggregate + zip_with/least).  The
-    # obvious alternative — num_hashes × array_min(transform(...)) — walks
-    # the shingle array num_hashes times and materializes num_hashes
-    # intermediate arrays of |shingles| longs each; the accumulator walks
-    # once and allocates arrays of num_hashes longs (measured 5x faster at
-    # sf0.1: 0.57s vs 2.82s for the signature stage).
-    max_long = (1 << 63) - 1
-    sig0 = F.array_repeat(F.lit(max_long), num_hashes)
-
-    def _step(acc: Column, h: Column) -> Column:
-        rehs = F.array(*[F.xxhash64(h, F.lit(seed + i)) for i in range(num_hashes)])
-        return F.zip_with(acc, rehs, lambda a, b: F.least(a, b))
-
-    minsigs = sh.select("id", F.aggregate(F.col("hs"), sig0, _step).alias("sig"))
-    # band signature = hash of the band's slice of the signature array →
-    # (id, band, sig)
+    gram_h = F.xxhash64(*[F.get(F.col("__t"), F.col("__i") + j) for j in range(k)])
+    gram_rows = idx.select("id", gram_h.alias("__g"))
+    minsigs = gram_rows.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("__g"), F.lit(seed + i))).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    # band signature = hash of the band's slice of the signature → (id,
+    # band, sig); plain column references, no array materialization
     band_rows = minsigs.select(
         "id",
         F.explode(
@@ -178,7 +174,7 @@ def minhash_lsh_candidates(
                         F.lit(b).alias("band"),
                         F.xxhash64(
                             *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
+                                F.col(f"__m{b * rows_per_band + r}")
                                 for r in range(rows_per_band)
                             ]
                         ).alias("sig"),
