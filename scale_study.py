@@ -97,11 +97,17 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/scale10")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--skip-build",
+        action="store_true",
+        help="reuse an existing replica at --out (re-time only)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="scale-study", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
-    build_replica(spark, args.base, args.out, args.factor)
+    if not args.skip_build:
+        build_replica(spark, args.base, args.out, args.factor)
     small = time_queries(spark, args.base)
     big = time_queries(spark, args.out)
     rows = {
