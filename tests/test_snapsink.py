@@ -42,6 +42,27 @@ def test_empty_batch_commits_nothing(spark, tmp_path):
     assert st.current_version(tbl) == 0
 
 
+def test_dedup_sink_skips_known_and_internal_dups(spark, tmp_path):
+    tbl = str(tmp_path / "d1")
+    sink = snapsink.dedup_snapshot_sink(tbl)
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # batch 0: one internal dup -> 2 docs land
+    sink(docs([(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")]), 0)
+    assert st.read(spark, tbl).count() == 2
+    # batch 1: one known dup, one fresh -> only the fresh doc lands
+    sink(docs([(4, "gamma"), (5, "delta")]), 1)
+    got = st.read(spark, tbl)
+    assert got.count() == 3
+    assert {r.text for r in got.collect()} == {"alpha beta", "gamma", "delta"}
+    # batch 2: everything known -> no new version
+    v = st.current_version(tbl)
+    sink(docs([(6, "delta"), (7, "alpha beta")]), 2)
+    assert st.current_version(tbl) == v
+
+
 def test_streaming_end_to_end_rate_source(spark, tmp_path):
     import time
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from waddleml_spark.sources import snaptable
 
@@ -60,6 +61,45 @@ def snapshot_sink(table: str):
         snaptable._commit(
             table, entries, df.schema, f"append-epoch-{epoch_id}", parent
         )
+
+    return sink
+
+
+def dedup_snapshot_sink(table: str, text_col: str = "text", id_col: str = "doc_id"):
+    """foreachBatch function: the streaming half of the corpus-ingestion
+    loop (examples/snapshot_lakehouse.py) — every micro-batch is exact-
+    deduped against the CURRENT snapshot's content fingerprints (anti-
+    join on 16-byte hashes; the stored corpus never rescans its text),
+    then within itself, and only the surviving representatives commit as
+    the next snapshot version.  Restart-idempotent like snapshot_sink
+    (re-delivered epochs skip); a batch whose docs are all already known
+    commits nothing.
+
+    At scale the fingerprint index should be a stored column: the read
+    here projects (id, text) -> fingerprints per batch, which Spark
+    prunes to just those columns via the manifest-listed files.
+    """
+    from waddleml_spark.llmops import dedup
+
+    base = snapshot_sink(table)
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        if df.isEmpty():
+            return
+        fresh = df
+        if snaptable.current_version(table) > 0:
+            # spark here is the micro-batch's session — never a global
+            spark = df.sparkSession
+            index = snaptable.read(spark, table)
+            keep = dedup.incremental_dedup(
+                df, index, text_col=text_col, id_col=id_col
+            )
+            fresh = df.join(
+                keep.select(F.col("keeper_id").alias(id_col)), id_col, "semi"
+            )
+        else:
+            fresh = dedup.exact_dedup_keep(df, text_col=text_col, id_col=id_col)
+        base(fresh, epoch_id)
 
     return sink
 
