@@ -1,0 +1,114 @@
+"""Pure-Python Delta log: commits, time travel, partitions, checkpoint,
+history, vacuum — all without delta-spark jars (deltalog.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from waddleml_spark.sources import deltalog as dl
+from waddleml_spark.sources import lakehouse
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(tag).alias("tag"), (F.col("id") * 2.0).alias("v")
+    )
+
+
+def test_append_read_back_and_layout(spark, tmp_path):
+    tbl = str(tmp_path / "t1")
+    v0 = dl.write_delta(_df(spark, 0, 100, "a"), tbl)
+    v1 = dl.write_delta(_df(spark, 100, 150, "b"), tbl)
+    assert (v0, v1) == (0, 1)  # delta versions are 0-based
+    got = dl.read_delta(spark, tbl)
+    assert got.count() == 150
+    assert got.filter(F.col("tag") == "b").count() == 50
+    # spec layout: %020d.json commits; first commit has protocol+metaData
+    log = sorted(os.listdir(os.path.join(tbl, "_delta_log")))
+    assert log[0] == f"{0:020d}.json"
+    actions = [
+        json.loads(line)
+        for line in open(os.path.join(tbl, "_delta_log", log[0]))
+        if line.strip()
+    ]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "protocol" and "metaData" in kinds and "add" in kinds
+
+
+def test_overwrite_and_time_travel(spark, tmp_path):
+    tbl = str(tmp_path / "t2")
+    dl.write_delta(_df(spark, 0, 100, "old"), tbl)
+    dl.write_delta(_df(spark, 0, 10, "new"), tbl, mode="overwrite")
+    assert dl.read_delta(spark, tbl).count() == 10
+    old = dl.read_delta(spark, tbl, version=0)
+    assert old.count() == 100
+    assert old.select(F.collect_set("tag")).first()[0] == ["old"]
+
+
+def test_partitioned_write_reconstructs_typed_columns(spark, tmp_path):
+    tbl = str(tmp_path / "t3")
+    df = spark.range(0, 90).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("bucket"),
+        F.concat(F.lit("doc"), F.col("id")).alias("body"),
+    )
+    dl.write_delta(df, tbl, partition_by=["bucket"])
+    got = dl.read_delta(spark, tbl)
+    assert got.count() == 90
+    assert dict(got.dtypes)["bucket"] == "bigint"  # cast back per schemaString
+    assert got.filter(F.col("bucket") == 2).count() == 30
+    assert got.columns == ["id", "bucket", "body"]  # metaData column order
+    # partition append keeps partitioning; mismatch is rejected
+    dl.write_delta(
+        spark.range(90, 120).select(
+            F.col("id"), (F.col("id") % 3).alias("bucket"), F.lit("x").alias("body")
+        ),
+        tbl,
+    )
+    assert dl.read_delta(spark, tbl).count() == 120
+    with pytest.raises(ValueError, match="partition_by"):
+        dl.write_delta(df, tbl, partition_by=["body"])
+
+
+def test_checkpoint_replaces_json_prefix(spark, tmp_path):
+    tbl = str(tmp_path / "t4")
+    for i in range(4):
+        dl.write_delta(_df(spark, i * 10, (i + 1) * 10, f"c{i}"), tbl)
+    v = dl.create_checkpoint(tbl)
+    assert v == 3
+    # drop every JSON commit the checkpoint covers: reads must still work
+    for i in range(v + 1):
+        os.unlink(os.path.join(tbl, "_delta_log", f"{i:020d}.json"))
+    assert dl.read_delta(spark, tbl).count() == 40
+    with open(os.path.join(tbl, "_delta_log", "_last_checkpoint")) as f:
+        assert json.load(f)["version"] == 3
+    # appends continue past the checkpoint
+    dl.write_delta(_df(spark, 40, 50, "c4"), tbl)
+    assert dl.read_delta(spark, tbl).count() == 50
+
+
+def test_history_vacuum_and_schema_guard(spark, tmp_path):
+    tbl = str(tmp_path / "t5")
+    dl.write_delta(_df(spark, 0, 20, "a"), tbl)
+    dl.write_delta(_df(spark, 0, 5, "b"), tbl, mode="overwrite")
+    h = dl.history(tbl)
+    assert [e["version"] for e in h] == [0, 1]
+    assert h[1]["operationParameters"]["mode"] == "overwrite"
+    deleted = dl.vacuum(tbl)
+    assert deleted, "overwritten files should be collected"
+    assert dl.read_delta(spark, tbl).count() == 5
+    with pytest.raises(ValueError, match="schema mismatch"):
+        dl.write_delta(spark.range(3), tbl)  # missing tag/v columns
+
+
+def test_lakehouse_read_delta_falls_back(spark, tmp_path):
+    tbl = str(tmp_path / "t6")
+    dl.write_delta(_df(spark, 0, 7, "x"), tbl)
+    # no delta jars in this container → must route through deltalog
+    assert not lakehouse.lakehouse_available(spark, "delta")
+    assert lakehouse.read_delta(spark, tbl).count() == 7
+    assert lakehouse.read_delta(spark, tbl, version=0).count() == 7

@@ -1,44 +1,62 @@
 """Lakehouse table-format connectors.
 
-Delta/Iceberg/Hudi need their runtime jars on the Spark classpath; this
-container ships none (environment policy: no installs).  The functions
-probe for the format and raise an actionable error otherwise, so callers
-can feature-detect with try/except.  On a cluster with the jars present
-they work as-is.
+``read_delta`` is fully functional with NO jars: it prefers the real
+``delta`` data source when its runtime is on the Spark classpath (so a
+cluster deployment gets deletion vectors / column mapping for free) and
+otherwise falls back to ``sources/deltalog.py`` — a pure-Python
+implementation of the public Delta transaction-log protocol (JSON
+commits + parquet checkpoints) that hands Spark the exact live file
+set.  ``write_delta`` / ``delta_history`` / ``delta_vacuum`` re-export
+the native-log implementations.
 
-When none of the external formats resolve, ``sources/snaptable.py`` is
-the built-in, fully-functional fallback: versioned snapshot commits over
-plain parquet + JSON manifests with time travel, manifest-level min/max
-file pruning, history, and vacuum — no jars required.
+Iceberg and Hudi genuinely need their runtime jars (Iceberg's manifests
+are avro; Hudi's timeline is runtime-managed); those readers probe and
+raise an actionable error so callers can feature-detect with
+try/except.  ``sources/snaptable.py`` remains the package-native
+snapshot format with manifest-level min/max pruning.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import deltalog
+from .deltalog import (  # noqa: F401  (public re-exports)
+    create_checkpoint as delta_checkpoint,
+    history as delta_history,
+    vacuum as delta_vacuum,
+    write_delta,
+)
+
 _HINTS = {
-    "delta": "install delta-spark / add io.delta:delta-spark jars and set "
-    "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension",
     "iceberg": "add org.apache.iceberg:iceberg-spark-runtime jars and a "
     "spark.sql.catalog.<name> configuration",
     "hudi": "add org.apache.hudi:hudi-spark-bundle jars",
 }
 
 
+def read_delta(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a Delta table: native data source when available, else the
+    pure-Python log replay (deltalog.read_delta).  ``version=`` time-
+    travels in either path."""
+    if lakehouse_available(spark, "delta"):
+        r = spark.read.format("delta")
+        if version is not None:
+            r = r.option("versionAsOf", version)
+        return r.load(path)
+    return deltalog.read_delta(spark, path, version=version)
+
+
 def _read_format(spark: SparkSession, fmt: str, path_or_table: str) -> DataFrame:
     try:
-        if fmt == "iceberg":
-            return spark.read.format(fmt).load(path_or_table)
         return spark.read.format(fmt).load(path_or_table)
     except Exception as e:  # jar missing → ClassNotFound / data source not found
         raise NotImplementedError(
             f"{fmt} support is not available in this environment "
             f"({type(e).__name__}); {_HINTS[fmt]}"
         ) from e
-
-
-def read_delta(spark: SparkSession, path: str) -> DataFrame:
-    return _read_format(spark, "delta", path)
 
 
 def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
