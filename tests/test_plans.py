@@ -148,16 +148,19 @@ def test_packing_offsets_broadcast_no_merge_join(spark):
     assert_plan(df, contains=["BroadcastHashJoin"], absent=["SortMergeJoin"])
 
 
-def test_profile_two_cheap_scans_no_expand(spark):
-    # the profile splits into (1) a distinct-free count/min/max pass and
-    # (2) distinct counts over a melted (column, value) projection — two
-    # scans, but NO Expand: the old single-pass multi-distinct plan
-    # multiplied every row (n_cols+1)x into wide mostly-null rows before
-    # the shuffle (measured 2.0s -> 0.8s at sf0.1).  The oracle's
-    # UNION ALL twin scans once per column.
+def test_profile_two_cheap_scans_one_narrow_expand(spark):
+    # the profile splits into (1) a distinct-free count/min/max pass —
+    # plain partial aggregation, Expand-free — and (2) ALL the exact
+    # distinct counts in their own aggregate, whose single Expand
+    # carries only grouping keys and collapses map-side.  The old
+    # single-pass plan dragged count/min/max through that Expand too,
+    # multiplying every row (n_cols+1)x into wide mostly-null rows
+    # (measured 2.0s -> 0.8s at sf0.1).  The two 1-row branches combine
+    # via a broadcast cross join — no shuffle joins anywhere.
     df = q(spark, "profile_orders")
     assert count_op(df, "Scan parquet") == 2
-    assert_plan(df, absent=["Expand"])
+    assert count_op(df, "Expand") == 1
+    assert_plan(df, absent=["SortMergeJoin", "ShuffledHashJoin"])
 
 
 def test_stratified_sample_pre_limits_per_group(spark):

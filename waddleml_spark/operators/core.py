@@ -209,13 +209,11 @@ def profile_columns(df: DataFrame, cols: Sequence[str] | None = None) -> DataFra
     min_s, max_s) — the pre-flight audit every ingest pipeline runs
     before committing a corpus version.
 
-    ONE aggregation job over the table (all columns' count/distinct/
-    min/max computed in a single pass; the multi-distinct plan uses
-    Catalyst's Expand, shuffling n_cols rows per input row of the
-    distinct-key projections only), then the 1-row result fans out to
-    one row per column via an array explode — no per-column rescans,
-    unlike the naive loop (or the oracle's UNION ALL twin, which scans
-    once per column).
+    ONE action over the table (two single-row aggregate branches:
+    count/min/max distinct-free, all exact distinct counts together),
+    then the combined 1-row result fans out to one row per column via
+    an array explode — no per-column rescans, unlike the naive loop
+    (or the oracle's UNION ALL twin, which scans once per column).
 
     min/max render as strings: timestamps via an explicit pattern,
     other types via cast.  Doubles are engine-renderable but their
@@ -237,17 +235,18 @@ def profile_columns(df: DataFrame, cols: Sequence[str] | None = None) -> DataFra
             return lambda x: F.date_format(x, "yyyy-MM-dd HH:mm:ss")
         return lambda x: x.cast("string")
 
-    # Two cheap jobs instead of one Expand-heavy one: N count_distincts
-    # in a single aggregate plan via Catalyst's Expand, which multiplies
-    # every input row (N+1)x into wide mostly-null rows before the
-    # shuffle (measured 2.0 s for 9 columns at sf0.1).  Split: (1)
-    # count/min/max in one distinct-free pass — plain partial
-    # aggregation, tiny exchange; (2) distinct counts over a MELTED
-    # (column, value-string) projection — narrow rows, map-side partial
-    # distinct, one shuffle, no Expand.  String casts are injective for
-    # every profiled type (shortest-repr doubles round-trip; timestamps
-    # cast with full precision), so distinct counts are unchanged.
-    # Together: 0.6 s for the same 9 columns.
+    # Two cheap aggregate branches instead of one Expand-heavy one.
+    # Mixing count/min/max INTO a multi-distinct aggregate drags every
+    # expression through Catalyst's Expand, which multiplies each input
+    # row (N+1)x into wide mostly-null rows before the shuffle (measured
+    # 2.0 s for the 5-column sf0.1 orders profile).  Split: (1) count/
+    # min/max in one distinct-free pass — plain partial aggregation,
+    # tiny exchange (0.31 s); (2) all N count_distincts in their own
+    # aggregate — the Expand there carries only the grouping keys, and
+    # partial distinct collapses it map-side (0.58 s; an exploded
+    # (column, value-string) melt measures 0.90 s, so Expand wins when
+    # it is distinct-only).  Both branches are single rows, so they
+    # combine with a 1x1 cross join — no shuffle, one action.
     aggs = [F.count("*").alias("__n")]
     for c in cols:
         r = _render(c)
@@ -257,38 +256,22 @@ def profile_columns(df: DataFrame, cols: Sequence[str] | None = None) -> DataFra
             r(F.max(c)).alias(f"__max_{c}"),
         ]
     one = df.agg(*aggs)
+    nd = df.agg(*[F.count_distinct(c).alias(f"__nd_{c}") for c in cols])
     rows = F.array(
         *[
             F.struct(
                 F.lit(c).alias("column"),
                 F.col("__n").alias("n_rows"),
                 (F.col("__n") - F.col(f"__cnt_{c}")).alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
                 F.col(f"__min_{c}").alias("min_s"),
                 F.col(f"__max_{c}").alias("max_s"),
             )
             for c in cols
         ]
     )
-    prof = one.select(F.explode(rows).alias("p")).select("p.*")
-    melt = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column"),
-                        F.col(c).cast("string").alias("__v"),
-                    )
-                    for c in cols
-                ]
-            )
-        ).alias("m")
-    ).select("m.*")
-    nd = melt.groupBy("column").agg(F.count_distinct("__v").alias("n_distinct"))
-    return prof.join(F.broadcast(nd), "column", "left").select(
-        "column",
-        "n_rows",
-        "n_nulls",
-        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
-        "min_s",
-        "max_s",
+    return (
+        one.crossJoin(F.broadcast(nd))
+        .select(F.explode(rows).alias("p"))
+        .select("p.*")
     )

@@ -58,6 +58,15 @@ def get_spark(
         # shapes) evicts and recompiles generated classes continuously —
         # measured 0.35 s/query of recompile churn on a 16-query loop
         .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # Catalyst's constraint propagation is quadratic-ish in plan
+        # width and runs on every (re)planning, including each write:
+        # measured 0.58 s -> 0.31 s planning on the widest catalog plan
+        # (profile_columns, 21 aggregates + Expand) with zero plan-shape
+        # change across PLANS.md.  The rule only INFERS IsNotNull/
+        # transitive predicates; every hot join here filters or
+        # aggregates its keys explicitly, so nothing relies on it.
+        # Re-enable on null-heavy join keys at cluster scale if needed.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.createHiveTableByDefault", "false")
