@@ -48,6 +48,9 @@ def get_spark(
             str(shuffle_partitions if shuffle_partitions is not None else cpus),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python Data Source API: let Catalyst hand pushed predicates to
+        # format("snaptable") for manifest-level file skipping (pyds.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # driver testdata writes events.ts as TIMESTAMP(NANOS); Spark can't
         # read nanos natively — read as long, convert in read_table()
