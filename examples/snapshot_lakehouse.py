@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from waddleml_spark.llmops import dedup
 from waddleml_spark.session import get_spark, read_table
-from waddleml_spark.sources import snaptable, zorder
+from waddleml_spark.sources import deltalog, pyds, snaptable, zorder
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -67,6 +67,18 @@ def main() -> None:
     assert snaptable.read(spark, table, version=v1).count() == batch1.count()
     for h in snaptable.history(table):
         print(h)
+
+    # -- the same table through Spark's own surface (Python Data Source
+    # API): pushed filters skip files via manifest stats automatically
+    pyds.register(spark)
+    native = spark.read.format("snaptable").load(table)
+    print("format('snaptable'):", native.filter(F.col("n_chars") <= 120).count())
+
+    # -- export the current snapshot as a Delta table (pure-Python log;
+    # readable by delta-spark or any Delta client)
+    delta_dir = tempfile.mkdtemp(prefix="corpus_delta_")
+    deltalog.write_delta(snaptable.read(spark, table), delta_dir)
+    print("delta export v0:", deltalog.read_delta(spark, delta_dir).count())
     spark.stop()
 
 

@@ -157,3 +157,59 @@ def test_frame_neardup_pairs_finds_shared_prefix(spark):
     assert pairs == {(1, 2): 8}
     fps = chunk_fingerprints(media).filter("media_id = 1").collect()
     assert len(fps) == 8 and len({r.chunk_sha for r in fps}) == 8
+
+
+def test_ahash_kernel_properties():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    h1 = multimodal.ahash_kernel(img)
+    assert -(1 << 63) <= h1 < (1 << 63)
+    # small perturbation -> small hamming distance
+    near = img.copy()
+    near[0, 0] = 255 - near[0, 0]
+    h2 = multimodal.ahash_kernel(near)
+    assert bin((h1 ^ h2) & ((1 << 64) - 1)).count("1") <= 4
+    # structurally different image -> far
+    far = multimodal.ahash_kernel(img[::-1, ::-1].copy())
+    assert bin((h1 ^ far) & ((1 << 64) - 1)).count("1") > 10
+    # non-divisible dims still hash deterministically
+    odd = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    assert multimodal.ahash_kernel(odd) == multimodal.ahash_kernel(odd.copy())
+
+
+def test_image_phash_and_neardup_pairs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    near = base.copy()
+    near[3, 3] = 0  # one-pixel edit: a near dup
+    other = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", "image/x-portable-pixmap", bytearray(_ppm_bytes(base)), None),
+        (2, "image", "image/bmp", bytearray(_bmp_bytes(near)), None),
+        (3, "image", "image/x-portable-pixmap", bytearray(_ppm_bytes(other)), None),
+        (4, "text", "text/plain", bytearray(b"not an image"), None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, mime string, payload binary, meta string"
+    )
+    ph = multimodal.image_phash(media)
+    got = {r.media_id: r for r in ph.collect()}
+    assert got[1].decoder == "ppm" and got[2].decoder == "bmp"
+    assert got[4].decoder == "unsupported" and got[4].phash is None
+    # decoders agree: the same pixels hash identically through PPM or BMP
+    assert multimodal.ahash_kernel(base) == got[1].phash
+    pairs = multimodal.phash_neardup_pairs(ph, max_dist=10).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].hamming <= 10
+
+
+def test_phash_band_bits_guard(spark):
+    ph = spark.createDataFrame(
+        [(1, "ppm", 5)], "media_id long, decoder string, phash long"
+    )
+    with pytest.raises(ValueError, match="band_bits"):
+        multimodal.phash_neardup_pairs(ph, band_bits=12)

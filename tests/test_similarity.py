@@ -57,11 +57,16 @@ def test_lsh_bucket_determinism(spark, emb, qvec):
     assert 2 <= n_buckets <= 16
 
 
-def test_lakehouse_stub_raises_actionable(spark):
-    from waddleml_spark.sources.lakehouse import read_delta
+def test_lakehouse_gates_raise_actionable(spark):
+    # delta no longer raises (pure-Python log fallback, test_deltalog.py);
+    # a missing table surfaces as file-not-found, and the genuinely
+    # jar-bound formats keep the actionable gate
+    from waddleml_spark.sources.lakehouse import read_delta, read_iceberg
 
-    with pytest.raises(NotImplementedError, match="delta"):
+    with pytest.raises(FileNotFoundError, match="no delta table"):
         read_delta(spark, "/tmp/nonexistent-delta")
+    with pytest.raises(NotImplementedError, match="iceberg"):
+        read_iceberg(spark, "/tmp/nonexistent-iceberg")
 
 
 def test_distributed_covariance_matches_local_numpy(spark):

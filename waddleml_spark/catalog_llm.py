@@ -377,6 +377,22 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media).orderBy("media_id")
 
 
+@_register("media_phash_neardup", None)
+def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup by perceptual hash (rows-only: the aHash block-mean
+    kernel is numpy, not SQL): documents become real binary-PPM payloads
+    (docs_as_ppm_media), image_phash decodes + average-hashes each in an
+    Arrow batch task, and phash_neardup_pairs bands the 64-bit hash for
+    a bucketed self-join with exact bit_count hamming verify — the
+    pixel-space analog of simhash32_band_pairs, and the same scale
+    shape: payloads never shuffle, only 8-byte hashes and pair ids."""
+    media = multimodal.docs_as_ppm_media(t(spark, sf_dir, "documents"))
+    ph = multimodal.image_phash(media)
+    return multimodal.phash_neardup_pairs(ph, max_dist=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # --- training-data pipeline reports ----------------------------------------
 
 

@@ -392,6 +392,148 @@ def sample_frames(media: DataFrame, every_nth: int = 10, max_frames: int = 8) ->
     return src.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decoder", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def ahash_kernel(img, side: int = 8) -> int:
+    """Average-hash of a decoded (h, w, 3) uint8 image: grayscale →
+    side×side block means (np.array_split handles non-divisible dims
+    deterministically) → threshold at the global mean → row-major bit
+    pack into a SIGNED 64-bit int (Spark LongType two's complement).
+
+    The classic perceptual hash: near-identical images (re-encodes,
+    small edits, minor crops) land within a few bits of hamming
+    distance; the banded join in phash_neardup_pairs turns that into
+    a bounded candidate generation, never an all-pairs scan.
+    """
+    import numpy as np
+
+    gray = img.astype(np.float32).mean(axis=2)
+    blocks = [
+        cell
+        for row in np.array_split(gray, side, axis=0)
+        for cell in np.array_split(row, side, axis=1)
+    ]
+    means = np.array([b.mean() for b in blocks])
+    bits = means > means.mean()
+    v = 0
+    for i, bit in enumerate(bits):
+        if bit:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Perceptual hash per image over mapInPandas (Arrow batches; the
+    payload is consumed inside the task and never re-shuffled).  Rows
+    whose payload isn't a decodable uncompressed image get phash NULL
+    with decoder='unsupported' — one bad payload never kills the stage.
+    """
+    from waddleml_spark.session import ensure_shipped, fan_out
+
+    ensure_shipped(media.sparkSession)
+    src = fan_out(media.select("media_id", "payload"))
+
+    def batches(it):
+        for pdf in it:
+            ids, decs, hashes = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                dec, ph = "unsupported", None
+                if p is not None:
+                    try:
+                        if p[:2] == b"P6":
+                            dec, ph = "ppm", ahash_kernel(decode_ppm(p))
+                        elif p[:2] == b"BM":
+                            dec, ph = "bmp", ahash_kernel(decode_bmp(p))
+                    except (NotImplementedError, ValueError):
+                        dec, ph = "unsupported", None
+                ids.append(mid)
+                decs.append(dec)
+                hashes.append(ph)
+            yield pd.DataFrame(
+                {"media_id": ids, "decoder": decs, "phash": hashes}
+            )
+
+    return src.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    phashes: DataFrame,
+    max_dist: int = 10,
+    band_bits: int = 16,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Image near-dup pairs by banded perceptual hash — the pigeonhole
+    LSH used for SimHash (dedup.simhash_buckets), on pixels instead of
+    tokens: two hashes within `max_dist` bits collide on at least one
+    of 64/band_bits bands whenever max_dist < 64/band_bits... for wider
+    radii the bands are a high-recall candidate filter, and the exact
+    JVM bit_count(xor) verify keeps the result precise.
+
+    Plan shape: explode 64/band_bits (band, value) keys → self-join on
+    the band key (mega-bucket star guard at `max_bucket`, mirrored from
+    the text LSH ops — uniform images pile into one bucket otherwise)
+    → distinct pair → exact hamming verify.  Only 8-byte hashes
+    shuffle; payloads stay where they were decoded.
+    """
+    if 64 % band_bits != 0:
+        raise ValueError(f"band_bits must divide 64, got {band_bits}")
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    src = phashes.filter(F.col("phash").isNotNull())
+    keys = src.select(
+        F.col("media_id").alias("id"),
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("phash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("k"),
+    ).select("id", "phash", "k.band", "k.bucket")
+    guarded = keys.join(
+        keys.groupBy("band", "bucket")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") <= max_bucket)
+        .select("band", "bucket"),
+        ["band", "bucket"],
+    )
+    a, b = guarded.alias("a"), guarded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_dist)
+
+
 def payload_stats(media: DataFrame) -> DataFrame:
     """Metadata-only stats — pure expressions, payload column pruned except
     for octet_length which parquet can answer from the binary column
