@@ -213,3 +213,33 @@ def test_phash_band_bits_guard(spark):
     )
     with pytest.raises(ValueError, match="band_bits"):
         multimodal.phash_neardup_pairs(ph, band_bits=12)
+
+
+def test_audio_fingerprint_and_pairs(spark):
+    import numpy as np
+
+    t = np.arange(8000)
+    tone = (3000 * np.sin(2 * np.pi * 440 * t / 8000)).astype("<i2")
+    # near dup: same tone with light noise; far: different frequency mix
+    noisy = (tone + np.random.default_rng(3).integers(-80, 80, tone.size)).astype("<i2")
+    other = (3000 * np.sin(2 * np.pi * 1790 * t / 8000)
+             + 1500 * np.sin(2 * np.pi * 95 * t / 8000)).astype("<i2")
+    k = multimodal.audio_fingerprint_kernel
+    d_near = bin((k(tone) ^ k(noisy)) & ((1 << 64) - 1)).count("1")
+    d_far = bin((k(tone) ^ k(other)) & ((1 << 64) - 1)).count("1")
+    assert d_near <= 6 < d_far
+    rows = [
+        (1, "audio", "audio/wav", bytearray(_wav_bytes(tone)), None),
+        (2, "audio", "audio/wav", bytearray(_wav_bytes(noisy)), None),
+        (3, "audio", "audio/wav", bytearray(_wav_bytes(other)), None),
+        (4, "text", "text/plain", bytearray(b"RIFFnot really a wav"), None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, mime string, payload binary, meta string"
+    )
+    fp = multimodal.audio_fingerprint(media)
+    got = {r.media_id: r for r in fp.collect()}
+    assert got[1].decoder == "wav" and got[1].phash == k(tone)
+    assert got[4].decoder == "unsupported" and got[4].phash is None
+    pairs = multimodal.phash_neardup_pairs(fp, max_dist=6).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]

@@ -393,6 +393,21 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("audio_fp_neardup", None)
+def audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup by spectral fingerprint (rows-only: FFT kernel is
+    numpy): documents become real PCM16 WAV payloads (docs_as_wav_media),
+    audio_fingerprint FFT-hashes each Arrow batch, and the same banded
+    hamming join as images generates verified pairs — near-dup texts
+    produce near-identical sample streams, so the fixture has true
+    positives."""
+    media = multimodal.docs_as_wav_media(t(spark, sf_dir, "documents"))
+    fp = multimodal.audio_fingerprint(media)
+    return multimodal.phash_neardup_pairs(fp, max_dist=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # --- training-data pipeline reports ----------------------------------------
 
 
