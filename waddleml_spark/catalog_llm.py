@@ -408,6 +408,21 @@ def audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("learned_filter_report", None)
+def learned_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned corpus-filter distillation (rows-only: MLlib training is
+    not SQL): the lang-ID-confidence teacher (CCNet-style: does the
+    marker-regex bank identify a language at all) labels docs, a
+    LogisticRegression student over cheap surface+marker features fits
+    on a deterministic 80% hash split (distributed L-BFGS: executors
+    see features, the driver sees one coefficient vector), and the
+    held-out AUC lands in a one-row report — teacher swappable for
+    bigram-LM perplexity on a real crawl (llmops/quality_model.py)."""
+    from waddleml_spark.llmops import quality_model
+
+    return quality_model.learned_filter_report(spark, sf_dir)
+
+
 # --- training-data pipeline reports ----------------------------------------
 
 
