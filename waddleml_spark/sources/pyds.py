@@ -194,12 +194,12 @@ class SnapTableWriter(DataSourceArrowWriter):
         for m in messages:
             for rel in m.rel_paths if m else []:
                 entries.append(st._footer_stats(self._table, rel))
+        import json
+
         parent = st.current_version(self._table)
         if not self._overwrite and parent > 0:
             prev = st._load_manifest(self._table, parent)
-            if [f.name for f in self._schema.fields] != [
-                f["name"] for f in prev["schema"]["fields"]
-            ]:
+            if json.loads(self._schema.json()) != prev["schema"]:
                 raise ValueError("append schema mismatch vs current snapshot")
             entries = [
                 st.FileEntry(
