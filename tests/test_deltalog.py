@@ -112,3 +112,23 @@ def test_lakehouse_read_delta_falls_back(spark, tmp_path):
     assert not lakehouse.lakehouse_available(spark, "delta")
     assert lakehouse.read_delta(spark, tbl).count() == 7
     assert lakehouse.read_delta(spark, tbl, version=0).count() == 7
+
+
+def test_partition_values_needing_escapes_round_trip(spark, tmp_path):
+    # Spark hive-escapes ':' and '%' in partition dir names (k=a%3Ab);
+    # the add.path must encode the LITERAL dir name so reads resolve it
+    # and vacuum never mistakes the on-disk file for garbage
+    tbl = str(tmp_path / "t_esc")
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "a:b"), (3, "p%q"), (4, "plain")], "id long, k string"
+    )
+    dl.write_delta(df, tbl, partition_by=["k"])
+    got = dl.read_delta(spark, tbl)
+    assert got.count() == 4
+    assert {r.k for r in got.select("k").distinct().collect()} == {
+        "a:b", "p%q", "plain"
+    }
+    assert got.filter(F.col("k") == "a:b").count() == 2
+    # vacuum on the latest snapshot must delete nothing
+    assert dl.vacuum(tbl) == []
+    assert dl.read_delta(spark, tbl).count() == 4

@@ -243,3 +243,23 @@ def test_audio_fingerprint_and_pairs(spark):
     assert got[4].decoder == "unsupported" and got[4].phash is None
     pairs = multimodal.phash_neardup_pairs(fp, max_dist=6).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+def test_malformed_payloads_degrade_rows_not_stage(spark):
+    # truncated BMP/WAV headers raise struct.error (not ValueError):
+    # the per-row guard must swallow ANY decode failure — contract is
+    # one bad payload never kills the stage
+    rows = [
+        (1, "image", "image/bmp", bytearray(b"BM\x01\x02"), None),       # short BMP
+        (2, "audio", "audio/wav", bytearray(b"RIFF\x04\x00\x00\x00WAVE"), None),
+        (3, "image", "image/x-portable-pixmap", bytearray(b"P6\n9 9\n255\nxx"), None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, mime string, payload binary, meta string"
+    )
+    feats = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    assert all(feats[i].decoder == "unsupported" for i in (1, 2, 3))
+    ph = {r.media_id: r for r in multimodal.image_phash(media).collect()}
+    assert all(ph[i].phash is None for i in (1, 3))
+    fp = {r.media_id: r for r in multimodal.audio_fingerprint(media).collect()}
+    assert fp[2].phash is None and fp[2].decoder == "unsupported"

@@ -92,3 +92,39 @@ def test_streaming_end_to_end_rate_source(spark, tmp_path):
     assert n > 0 and got.columns == ["value"]
     assert got.distinct().count() == n  # no duplicate rows across versions
     assert st.current_version(tbl) == len(snapsink.epoch_log(tbl))
+
+
+def test_new_stream_id_is_not_conflated_with_old_epochs(spark, tmp_path):
+    tbl = str(tmp_path / "t_streams")
+    df = spark.range(0, 10).select(F.col("id"), F.lit("x").alias("text"))
+    old = snapsink.snapshot_sink(tbl)  # stream "default"
+    for e in range(3):
+        old(df, e)
+    assert st.current_version(tbl) == 3
+    # a fresh checkpoint restarts epochs at 0: same id would wrongly skip,
+    # a new stream_id delivers
+    assert old.__closure__ is not None  # (guard the closure-based API shape)
+    snapsink.snapshot_sink(tbl)(df, 0)  # same stream id: replay -> skipped
+    assert st.current_version(tbl) == 3
+    fresh = snapsink.snapshot_sink(tbl, stream_id="run2")
+    fresh(df, 0)
+    assert st.current_version(tbl) == 4
+    log = snapsink.epoch_log(tbl)
+    assert [(e["stream"], e["epoch"]) for e in log] == [
+        ("default", 0), ("default", 1), ("default", 2), ("run2", 0)
+    ]
+
+
+def test_stream_state_rebuilds_without_sidecar(spark, tmp_path):
+    import os
+
+    tbl = str(tmp_path / "t_rebuild")
+    df = spark.range(0, 5).select(F.col("id"), F.lit("y").alias("text"))
+    sink = snapsink.snapshot_sink(tbl, stream_id="s1")
+    sink(df, 0)
+    sink(df, 1)
+    os.unlink(snapsink._streams_path(tbl))  # lose the O(1) sidecar
+    sink(df, 1)  # still detected as replay via manifest rebuild
+    assert st.current_version(tbl) == 2
+    sink(df, 2)
+    assert st.current_version(tbl) == 3

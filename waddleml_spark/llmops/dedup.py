@@ -298,7 +298,11 @@ def levenshtein_pairs(
     d = df.select(
         F.col(id_col).alias("id"),
         F.lower(F.trim(F.col(text_col))).alias("tx"),
-        *([F.length(F.trim(F.col(text_col))).alias("ln")] if max_chars else []),
+        *(
+            [F.length(F.trim(F.col(text_col))).alias("ln")]
+            if max_chars is not None
+            else []
+        ),
     )
     if max_chars is not None:
         d = d.filter(F.col("ln") < max_chars).drop("ln")

@@ -309,7 +309,10 @@ def extract_features(media: DataFrame) -> DataFrame:
             for p in pdf["payload"]:
                 try:
                     dec, feats, w, h = decode_media(p)
-                except (NotImplementedError, ValueError):
+                # broad by contract: struct.error from truncated headers,
+                # IndexError from short buffers — a malformed payload
+                # degrades its own row, never the stage
+                except Exception:
                     dec, feats, w, h = "unsupported", None, None, None
                 out["decoder"].append(dec)
                 out["width"].append(w)
@@ -507,7 +510,7 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
                     try:
                         _rate, _ch, samples = decode_wav(p)
                         dec, fp = "wav", audio_fingerprint_kernel(samples)
-                    except (NotImplementedError, ValueError):
+                    except Exception:  # malformed payload -> NULL row, see extract_features
                         dec, fp = "unsupported", None
                 ids.append(mid)
                 decs.append(dec)
@@ -541,7 +544,7 @@ def image_phash(media: DataFrame) -> DataFrame:
                             dec, ph = "ppm", ahash_kernel(decode_ppm(p))
                         elif p[:2] == b"BM":
                             dec, ph = "bmp", ahash_kernel(decode_bmp(p))
-                    except (NotImplementedError, ValueError):
+                    except Exception:  # malformed payload -> NULL row, see extract_features
                         dec, ph = "unsupported", None
                 ids.append(mid)
                 decs.append(dec)

@@ -47,7 +47,7 @@ import json
 import os
 import time
 import uuid
-from urllib.parse import unquote
+from urllib.parse import quote, unquote
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -224,9 +224,14 @@ def _stage_files(
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(src, dst)
             md = pq.read_metadata(dst)
+            # the spec's add.path is a percent-encoded relative URI: store
+            # it so unquote(path) reproduces the LITERAL on-disk name —
+            # Spark hive-escapes partition values in dir names (k=a%3Ab),
+            # and that raw '%' must survive the round trip or readers
+            # miss the file and vacuum deletes live data
             adds.append(
                 {
-                    "path": final_rel.replace(os.sep, "/"),
+                    "path": quote(final_rel.replace(os.sep, "/"), safe="/=-._"),
                     "partitionValues": pvals,
                     "size": os.path.getsize(dst),
                     "modificationTime": int(os.path.getmtime(dst) * 1000),
@@ -258,60 +263,77 @@ def write_delta(
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    parent = current_version(table)
-    if parent >= 0:
-        prev = _replay_state(table, parent)
-        prev_meta = prev["metaData"]
-        prev_parts = list(prev_meta.get("partitionColumns") or [])
-        if partition_by is None:
-            partition_by = prev_parts
-        elif list(partition_by) != prev_parts:
-            raise ValueError(
-                f"partition_by {partition_by} != table's {prev_parts}"
-            )
-        if mode == "append" and json.loads(df.schema.json()) != json.loads(
-            prev_meta["schemaString"]
-        ):
-            raise ValueError("append schema mismatch vs current snapshot")
-    adds = _stage_files(df, table, partition_by or None)
-    os.makedirs(_log_dir(table), exist_ok=True)
-    actions: list[dict] = []
-    if parent < 0:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
-    if parent < 0 or mode == "overwrite":
-        actions.append(
-            {
-                "metaData": {
-                    "id": str(uuid.uuid4()),
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
-                    "partitionColumns": list(partition_by or []),
-                    "configuration": {},
-                    "createdTime": int(time.time() * 1000),
-                }
-            }
-        )
-    removes = (
-        [
-            {
-                "remove": {
-                    "path": a["path"],
-                    "deletionTimestamp": int(time.time() * 1000),
-                    "dataChange": True,
-                }
-            }
-            for a in prev["adds"].values()
-        ]
-        if parent >= 0 and mode == "overwrite"
-        else []
-    )
-    actions += removes
-    actions += [{"add": a} for a in adds]
-    version = parent + 1
+    requested_parts = None if partition_by is None else list(partition_by)
+    # Stage the data files once (they are commit-independent); the
+    # validate-build-publish sequence below re-runs IN FULL after a lost
+    # version race, so an append that raced a concurrent commit is
+    # re-validated against the NEW tip's schema/partitioning and never
+    # re-emits a stale protocol/metaData (a lost create race must not
+    # mint a second table identity at version 1).
+    first_schema_check = True
+    staged: list[dict] | None = None
     while True:
-        actions_out = actions + [
+        parent = current_version(table)
+        partition_by = requested_parts
+        if parent >= 0:
+            prev = _replay_state(table, parent)
+            prev_meta = prev["metaData"]
+            prev_parts = list(prev_meta.get("partitionColumns") or [])
+            if partition_by is None:
+                partition_by = prev_parts
+            elif partition_by != prev_parts:
+                raise ValueError(
+                    f"partition_by {partition_by} != table's {prev_parts}"
+                )
+            if mode == "append" and json.loads(df.schema.json()) != json.loads(
+                prev_meta["schemaString"]
+            ):
+                raise ValueError(
+                    "append schema mismatch vs "
+                    + ("current" if first_schema_check else "concurrently committed")
+                    + " snapshot"
+                )
+        if staged is None:
+            staged_parts = list(partition_by or [])
+            staged = _stage_files(df, table, partition_by or None)
+            os.makedirs(_log_dir(table), exist_ok=True)
+        elif list(partition_by or []) != staged_parts:
+            raise RuntimeError(
+                "concurrent commit changed the table's partitioning "
+                f"({staged_parts} -> {list(partition_by or [])}); retry the write"
+            )
+        first_schema_check = False
+        actions: list[dict] = []
+        if parent < 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+        if parent < 0 or mode == "overwrite":
+            actions.append(
+                {
+                    "metaData": {
+                        "id": str(uuid.uuid4()),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": list(partition_by or []),
+                        "configuration": {},
+                        "createdTime": int(time.time() * 1000),
+                    }
+                }
+            )
+        if parent >= 0 and mode == "overwrite":
+            actions += [
+                {
+                    "remove": {
+                        "path": a["path"],
+                        "deletionTimestamp": int(time.time() * 1000),
+                        "dataChange": True,
+                    }
+                }
+                for a in prev["adds"].values()
+            ]
+        actions += [{"add": a} for a in staged]
+        actions.append(
             {
                 "commitInfo": {
                     "timestamp": int(time.time() * 1000),
@@ -319,19 +341,19 @@ def write_delta(
                     "operationParameters": {"mode": mode},
                 }
             }
-        ]
+        )
+        version = parent + 1
         tmp = os.path.join(_log_dir(table), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
-            f.write("\n".join(json.dumps(a) for a in actions_out) + "\n")
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
         target = _commit_path(table, version)
-        if os.path.exists(target):
+        if os.path.exists(target):  # lost the race: rebase onto the new tip
             os.unlink(tmp)
             if mode == "overwrite":
                 raise RuntimeError(
                     f"concurrent commit conflict at version {version} "
                     "(overwrite cannot auto-rebase; retry the write)"
                 )
-            version += 1
             continue
         os.rename(tmp, target)
         return version

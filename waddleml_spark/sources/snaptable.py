@@ -64,10 +64,10 @@ from pyspark.sql.types import StructType
 _MANIFEST_DIR = "_snaptable"
 _DATA_DIR = "data"
 
-# stats are kept only for types with a total order that JSON round-trips
-# exactly; everything else records nulls (pruning then never skips).
-_STATS_TYPES = {"long", "integer", "short", "byte", "double", "float", "string",
-                "date", "boolean"}
+# (no static type allowlist: _footer_stats records a column's [min, max]
+# only when EVERY row group supplies decodable footer statistics for it;
+# any gap drops the column's stats entirely, so pruning can only ever be
+# too wide — never skip a file that holds matching rows.)
 
 
 @dataclass(frozen=True)
@@ -107,29 +107,41 @@ def _load_manifest(table: str, version: int) -> dict:
 
 
 def _footer_stats(table: str, rel_path: str) -> FileEntry:
-    """Row count + per-column min/max from the parquet FOOTER only."""
+    """Row count + per-column min/max from the parquet FOOTER only.
+
+    Soundness rule: a column gets stats only when EVERY row group has
+    decodable min/max for it.  A single stats-less group (parquet
+    writers omit stats for oversized binary values) or undecodable
+    bytes marks the column unknown for the whole file — its rows might
+    lie outside the other groups' range, and a pruner trusting a
+    partial range would silently drop them."""
     md = pq.read_metadata(os.path.join(table, rel_path))
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
+    bad: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
             st = col.statistics
             name = col.path_in_schema
-            if st is None or not st.has_min_max or "." in name:
+            if "." in name:  # nested leaves never get file-level stats
+                continue
+            if st is None or not st.has_min_max:
+                bad.add(name)
                 continue
             mn, mx = st.min, st.max
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode(), mx.decode()
                 except UnicodeDecodeError:
+                    bad.add(name)
                     continue
             if hasattr(mn, "isoformat"):
                 mn, mx = mn.isoformat(), mx.isoformat()
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
-    stats = {c: (mins[c], maxs[c]) for c in mins}
+    stats = {c: (mins[c], maxs[c]) for c in mins if c not in bad}
     return FileEntry(path=rel_path, rows=md.num_rows, stats=stats)
 
 

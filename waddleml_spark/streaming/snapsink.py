@@ -5,48 +5,100 @@ Bridges Structured Streaming to the snapshot table format
 manifest commit, so downstream readers only ever see whole batches —
 never a half-written file set — and any historical batch boundary can be
 time-traveled back to.  This is the exactly-once-ish pattern Delta's
-streaming sink uses (idempotent versioned commits per epoch); here the
-epoch->version mapping is recorded in the manifest operation string so a
-restarted query re-delivering an epoch can be detected and skipped.
+streaming sink uses (idempotent versioned commits per epoch).
 
-At scale the sink's cost per trigger is one Spark parquet write (the
-data plane) plus one footer-stat pass and one JSON rename (metadata
-plane) — no compaction stalls; run snaptable.vacuum out of band.
+Epoch identity is scoped by ``stream_id``: Structured Streaming epoch
+ids are monotone only WITHIN one checkpoint, so "epoch seen before"
+is meaningful only per (checkpoint ≙ stream_id).  A query restarted
+from the SAME checkpoint re-delivers its last epoch and is skipped; a
+query started with a NEW checkpoint (or a second query feeding the same
+table) must pass its own ``stream_id`` — with the default id its fresh
+epochs 0..N would collide with the old stream's and be dropped as
+replays.  Delta's transactional sink keys idempotence by (appId,
+version) the same way.
+
+The per-stream high-water mark lives in ``_snaptable/streams.json``
+(atomic tmp+rename; one writer per stream by Structured Streaming's
+serial-epoch guarantee), so the replay check is O(1) per trigger —
+rebuilt once from manifest operation strings when absent.  Per trigger
+the sink costs one Spark parquet write (data plane) plus one
+footer-stat pass and two JSON renames (metadata plane) — no compaction
+stalls; run snaptable.vacuum out of band.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from waddleml_spark.sources import snaptable
 
+_STREAMS = "streams.json"
 
-def _delivered_epochs(table: str) -> set[int]:
-    epochs: set[int] = set()
+
+def _parse_epoch_op(op: str) -> tuple[str, int] | None:
+    """'append-epoch-<epoch>' (legacy → stream 'default') or
+    'append-epoch-<stream_id>-<epoch>' → (stream_id, epoch)."""
+    if not op.startswith("append-epoch-"):
+        return None
+    rest = op[len("append-epoch-"):]
+    head, _, tail = rest.rpartition("-")
+    return (head or "default", int(tail))
+
+
+def _streams_path(table: str) -> str:
+    return os.path.join(table, snaptable._MANIFEST_DIR, _STREAMS)
+
+
+def _stream_state(table: str) -> dict[str, int]:
+    """Per-stream max delivered epoch; rebuilt from manifests if the
+    sidecar is missing (pre-existing tables, manual deletion)."""
+    p = _streams_path(table)
+    if os.path.exists(p):
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+    state: dict[str, int] = {}
     for v in snaptable._versions(table):
-        op = snaptable._load_manifest(table, v)["operation"]
-        if op.startswith("append-epoch-"):
-            epochs.add(int(op.rsplit("-", 1)[1]))
-    return epochs
+        parsed = _parse_epoch_op(snaptable._load_manifest(table, v)["operation"])
+        if parsed:
+            sid, epoch = parsed
+            state[sid] = max(state.get(sid, -1), epoch)
+    return state
 
 
-def snapshot_sink(table: str):
+def _record_epoch(table: str, stream_id: str, epoch_id: int) -> None:
+    state = _stream_state(table)
+    state[stream_id] = max(state.get(stream_id, -1), epoch_id)
+    tmp = os.path.join(
+        table, snaptable._MANIFEST_DIR, f".tmp-streams-{uuid.uuid4().hex}"
+    )
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, _streams_path(table))
+
+
+def snapshot_sink(table: str, stream_id: str = "default"):
     """foreachBatch function: ``stream.writeStream.foreachBatch(
     snapshot_sink(path))``.  Commits each micro-batch as one snapshot
-    version tagged with its epoch; re-delivered epochs (query restart
-    without a new checkpoint) are skipped, keeping the table exactly-once
-    at batch grain."""
+    version tagged (stream_id, epoch); a re-delivered epoch of the SAME
+    stream (query restart from its checkpoint) is skipped, keeping the
+    table exactly-once at batch grain.  Pass a fresh ``stream_id`` when
+    starting over with a new checkpoint — epoch numbering restarts there,
+    and under the old id the new batches would look like replays."""
 
     def sink(df: DataFrame, epoch_id: int) -> None:
         if df.isEmpty():
             return
-        if epoch_id in _delivered_epochs(table):
+        if epoch_id <= _stream_state(table).get(stream_id, -1):
             return
         parent = snaptable.current_version(table)
-        commit_dir = os.path.join(snaptable._DATA_DIR, f"epoch-{epoch_id}")
+        commit_dir = os.path.join(
+            snaptable._DATA_DIR, f"epoch-{stream_id}-{epoch_id}"
+        )
         df.write.mode("overwrite").parquet(os.path.join(table, commit_dir))
         entries = snaptable._collect_entries(table, commit_dir)
         if parent > 0:
@@ -59,21 +111,28 @@ def snapshot_sink(table: str):
                 for f in prev["files"]
             ] + entries
         snaptable._commit(
-            table, entries, df.schema, f"append-epoch-{epoch_id}", parent
+            table, entries, df.schema,
+            f"append-epoch-{stream_id}-{epoch_id}", parent,
         )
+        _record_epoch(table, stream_id, epoch_id)
 
     return sink
 
 
-def dedup_snapshot_sink(table: str, text_col: str = "text", id_col: str = "doc_id"):
+def dedup_snapshot_sink(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stream_id: str = "default",
+):
     """foreachBatch function: the streaming half of the corpus-ingestion
     loop (examples/snapshot_lakehouse.py) — every micro-batch is exact-
     deduped against the CURRENT snapshot's content fingerprints (anti-
     join on 16-byte hashes; the stored corpus never rescans its text),
     then within itself, and only the surviving representatives commit as
     the next snapshot version.  Restart-idempotent like snapshot_sink
-    (re-delivered epochs skip); a batch whose docs are all already known
-    commits nothing.
+    (same-stream re-delivered epochs skip); a batch whose docs are all
+    already known commits nothing.
 
     At scale the fingerprint index should be a stored column: the read
     here projects (id, text) -> fingerprints per batch, which Spark
@@ -81,7 +140,7 @@ def dedup_snapshot_sink(table: str, text_col: str = "text", id_col: str = "doc_i
     """
     from waddleml_spark.llmops import dedup
 
-    base = snapshot_sink(table)
+    base = snapshot_sink(table, stream_id=stream_id)
 
     def sink(df: DataFrame, epoch_id: int) -> None:
         if df.isEmpty():
@@ -105,15 +164,18 @@ def dedup_snapshot_sink(table: str, text_col: str = "text", id_col: str = "doc_i
 
 
 def epoch_log(table: str) -> list[dict]:
-    """Version -> epoch mapping for the sink's commits (audit surface)."""
+    """Version -> (stream, epoch) mapping for the sink's commits."""
     out = []
     for v in snaptable._versions(table):
         m = snaptable._load_manifest(table, v)
-        if m["operation"].startswith("append-epoch-"):
+        parsed = _parse_epoch_op(m["operation"])
+        if parsed:
+            sid, epoch = parsed
             out.append(
                 {
                     "version": v,
-                    "epoch": int(m["operation"].rsplit("-", 1)[1]),
+                    "stream": sid,
+                    "epoch": epoch,
                     "rows": sum(f["rows"] for f in m["files"]),
                 }
             )
