@@ -167,3 +167,43 @@ def test_date_bounds_normalized_for_prune(spark, tmp_path):
     files = st.file_list(tbl)
     got = st._prune(files, "d", dt.date(2024, 1, 1), dt.date(2024, 1, 5))
     assert got  # date objects compare against ISO-string stats
+
+
+def test_append_race_after_overwrite_never_resurrects(spark, tmp_path):
+    # writer A computes its append against v1; a concurrent overwrite
+    # wins v2 with a smaller file set.  A's rebased commit must contain
+    # v2's files + A's OWN files only — never v1's overwritten files.
+    tbl = str(tmp_path / "t_res")
+    st.write(_df(spark, 0, 100, "old"), tbl)                      # v1
+    a_dir = os.path.join(st._DATA_DIR, "a-batch")
+    _df(spark, 1000, 1010, "mine").write.mode("overwrite").parquet(
+        os.path.join(tbl, a_dir)
+    )
+    a_entries = st._collect_entries(tbl, a_dir)
+    st.write(_df(spark, 0, 5, "winner"), tbl, mode="overwrite")   # v2
+    v = st._commit(tbl, a_entries, _df(spark, 0, 5, "x").schema, "append", parent=1)
+    assert v == 3
+    got = st.read(spark, tbl)
+    assert got.count() == 15  # 5 winner + 10 mine; the 100 stay dead
+    assert set(r.tag for r in got.select("tag").distinct().collect()) == {
+        "winner", "mine"
+    }
+
+
+def test_append_race_revalidates_schema_against_new_tip(spark, tmp_path):
+    # the overwrite that won the race also CHANGED the schema: the
+    # rebased append must fail validation, not commit mixed schemas
+    tbl = str(tmp_path / "t_reschema")
+    st.write(_df(spark, 0, 10, "a"), tbl)                         # v1
+    a_dir = os.path.join(st._DATA_DIR, "a2-batch")
+    _df(spark, 100, 110, "mine").write.mode("overwrite").parquet(
+        os.path.join(tbl, a_dir)
+    )
+    a_entries = st._collect_entries(tbl, a_dir)
+    st.write(
+        _df(spark, 0, 5, "w").withColumn("extra", F.lit(1)), tbl, mode="overwrite"
+    )                                                             # v2, new schema
+    with pytest.raises(ValueError, match="schema mismatch"):
+        st._commit(
+            tbl, a_entries, _df(spark, 0, 5, "x").schema, "append", parent=1
+        )

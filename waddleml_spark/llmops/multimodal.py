@@ -445,6 +445,11 @@ def ahash_kernel(img, side: int = 8) -> int:
     """
     import numpy as np
 
+    if img.shape[0] < side or img.shape[1] < side:
+        # sub-grid images would yield empty blocks -> NaN means -> an
+        # all-zero hash that collides every tiny image into one
+        # hamming-0 family; refuse instead (callers map to NULL)
+        raise ValueError(f"image smaller than {side}x{side} hash grid")
     gray = img.astype(np.float32).mean(axis=2)
     blocks = [
         cell

@@ -347,7 +347,11 @@ def write_delta(
         with open(tmp, "w") as f:
             f.write("\n".join(json.dumps(a) for a in actions) + "\n")
         target = _commit_path(table, version)
-        if os.path.exists(target):  # lost the race: rebase onto the new tip
+        try:
+            # atomic claim: os.link fails EEXIST; an exists-check+rename
+            # window would let two racers clobber one commit file
+            os.link(tmp, target)
+        except FileExistsError:  # lost the race: rebase onto the new tip
             os.unlink(tmp)
             if mode == "overwrite":
                 raise RuntimeError(
@@ -355,7 +359,7 @@ def write_delta(
                     "(overwrite cannot auto-rebase; retry the write)"
                 )
             continue
-        os.rename(tmp, target)
+        os.unlink(tmp)
         return version
 
 

@@ -190,29 +190,20 @@ class SnapTableWriter(DataSourceArrowWriter):
         return _WroteFiles([rel])
 
     def commit(self, messages) -> None:
+        # only THIS commit's files go to _commit — it hydrates the tip's
+        # file list and re-validates the append schema itself, atomically
+        # with the version claim (a stale pre-merge here would resurrect
+        # files a concurrent overwrite removed)
         entries = []
         for m in messages:
             for rel in m.rel_paths if m else []:
                 entries.append(st._footer_stats(self._table, rel))
-        import json
-
-        parent = st.current_version(self._table)
-        if not self._overwrite and parent > 0:
-            prev = st._load_manifest(self._table, parent)
-            if json.loads(self._schema.json()) != prev["schema"]:
-                raise ValueError("append schema mismatch vs current snapshot")
-            entries = [
-                st.FileEntry(
-                    f["path"], f["rows"], {c: tuple(v) for c, v in f["stats"].items()}
-                )
-                for f in prev["files"]
-            ] + entries
         st._commit(
             self._table,
             entries,
             self._schema,
             "overwrite" if self._overwrite else "append",
-            parent,
+            st.current_version(self._table),
         )
 
     def abort(self, messages) -> None:

@@ -156,52 +156,85 @@ def _collect_entries(table: str, rel_dir: str) -> list[FileEntry]:
         return list(ex.map(lambda r: _footer_stats(table, r), rels))
 
 
+def _prior_entries(manifest: dict) -> list[FileEntry]:
+    """A manifest's file list as FileEntry objects (the one shape every
+    append path hydrates — keep this the single copy)."""
+    return [
+        FileEntry(
+            f["path"], f["rows"], {c: tuple(v) for c, v in f["stats"].items()}
+        )
+        for f in manifest["files"]
+    ]
+
+
+def _check_append_schema(schema: StructType, manifest: dict) -> None:
+    ours = json.loads(schema.json())
+    if ours != manifest["schema"]:
+        added = {f["name"] for f in ours["fields"]} - {
+            f["name"] for f in manifest["schema"]["fields"]
+        }
+        raise ValueError(
+            "append schema mismatch vs current snapshot"
+            + (f" (new columns: {sorted(added)})" if added else "")
+        )
+
+
 def _commit(
     table: str,
-    entries: list[FileEntry],
+    added: list[FileEntry],
     schema: StructType,
     operation: str,
     parent: int,
 ) -> int:
-    """Atomically publish version parent+1; retries on version races."""
-    manifest = {
-        "format": "snaptable/1",
-        "operation": operation,
-        "committed_at": time.time(),
-        "schema": json.loads(schema.json()),
-        "files": [
-            {"path": e.path, "rows": e.rows, "stats": e.stats} for e in entries
-        ],
-    }
+    """Atomically publish version parent+1; ``added`` is ONLY this
+    commit's new files — the previous snapshot's files are hydrated from
+    the tip manifest HERE, on every attempt, so a lost version race
+    rebases onto the authoritative new tip: its schema is re-validated
+    and its file list (which a concurrent overwrite may have shrunk) is
+    taken as-is, never resurrected from a stale pre-merge.  Publication
+    uses ``os.link`` (fails EEXIST) — an exists-check + rename window
+    would let two winners silently clobber each other's manifest.
+    Overwrite semantics: ``added`` IS the whole table; a lost race
+    raises (its remove-set assumption is stale)."""
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
+    overwrite = operation == "overwrite"
     version = parent + 1
     while True:
-        manifest["parent"] = version - 1
+        tip = version - 1
+        if overwrite or tip < 1:
+            files = list(added)
+        else:
+            prev = _load_manifest(table, tip)
+            _check_append_schema(schema, prev)
+            prior = _prior_entries(prev)
+            seen = {p.path for p in prior}
+            files = prior + [e for e in added if e.path not in seen]
+        manifest = {
+            "format": "snaptable/1",
+            "operation": operation,
+            "committed_at": time.time(),
+            "schema": json.loads(schema.json()),
+            "parent": tip,
+            "files": [
+                {"path": e.path, "rows": e.rows, "stats": e.stats} for e in files
+            ],
+        }
         tmp = os.path.join(table, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         target = _manifest_path(table, version)
-        if os.path.exists(target):  # lost the race: rebase onto the new tip
+        try:
+            os.link(tmp, target)  # atomic claim: EEXIST when raced
+        except FileExistsError:
             os.unlink(tmp)
-            if operation == "overwrite":
+            if overwrite:
                 raise RuntimeError(
                     f"concurrent commit conflict at version {version} "
                     "(overwrite cannot auto-rebase; retry the write)"
                 )
-            prev = _load_manifest(table, version)
-            prior = [
-                FileEntry(f["path"], f["rows"],
-                          {c: tuple(v) for c, v in f["stats"].items()})
-                for f in prev["files"]
-            ]
-            ours = [e for e in entries if e.path not in {p.path for p in prior}]
-            manifest["files"] = [
-                {"path": e.path, "rows": e.rows, "stats": e.stats}
-                for e in prior + ours
-            ]
             version += 1
             continue
-        os.rename(tmp, target)
+        os.unlink(tmp)
         return version
 
 
@@ -220,25 +253,12 @@ def write(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     parent = current_version(table)
+    if mode == "append" and parent > 0:
+        # fail fast before staging data; _commit re-validates on publish
+        _check_append_schema(df.schema, _load_manifest(table, parent))
     commit_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
     df.write.mode("overwrite").parquet(os.path.join(table, commit_dir))
     new_entries = _collect_entries(table, commit_dir)
-    if mode == "append" and parent > 0:
-        prev = _load_manifest(table, parent)
-        if json.loads(df.schema.json()) != prev["schema"]:
-            added = {f.name for f in df.schema} - {
-                f["name"] for f in prev["schema"]["fields"]
-            }
-            raise ValueError(
-                "append schema mismatch vs current snapshot"
-                + (f" (new columns: {sorted(added)})" if added else "")
-            )
-        prior = [
-            FileEntry(f["path"], f["rows"],
-                      {c: tuple(v) for c, v in f["stats"].items()})
-            for f in prev["files"]
-        ]
-        new_entries = prior + new_entries
     return _commit(table, new_entries, df.schema, mode, parent)
 
 

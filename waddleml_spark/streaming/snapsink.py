@@ -55,14 +55,25 @@ def _streams_path(table: str) -> str:
 
 
 def _stream_state(table: str) -> dict[str, int]:
-    """Per-stream max delivered epoch; rebuilt from manifests if the
-    sidecar is missing (pre-existing tables, manual deletion)."""
+    """Per-stream max delivered epoch.
+
+    The MANIFESTS are the atomic record (the sidecar write is a separate
+    step that can be lost to a crash or to a concurrent stream's
+    read-modify-write), so the sidecar is only a scan watermark: take
+    its per-stream values, then merge every manifest NEWER than its
+    ``at_version``.  A stale/lost sidecar costs one longer scan, never a
+    wrong answer."""
     p = _streams_path(table)
+    state: dict[str, int] = {}
+    at_version = 0
     if os.path.exists(p):
         with open(p) as f:
-            return {k: int(v) for k, v in json.load(f).items()}
-    state: dict[str, int] = {}
+            raw = json.load(f)
+        at_version = int(raw.get("at_version", 0))
+        state = {k: int(v) for k, v in raw.get("streams", {}).items()}
     for v in snaptable._versions(table):
+        if v <= at_version:
+            continue
         parsed = _parse_epoch_op(snaptable._load_manifest(table, v)["operation"])
         if parsed:
             sid, epoch = parsed
@@ -71,13 +82,17 @@ def _stream_state(table: str) -> dict[str, int]:
 
 
 def _record_epoch(table: str, stream_id: str, epoch_id: int) -> None:
+    # merge against a FRESH read so a concurrent stream's watermark is
+    # never regressed; correctness doesn't depend on this write landing
     state = _stream_state(table)
     state[stream_id] = max(state.get(stream_id, -1), epoch_id)
     tmp = os.path.join(
         table, snaptable._MANIFEST_DIR, f".tmp-streams-{uuid.uuid4().hex}"
     )
     with open(tmp, "w") as f:
-        json.dump(state, f)
+        json.dump(
+            {"at_version": snaptable.current_version(table), "streams": state}, f
+        )
     os.replace(tmp, _streams_path(table))
 
 
@@ -96,20 +111,17 @@ def snapshot_sink(table: str, stream_id: str = "default"):
         if epoch_id <= _stream_state(table).get(stream_id, -1):
             return
         parent = snaptable.current_version(table)
+        # uuid suffix: a replay that slipped past the check (both records
+        # lost) must land in a FRESH dir — overwriting the epoch-named
+        # dir would delete part files the earlier manifest references
         commit_dir = os.path.join(
-            snaptable._DATA_DIR, f"epoch-{stream_id}-{epoch_id}"
+            snaptable._DATA_DIR,
+            f"epoch-{stream_id}-{epoch_id}-{uuid.uuid4().hex[:8]}",
         )
         df.write.mode("overwrite").parquet(os.path.join(table, commit_dir))
         entries = snaptable._collect_entries(table, commit_dir)
-        if parent > 0:
-            prev = snaptable._load_manifest(table, parent)
-            entries = [
-                snaptable.FileEntry(
-                    f["path"], f["rows"],
-                    {c: tuple(v) for c, v in f["stats"].items()},
-                )
-                for f in prev["files"]
-            ] + entries
+        # only the new files: _commit hydrates the tip's file list and
+        # validates the append schema atomically with the version claim
         snaptable._commit(
             table, entries, df.schema,
             f"append-epoch-{stream_id}-{epoch_id}", parent,
