@@ -1,0 +1,64 @@
+"""Distributed BPE training: determinism, merge correctness, vocab-scale
+iteration shape, tokenizer application (llmops/bpe.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from waddleml_spark.llmops import bpe
+from waddleml_spark.session import read_table
+from tests.conftest import SF_SMOKE
+
+
+def _toy_freqs(spark):
+    # classic BPE toy corpus: 'low' x5, 'lower' x2, 'newest' x6, 'widest' x3
+    return spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word string, freq long",
+    )
+
+
+def test_toy_corpus_learns_canonical_merges(spark):
+    merges = bpe.train_bpe(_toy_freqs(spark), n_merges=4)
+    # e+s appears in newest(6)+widest(3)=9 — the classic first merge;
+    # then es+t (9); l+o (7, low+lower)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert ("l", "o") in merges
+    # deterministic: same corpus, same merges
+    assert bpe.train_bpe(_toy_freqs(spark), n_merges=4) == merges
+
+
+def test_tokenize_words_applies_merges_in_order(spark):
+    merges = [("e", "s"), ("es", "t"), ("l", "o")]
+    toks = {
+        r.word: list(r.tokens)
+        for r in bpe.tokenize_words(_toy_freqs(spark), merges).collect()
+    }
+    assert toks["newest"] == ["n", "e", "w", "est"]
+    assert toks["low"] == ["lo", "w"]
+    assert toks["widest"] == ["w", "i", "d", "est"]
+
+
+def test_apply_bpe_counts_words_and_tokens(spark):
+    docs = spark.createDataFrame(
+        [(1, "low low newest"), (2, "widest lower")], "doc_id long, text string"
+    )
+    merges = [("e", "s"), ("es", "t"), ("l", "o")]
+    got = {r.id: r for r in bpe.apply_bpe(docs, merges).collect()}
+    # doc1: low(2 toks) x2 + newest(4 toks) = 3 words, 8 tokens
+    assert (got[1].n_words, got[1].n_tokens) == (3, 8)
+    # doc2: widest(4) + lower(4: lo w e r) = 2 words, 8 tokens
+    assert (got[2].n_words, got[2].n_tokens) == (2, 8)
+
+
+def test_corpus_report_compresses_and_is_deterministic(spark):
+    df = bpe.bpe_train_report(spark, SF_SMOKE, n_merges=6)
+    rows = df.orderBy("rank").collect()
+    assert len(rows) == 6
+    assert all(r.merged == r.pair.replace("+", "") for r in rows)
+    # merges must compress: fewer tokens than characters per word
+    assert rows[0].tokens_per_word < rows[0].chars_per_word
+    again = bpe.bpe_train_report(spark, SF_SMOKE, n_merges=6).orderBy("rank").collect()
+    assert [r.pair for r in again] == [r.pair for r in rows]

@@ -423,6 +423,20 @@ def learned_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_model.learned_filter_report(spark, sf_dir)
 
 
+@_register("bpe_train_report", None)
+def bpe_train_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (rows-only: an iterative
+    algorithm, not SQL): one corpus-scale word-frequency pass, then 12
+    merge iterations on the VOCAB table (pair counts weighted by word
+    freq → deterministic argmax → Arrow-batched merge application) —
+    the Sennrich/HF trainer shape where per-iteration cost is
+    vocabulary-scale, never corpus-scale (llmops/bpe.py).  One row per
+    learned merge with corpus tokens-per-word compression evidence."""
+    from waddleml_spark.llmops import bpe
+
+    return bpe.bpe_train_report(spark, sf_dir, n_merges=12)
+
+
 # --- training-data pipeline reports ----------------------------------------
 
 
