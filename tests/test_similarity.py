@@ -106,3 +106,22 @@ def test_ann_recall_report_monotone_in_probes(spark):
         assert 0.0 <= r.recall_lsh <= 1.0
         # more probed cells can only add candidates → recall is monotone
         assert r.recall_ivf_p1 <= r.recall_ivf_p2 <= r.recall_ivf_p4
+
+
+def test_domain_mix_smoothing_upsamples_tail_domains(spark):
+    from waddleml_spark.llmops.similarity import domain_mix_report
+    from waddleml_spark.session import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    rep = domain_mix_report(emb, n_domains=4, alpha=0.5).collect()
+    assert len(rep) == 4
+    assert abs(sum(r.natural_share for r in rep) - 1.0) < 1e-4
+    assert abs(sum(r.smoothed_share for r in rep) - 1.0) < 1e-4
+    smallest = min(rep, key=lambda r: r.n_docs)
+    largest = max(rep, key=lambda r: r.n_docs)
+    if smallest.n_docs < largest.n_docs:  # non-degenerate clustering
+        assert smallest.sample_rate > 1.0 > largest.sample_rate
+    # deterministic (fixed KMeans seed + floor rounding)
+    again = domain_mix_report(emb, n_domains=4, alpha=0.5).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rep]

@@ -423,6 +423,18 @@ def learned_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_model.learned_filter_report(spark, sf_dir)
 
 
+@_register("domain_mix_report", None)
+def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic data-mixing report (rows-only: KMeans is iterative):
+    embeddings cluster into domains, each reported with its natural
+    share, alpha=0.5 temperature-smoothed share, and the per-row
+    sample_rate a resampler would apply — tail domains get rate > 1,
+    dominant domains < 1 (llmops/similarity.py, XLM-R/mT5 recipe)."""
+    return similarity.domain_mix_report(
+        t(spark, sf_dir, "embeddings"), n_domains=8
+    )
+
+
 @_register("bpe_train_report", None)
 def bpe_train_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (rows-only: an iterative

@@ -224,3 +224,54 @@ def pca_variance_report(
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, explained_ratio double"
     )
+
+
+def domain_mix_report(
+    corpus: DataFrame,
+    n_domains: int = 8,
+    alpha: float = 0.5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic domain mix with temperature-smoothed sampling weights.
+
+    The data-mixing stage of a pre-training pipeline (public recipe:
+    the multilingual alpha-smoothing of XLM-R / mT5): cluster the
+    corpus into semantic domains (KMeans cells, reusing ivf_index —
+    one iterative fit, one assignment pass), then compute each
+    domain's natural share p_i and the smoothed sampling share
+    q_i = p_i^alpha / sum p_j^alpha — alpha<1 upsamples tail domains,
+    alpha=1 keeps the natural mix.  Per domain: n_docs, natural_share,
+    smoothed_share, sample_rate = q_i/p_i (the per-row multiplier
+    resample_to_mix consumes downstream).
+
+    Plan shape: the only corpus-scale work is the KMeans assignment
+    projection + one count shuffle at domain grain; shares are computed
+    over the n_domains-row aggregate via a 1-row broadcast cross join.
+    Values floor-rounded to 6 digits (rows-only determinism)."""
+    _model, with_cells = ivf_index(corpus, n_cells=n_domains, vec_col=vec_col)
+    counts = with_cells.groupBy("ivf_cell").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("__t"),
+        F.sum(F.pow(F.col("n_docs"), F.lit(alpha))).alias("__tw"),
+    )
+    p6 = 10**6
+
+    def _r6(c):
+        return F.floor(c * p6 + F.lit(0.5)) / p6
+
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("ivf_cell").alias("domain"),
+            "n_docs",
+            _r6(F.col("n_docs") / F.col("__t")).alias("natural_share"),
+            _r6(F.pow(F.col("n_docs"), F.lit(alpha)) / F.col("__tw")).alias(
+                "smoothed_share"
+            ),
+            _r6(
+                (F.pow(F.col("n_docs"), F.lit(alpha)) / F.col("__tw"))
+                / (F.col("n_docs") / F.col("__t"))
+            ).alias("sample_rate"),
+        )
+        .orderBy("domain")
+    )
