@@ -3,11 +3,7 @@ iteration shape, tokenizer application (llmops/bpe.py)."""
 
 from __future__ import annotations
 
-import pytest
-from pyspark.sql import functions as F
-
 from waddleml_spark.llmops import bpe
-from waddleml_spark.session import read_table
 from tests.conftest import SF_SMOKE
 
 

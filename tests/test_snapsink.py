@@ -128,3 +128,20 @@ def test_stream_state_rebuilds_without_sidecar(spark, tmp_path):
     assert st.current_version(tbl) == 2
     sink(df, 2)
     assert st.current_version(tbl) == 3
+
+
+def test_legacy_flat_sidecar_still_blocks_replays(spark, tmp_path):
+    import json, os
+
+    tbl = str(tmp_path / "t_legacy")
+    df = spark.range(0, 5).select(F.col("id"), F.lit("z").alias("text"))
+    sink = snapsink.snapshot_sink(tbl)
+    sink(df, 0)
+    # simulate the pre-watermark sidecar shape {stream: epoch} claiming
+    # epochs beyond any surviving manifest
+    with open(snapsink._streams_path(tbl), "w") as f:
+        json.dump({"default": 7}, f)
+    sink(df, 7)  # must be treated as a replay
+    assert st.current_version(tbl) == 1
+    sink(df, 8)  # genuinely new epoch still lands
+    assert st.current_version(tbl) == 2

@@ -137,6 +137,9 @@ def apply_bpe(
     built from the docs' own distinct words (any corpus's distinct-word
     table is small relative to the corpus; at true web scale swap the
     broadcast for a shuffle join, same plan otherwise)."""
+    # lazy checkpoint: the exploded (id, word) frame feeds BOTH the
+    # mapping aggregate and the join probe side — materialize on first
+    # use so the corpus-scale regexp explode runs once, not twice
     words = docs.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -144,7 +147,7 @@ def apply_bpe(
                 F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
             )
         ).alias("word"),
-    )
+    ).localCheckpoint(eager=False)
     mapping = tokenize_words(
         words.groupBy("word").agg(F.count("*").alias("freq")), merges
     ).select("word", F.size("tokens").alias("n_tok"))
@@ -166,7 +169,10 @@ def bpe_train_report(
     from waddleml_spark.session import read_table
 
     docs = read_table(spark, sf_dir, "documents")
-    freqs = word_freqs(docs)
+    # materialize the vocab once: training, tokenization, and the stats
+    # agg all read this — without the checkpoint each re-runs the
+    # corpus-scale explode+groupBy ("ONE corpus-scale pass" contract)
+    freqs = word_freqs(docs).localCheckpoint()
     merges = train_bpe(freqs, n_merges=n_merges)
     toks = tokenize_words(freqs, merges)
     stats = toks.agg(

@@ -54,45 +54,59 @@ def _streams_path(table: str) -> str:
     return os.path.join(table, snaptable._MANIFEST_DIR, _STREAMS)
 
 
-def _stream_state(table: str) -> dict[str, int]:
-    """Per-stream max delivered epoch.
+def _stream_state_scan(table: str) -> tuple[dict[str, int], int]:
+    """(per-stream max delivered epoch, highest manifest version the
+    scan actually covered).
 
     The MANIFESTS are the atomic record (the sidecar write is a separate
     step that can be lost to a crash or to a concurrent stream's
     read-modify-write), so the sidecar is only a scan watermark: take
     its per-stream values, then merge every manifest NEWER than its
     ``at_version``.  A stale/lost sidecar costs one longer scan, never a
-    wrong answer."""
+    wrong answer.  A pre-watermark sidecar (the legacy flat
+    {stream: epoch} shape) is parsed as streams with at_version=0 —
+    discarding it would forget epochs whose manifests were vacuumed."""
     p = _streams_path(table)
     state: dict[str, int] = {}
     at_version = 0
     if os.path.exists(p):
         with open(p) as f:
             raw = json.load(f)
-        at_version = int(raw.get("at_version", 0))
-        state = {k: int(v) for k, v in raw.get("streams", {}).items()}
+        if "streams" in raw:
+            at_version = int(raw.get("at_version", 0))
+            state = {k: int(v) for k, v in raw["streams"].items()}
+        else:  # legacy flat shape
+            state = {k: int(v) for k, v in raw.items()}
+    covered = at_version
     for v in snaptable._versions(table):
+        covered = max(covered, v)
         if v <= at_version:
             continue
         parsed = _parse_epoch_op(snaptable._load_manifest(table, v)["operation"])
         if parsed:
             sid, epoch = parsed
             state[sid] = max(state.get(sid, -1), epoch)
-    return state
+    return state, covered
+
+
+def _stream_state(table: str) -> dict[str, int]:
+    return _stream_state_scan(table)[0]
 
 
 def _record_epoch(table: str, stream_id: str, epoch_id: int) -> None:
     # merge against a FRESH read so a concurrent stream's watermark is
-    # never regressed; correctness doesn't depend on this write landing
-    state = _stream_state(table)
+    # never regressed, and stamp at_version with the max version the
+    # merge scan actually COVERED — a fresh current_version() here could
+    # exceed the scan (a concurrent stream's manifest landed in between)
+    # and permanently hide that stream's epochs behind the watermark.
+    # Correctness doesn't depend on this write landing at all.
+    state, covered = _stream_state_scan(table)
     state[stream_id] = max(state.get(stream_id, -1), epoch_id)
     tmp = os.path.join(
         table, snaptable._MANIFEST_DIR, f".tmp-streams-{uuid.uuid4().hex}"
     )
     with open(tmp, "w") as f:
-        json.dump(
-            {"at_version": snaptable.current_version(table), "streams": state}, f
-        )
+        json.dump({"at_version": covered, "streams": state}, f)
     os.replace(tmp, _streams_path(table))
 
 
