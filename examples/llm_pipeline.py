@@ -48,4 +48,28 @@ approx = similarity.ivf_topk(cells, model, q, k=5, n_probe=2).collect()
 print("exact top-5:", [(r.vec_id, round(r.cos_sim, 4)) for r in exact])
 print("ivf   top-5:", [(r.vec_id, round(r.cos_sim, 4)) for r in approx])
 
+# 6. learned corpus filter: distill the lang-ID-confidence teacher into
+# a linear student, then score the corpus as a pure projection
+from waddleml_spark.llmops import quality_model
+
+labeled = quality_model.langid_teacher_labels(final)
+feats = quality_model.feature_frame(final)
+scorer = quality_model.train_quality_scorer(feats, labeled)
+probs = quality_model.score_quality(feats, scorer)
+print("learned filter: mean P(keep) =",
+      round(probs.agg(F.avg("quality_prob")).first()[0], 3))
+
+# 7. domain mix: semantic clusters with alpha-smoothed sampling rates
+similarity.domain_mix_report(emb, n_domains=4).show(truncate=False)
+
+# 8. tokenizer training: learn 8 BPE merges from the final corpus
+from waddleml_spark.llmops import bpe
+
+freqs = bpe.word_freqs(final).localCheckpoint()
+merges = bpe.train_bpe(freqs, n_merges=8)
+print("bpe merges:", ["".join(m) for m in merges])
+counts = bpe.apply_bpe(final, merges)
+print("tokens/doc:",
+      round(counts.agg(F.avg("n_tokens")).first()[0], 1))
+
 spark.stop()

@@ -145,3 +145,27 @@ def test_legacy_flat_sidecar_still_blocks_replays(spark, tmp_path):
     assert st.current_version(tbl) == 1
     sink(df, 8)  # genuinely new epoch still lands
     assert st.current_version(tbl) == 2
+
+
+def test_neardup_sink_drops_near_matches_against_snapshot(spark, tmp_path):
+    tbl = str(tmp_path / "t_near")
+    base_text = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    rows1 = [
+        (1, base_text),
+        (2, "completely different content about distributed query engines and planners"),
+    ]
+    sink = snapsink.neardup_snapshot_sink(tbl, jaccard_threshold=0.5)
+    sink(spark.createDataFrame(rows1, "doc_id long, text string"), 0)
+    assert st.read(spark, tbl).count() == 2
+    rows2 = [
+        (3, base_text),                                     # exact dup -> dropped
+        (4, base_text.replace("today", "tonight")),         # near dup  -> dropped
+        (5, "a genuinely novel document mentioning photosynthesis and chlorophyll"),
+    ]
+    sink(spark.createDataFrame(rows2, "doc_id long, text string"), 1)
+    got = st.read(spark, tbl)
+    assert sorted(r.doc_id for r in got.collect()) == [1, 2, 5]
+    # replay of epoch 1 is skipped; a new epoch with all-dups commits nothing
+    sink(spark.createDataFrame(rows2, "doc_id long, text string"), 1)
+    sink(spark.createDataFrame([(6, base_text)], "doc_id long, text string"), 2)
+    assert sorted(r.doc_id for r in st.read(spark, tbl).collect()) == [1, 2, 5]

@@ -206,3 +206,106 @@ def epoch_log(table: str) -> list[dict]:
                 }
             )
     return out
+
+
+def neardup_snapshot_sink(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stream_id: str = "default",
+    band_bits: int = 8,
+    max_bucket: int = 64,
+    jaccard_threshold: float = 0.8,
+):
+    """foreachBatch function: streaming NEAR-dup ingest — the LSH version
+    of dedup_snapshot_sink.  Each micro-batch is exact-deduped (within
+    itself, then against the snapshot's fingerprints), then batch docs
+    whose banded 32-bit SimHash collides with a STORED doc's and whose
+    exact n-gram Jaccard verifies >= ``jaccard_threshold`` are dropped;
+    survivors commit as the next snapshot version.
+
+    Scale shape is the batch-vs-corpus asymmetric version of
+    simhash32_band_pairs: signatures are doc-grain aggregates, the band
+    join shuffles only (band, bucket, id) rows, the mega-bucket star
+    guard caps boilerplate buckets on the SNAPSHOT side, and the
+    Jaccard verifier hydrates text for candidate ids only.  Doc ids
+    must be globally unique across batches (they key the pair join).
+    band_bits=8 gives 4 bands: by pigeonhole every pair within
+    hamming distance 3 of the 32-bit signature shares a clean band —
+    the right recall default for one-edit near-dups (16-bit bands
+    measured missing a 3-bit-distant pair).  At large snapshots,
+    persist the signature column in the table instead of recomputing
+    per batch (same evolution the docstring of dedup_snapshot_sink
+    prescribes for fingerprints)."""
+    from waddleml_spark.llmops import dedup
+
+    if 32 % band_bits != 0:
+        raise ValueError(f"band_bits must divide 32, got {band_bits}")
+    base = snapshot_sink(table, stream_id=stream_id)
+    bands, mask = 32 // band_bits, (1 << band_bits) - 1
+
+    def _band_keys(sig):
+        return sig.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col("simhash32"), b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("k"),
+        ).select("id", "k.band", "k.bucket")
+
+    def sink(df, epoch_id: int) -> None:
+        if df.isEmpty():
+            return
+        batch = dedup.exact_dedup_keep(df, text_col=text_col, id_col=id_col)
+        if snaptable.current_version(table) > 0:
+            spark = df.sparkSession
+            snap = snaptable.read(spark, table)
+            keep = dedup.incremental_dedup(
+                batch, snap, text_col=text_col, id_col=id_col
+            )
+            batch = batch.join(
+                keep.select(F.col("keeper_id").alias(id_col)), id_col, "semi"
+            )
+            b_keys = _band_keys(dedup.simhash32_jvm(batch, text_col, id_col))
+            s_keys = _band_keys(dedup.simhash32_jvm(snap, text_col, id_col))
+            guard = (
+                s_keys.groupBy("band", "bucket")
+                .agg(F.count("*").alias("__n"))
+                .filter(F.col("__n") <= max_bucket)
+                .select("band", "bucket")
+            )
+            cand = (
+                b_keys.join(
+                    s_keys.join(guard, ["band", "bucket"]).select(
+                        F.col("id").alias("snap_id"), "band", "bucket"
+                    ),
+                    ["band", "bucket"],
+                )
+                .select(F.col("id").alias("id_a"), F.col("snap_id").alias("id_b"))
+                .distinct()
+            )
+            union = batch.select(id_col, text_col).unionByName(
+                snap.select(id_col, text_col)
+            )
+            near = dedup.jaccard_pairs(
+                union,
+                candidates=cand,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=jaccard_threshold,
+            )
+            batch = batch.join(
+                near.select(F.col("id_a").alias(id_col)).distinct(), id_col, "anti"
+            )
+        base(batch, epoch_id)
+
+    return sink
