@@ -169,3 +169,33 @@ def test_neardup_sink_drops_near_matches_against_snapshot(spark, tmp_path):
     sink(spark.createDataFrame(rows2, "doc_id long, text string"), 1)
     sink(spark.createDataFrame([(6, base_text)], "doc_id long, text string"), 2)
     assert sorted(r.doc_id for r in st.read(spark, tbl).collect()) == [1, 2, 5]
+
+
+def test_neardup_sink_id_not_first_column_and_in_batch_pairs(spark, tmp_path):
+    # regression: joins move the USING key first; the order-sensitive
+    # append-schema check must still pass on the second batch.  Also:
+    # two near-dup docs arriving IN THE SAME batch keep only the lower id.
+    tbl = str(tmp_path / "t_near2")
+    base_text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                 "lambda mu nu xi omicron pi rho sigma")
+    sink = snapsink.neardup_snapshot_sink(tbl, jaccard_threshold=0.5)
+    b1 = spark.createDataFrame(
+        [(base_text, 10), (base_text.replace("sigma", "tau"), 11),
+         ("unrelated words about parquet manifests and atomic renames", 12)],
+        "text string, doc_id long",
+    )
+    sink(b1, 0)
+    got1 = sorted(r.doc_id for r in st.read(spark, tbl).collect())
+    assert got1 == [10, 12]  # in-batch near-dup 11 dropped
+    # sigma->tau is hamming-4 from base with a clean 8-bit band (the
+    # banded-recall guarantee covers <=3 bits; this pair measured
+    # in-radius) — alpha->omega measured hamming 5 with all bands dirty,
+    # i.e. an honest LSH recall miss, so it can't serve as the fixture
+    b2 = spark.createDataFrame(
+        [(base_text.replace("sigma", "tau"), 20),     # near-dup vs snapshot
+         ("fresh content mentioning tokenizers and byte pair encodings", 21)],
+        "text string, doc_id long",
+    )
+    sink(b2, 1)  # must not raise schema mismatch
+    got2 = sorted(r.doc_id for r in st.read(spark, tbl).collect())
+    assert got2 == [10, 12, 21]

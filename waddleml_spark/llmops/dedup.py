@@ -565,6 +565,41 @@ def minhash32_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def band_rows(
+    sigs: DataFrame,
+    band_bits: int,
+    sig_col: str = "simhash32",
+    id_col: str = "doc_id",
+    width: int = 32,
+) -> DataFrame:
+    """(id, band, bucket) rows for a packed integer signature — the
+    shared banding used by the streaming near-dup sink and the phash
+    join.  ``simhash32_band_pairs`` deliberately keeps its own
+    pmod/float-divide bucket arithmetic: it is pinned bit-for-bit to its
+    registered SQL oracle and must not drift with this helper; the two
+    produce identical buckets for non-negative 32-bit signatures."""
+    if width % band_bits != 0:
+        raise ValueError(f"band_bits must divide {width}, got {band_bits}")
+    bands = width // band_bits
+    mask = (1 << band_bits) - 1
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col(sig_col), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("k"),
+    ).select("id", "k.band", "k.bucket")
+
+
 def simhash32_band_pairs(
     df: DataFrame,
     text_col: str = "text",

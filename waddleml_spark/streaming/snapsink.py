@@ -184,7 +184,9 @@ def dedup_snapshot_sink(
             )
         else:
             fresh = dedup.exact_dedup_keep(df, text_col=text_col, id_col=id_col)
-        base(fresh, epoch_id)
+        # the semi-join moves id_col first; the snapshot append-schema
+        # check is column-order-sensitive by design
+        base(fresh.select(*df.columns), epoch_id)
 
     return sink
 
@@ -218,76 +220,95 @@ def neardup_snapshot_sink(
     jaccard_threshold: float = 0.8,
 ):
     """foreachBatch function: streaming NEAR-dup ingest — the LSH version
-    of dedup_snapshot_sink.  Each micro-batch is exact-deduped (within
-    itself, then against the snapshot's fingerprints), then batch docs
-    whose banded 32-bit SimHash collides with a STORED doc's and whose
-    exact n-gram Jaccard verifies >= ``jaccard_threshold`` are dropped;
-    survivors commit as the next snapshot version.
+    of dedup_snapshot_sink.  Per micro-batch: exact dedup within the
+    batch, exact fingerprint anti-join against the snapshot, banded
+    32-bit SimHash near-dup removal WITHIN the batch, then against the
+    stored corpus — every candidate verified at exact n-gram Jaccard >=
+    ``jaccard_threshold`` before a drop.  Survivors commit as the next
+    snapshot version.
 
-    Scale shape is the batch-vs-corpus asymmetric version of
-    simhash32_band_pairs: signatures are doc-grain aggregates, the band
-    join shuffles only (band, bucket, id) rows, the mega-bucket star
-    guard caps boilerplate buckets on the SNAPSHOT side, and the
-    Jaccard verifier hydrates text for candidate ids only.  Doc ids
-    must be globally unique across batches (they key the pair join).
-    band_bits=8 gives 4 bands: by pigeonhole every pair within
-    hamming distance 3 of the 32-bit signature shares a clean band —
-    the right recall default for one-edit near-dups (16-bit bands
-    measured missing a 3-bit-distant pair).  At large snapshots,
-    persist the signature column in the table instead of recomputing
-    per batch (same evolution the docstring of dedup_snapshot_sink
-    prescribes for fingerprints)."""
+    band_bits=8 gives 4 bands: by pigeonhole every pair within hamming
+    distance 3 of the 32-bit signature shares a clean band — the right
+    recall default for one-edit near-dups (16-bit bands measured missing
+    a 3-bit-distant pair).  The mega-bucket star guard caps snapshot
+    buckets at ``max_bucket``; capped buckets fall back to verifying
+    against ONE representative (min id) per bucket, so the dominant
+    boilerplate cluster cannot grow unboundedly through the guard's
+    blind spot (recall trade: a capped bucket is checked via its
+    representative only).
+
+    Replays skip O(1) at the top (stream-scoped high-water check before
+    any compute).  The deduped batch and the drop-id sets are
+    localCheckpointed — the anti-join filter sets derive from the
+    expensive SimHash/Jaccard branch, and without the cut the committed
+    plan re-evaluates that branch per reference (the CLAUDE.md
+    filter-set rule).  Doc ids must be globally unique across batches.
+    At large snapshots, persist the signature column in the table
+    instead of recomputing per batch."""
     from waddleml_spark.llmops import dedup
+    from waddleml_spark.llmops.textstats import fingerprint
 
-    if 32 % band_bits != 0:
-        raise ValueError(f"band_bits must divide 32, got {band_bits}")
     base = snapshot_sink(table, stream_id=stream_id)
-    bands, mask = 32 // band_bits, (1 << band_bits) - 1
 
-    def _band_keys(sig):
-        return sig.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.shiftright(F.col("simhash32"), b * band_bits)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("bucket"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("k"),
-        ).select("id", "k.band", "k.bucket")
+    def _drop_verified(frame, cand):
+        """Anti-join frame by the id_a side of Jaccard-verified pairs."""
+        near = dedup.jaccard_pairs(
+            frame,
+            candidates=cand,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=jaccard_threshold,
+        )
+        drops = near.select(F.col("id_a").alias(id_col)).distinct().localCheckpoint()
+        return frame.join(drops, id_col, "anti")
 
     def sink(df, epoch_id: int) -> None:
+        if epoch_id <= _stream_state(table).get(stream_id, -1):
+            return  # replay: skip before ANY compute
         if df.isEmpty():
             return
+        cols = df.columns
+        # exact within batch, then near-dup within batch (keep lower id)
         batch = dedup.exact_dedup_keep(df, text_col=text_col, id_col=id_col)
+        in_batch = dedup.simhash32_band_pairs(
+            batch, text_col=text_col, id_col=id_col,
+            band_bits=band_bits, max_bucket=max_bucket,
+        ).select("id_a", "id_b")
+        # drop the HIGHER id of each verified in-batch pair
+        batch = _drop_verified(
+            batch, in_batch.select(F.col("id_b").alias("id_a"),
+                                   F.col("id_a").alias("id_b")),
+        ).localCheckpoint()
         if snaptable.current_version(table) > 0:
             spark = df.sparkSession
             snap = snaptable.read(spark, table)
-            keep = dedup.incremental_dedup(
-                batch, snap, text_col=text_col, id_col=id_col
-            )
+            # exact vs snapshot: one fingerprint anti-join
             batch = batch.join(
-                keep.select(F.col("keeper_id").alias(id_col)), id_col, "semi"
+                snap.select(fingerprint(F.col(text_col)).alias("__fp")).distinct(),
+                fingerprint(F.col(text_col)) == F.col("__fp"),
+                "left_anti",
+            ).localCheckpoint()
+            b_keys = dedup.band_rows(
+                dedup.simhash32_jvm(batch, text_col, id_col), band_bits
             )
-            b_keys = _band_keys(dedup.simhash32_jvm(batch, text_col, id_col))
-            s_keys = _band_keys(dedup.simhash32_jvm(snap, text_col, id_col))
-            guard = (
-                s_keys.groupBy("band", "bucket")
-                .agg(F.count("*").alias("__n"))
-                .filter(F.col("__n") <= max_bucket)
-                .select("band", "bucket")
+            s_keys = dedup.band_rows(
+                dedup.simhash32_jvm(snap, text_col, id_col), band_bits
+            )
+            sizes = s_keys.groupBy("band", "bucket").agg(F.count("*").alias("__n"))
+            ok_keys = s_keys.join(
+                sizes.filter(F.col("__n") <= max_bucket), ["band", "bucket"]
+            ).select(F.col("id").alias("snap_id"), "band", "bucket")
+            # capped buckets: ONE representative each, not zero coverage
+            reps = (
+                s_keys.join(
+                    sizes.filter(F.col("__n") > max_bucket), ["band", "bucket"]
+                )
+                .groupBy("band", "bucket")
+                .agg(F.min("id").alias("snap_id"))
             )
             cand = (
                 b_keys.join(
-                    s_keys.join(guard, ["band", "bucket"]).select(
-                        F.col("id").alias("snap_id"), "band", "bucket"
-                    ),
+                    ok_keys.unionByName(reps.select("snap_id", "band", "bucket")),
                     ["band", "bucket"],
                 )
                 .select(F.col("id").alias("id_a"), F.col("snap_id").alias("id_b"))
@@ -303,9 +324,12 @@ def neardup_snapshot_sink(
                 id_col=id_col,
                 threshold=jaccard_threshold,
             )
-            batch = batch.join(
-                near.select(F.col("id_a").alias(id_col)).distinct(), id_col, "anti"
+            drops = (
+                near.select(F.col("id_a").alias(id_col)).distinct().localCheckpoint()
             )
-        base(batch, epoch_id)
+            batch = batch.join(drops, id_col, "anti")
+        # joins reorder columns (USING keys move first); the snapshot's
+        # append-schema check is order-sensitive by design
+        base(batch.select(*cols), epoch_id)
 
     return sink
