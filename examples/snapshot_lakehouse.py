@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from waddleml_spark.llmops import dedup
 from waddleml_spark.session import get_spark, read_table
 from waddleml_spark.sources import deltalog, pyds, snaptable, zorder
+from waddleml_spark.streaming import snapsink
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -79,6 +80,15 @@ def main() -> None:
     delta_dir = tempfile.mkdtemp(prefix="corpus_delta_")
     deltalog.write_delta(snaptable.read(spark, table), delta_dir)
     print("delta export v0:", deltalog.read_delta(spark, delta_dir).count())
+
+    # -- streaming near-dup ingest: each batch is exact- AND LSH-deduped
+    # against the stored corpus before committing (foreachBatch shape;
+    # driven directly here — a readStream would call the same sink)
+    near_tbl = tempfile.mkdtemp(prefix="corpus_near_")
+    ingest = snapsink.neardup_snapshot_sink(near_tbl, jaccard_threshold=0.6)
+    ingest(docs.filter(F.col("doc_id") < 100), 0)
+    ingest(docs.filter(F.col("doc_id") < 150), 1)  # 100 replays + 50 new
+    print("near-dup ingest versions:", snaptable.history(near_tbl)[-1])
     spark.stop()
 
 
