@@ -132,3 +132,27 @@ def test_partition_values_needing_escapes_round_trip(spark, tmp_path):
     # vacuum on the latest snapshot must delete nothing
     assert dl.vacuum(tbl) == []
     assert dl.read_delta(spark, tbl).count() == 4
+
+
+def test_concurrent_delta_appenders_all_land(spark, tmp_path):
+    """8 threads race append commits through the os.link claim + rebase
+    loop; every batch must land in its own version with no loss."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    tbl = str(tmp_path / "race")
+    dl.write_delta(_df(spark, 0, 10, "seed"), tbl)
+
+    def append(i):
+        return dl.write_delta(
+            _df(spark, 100 * (i + 1), 100 * (i + 1) + 10, f"w{i}"), tbl
+        )
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        versions = list(ex.map(append, range(8)))
+    assert len(set(versions)) == 8  # every commit claimed a unique version
+    final = dl.read_delta(spark, tbl)
+    assert final.count() == 90  # seed + 8 batches of 10, none lost
+    assert final.select("tag").distinct().count() == 9
+    # the log replays cleanly at every intermediate version
+    for v in sorted(versions):
+        assert dl.read_delta(spark, tbl, version=v).count() % 10 == 0
