@@ -571,6 +571,7 @@ def band_rows(
     sig_col: str = "simhash32",
     id_col: str = "doc_id",
     width: int = 32,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, band, bucket) rows for a packed integer signature — the
     shared banding used by the streaming near-dup sink and the phash
@@ -584,6 +585,7 @@ def band_rows(
     mask = (1 << band_bits) - 1
     return sigs.select(
         F.col(id_col).alias("id"),
+        *carry,  # columns carried through the explode (no join-back later)
         F.explode(
             F.array(
                 *[
@@ -597,7 +599,7 @@ def band_rows(
                 ]
             )
         ).alias("k"),
-    ).select("id", "k.band", "k.bucket")
+    ).select("id", *carry, "k.band", "k.bucket")
 
 
 def simhash32_band_pairs(

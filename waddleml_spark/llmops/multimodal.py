@@ -580,28 +580,17 @@ def phash_neardup_pairs(
     → distinct pair → exact hamming verify.  Only 8-byte hashes
     shuffle; payloads stay where they were decoded.
     """
-    if 64 % band_bits != 0:
-        raise ValueError(f"band_bits must divide 64, got {band_bits}")
-    bands = 64 // band_bits
-    mask = (1 << band_bits) - 1
+    from waddleml_spark.llmops.dedup import band_rows
+
     src = phashes.filter(F.col("phash").isNotNull())
-    keys = src.select(
-        F.col("media_id").alias("id"),
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("phash"), b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("k"),
-    ).select("id", "phash", "k.band", "k.bucket")
+    keys = band_rows(
+        src.select("media_id", "phash"),
+        band_bits,
+        sig_col="phash",
+        id_col="media_id",
+        width=64,
+        carry=("phash",),  # ride the explode; hamming verify needs it
+    )
     guarded = keys.join(
         keys.groupBy("band", "bucket")
         .agg(F.count("*").alias("__n"))
