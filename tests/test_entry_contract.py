@@ -40,3 +40,31 @@ def test_oracle_keys_subset_of_queries():
     q, o = entry.queries(), entry.oracle_sql()
     assert set(o) <= set(q)
     assert set(o) == set(catalog.ORACLE)
+
+
+def test_no_hugeint_or_decimal_in_any_oracle_output():
+    """The driver's value-hash is TYPE-sensitive: DuckDB types sum(INTEGER/
+    BIGINT) as HUGEINT (int128) while Spark emits BIGINT, so a hash-identical
+    value still fails the gate (the round-3 red rows: sessionize_users,
+    pii_scrub_report, sequence_packing_report).  Every integer sum in an
+    oracle must carry CAST(... AS BIGINT); same for any DECIMAL the SQL
+    dialect might infer.  Planning the relation is enough — no execution.
+    """
+    import pytest
+
+    duckdb = pytest.importorskip("duckdb")  # noqa: F841
+    from waddleml_spark.testing import duckdb_conn
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb_conn(SF_SMOKE)
+    offenders = []
+    for name, sql in sorted(catalog.ORACLE.items()):
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ).upper()
+            if "HUGEINT" in t or "INT128" in t or "DECIMAL" in t:
+                offenders.append((name, col, t))
+    assert not offenders, (
+        "oracle outputs with driver-hash-incompatible types "
+        f"(wrap in CAST(... AS BIGINT)): {offenders}"
+    )

@@ -568,7 +568,7 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "sessionize_users",
     """
-    SELECT user_id, sum(is_new) AS n_sessions, count(*) AS n_events FROM (
+    SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         SELECT user_id,
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000

@@ -784,8 +784,8 @@ def resample_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_type,
            count(*) AS n,
            a.med, a.mad,
-           sum(CASE WHEN abs(e.value - a.med) > 3 * a.mad THEN 1 ELSE 0 END)
-               AS n_outliers
+           CAST(sum(CASE WHEN abs(e.value - a.med) > 3 * a.mad THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers
     FROM events e JOIN mad a USING (event_type)
     GROUP BY e.event_type, a.med, a.mad
     """,

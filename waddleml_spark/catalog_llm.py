@@ -75,8 +75,8 @@ def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_totals_by_source",
     r"""
     SELECT source,
-           sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS total_tokens,
-           sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS total_words
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS total_words
     FROM documents GROUP BY source
     """,
 )
@@ -280,7 +280,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_payload_stats",
     """
     SELECT 'image' AS modality, count(*) AS n,
-           sum(octet_length(encode(text))) AS total_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            min(octet_length(encode(text))) AS min_bytes,
            max(octet_length(encode(text))) AS max_bytes
     FROM documents
@@ -489,7 +489,7 @@ def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH per AS (
         SELECT source, lang,
-               sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS toks
+               CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS toks
         FROM documents GROUP BY source, lang
     )
     SELECT source, lang, toks AS total_tokens,
@@ -588,9 +588,9 @@ def dataset_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks WHERE n_tok > 0)
     SELECT CAST(floor((e - n_tok) / 2048.0) AS BIGINT) AS seq_id,
            count(*) AS docs_starting,
-           sum(n_tok) AS toks_starting,
-           sum(CASE WHEN floor((e - 1) / 2048.0) > floor((e - n_tok) / 2048.0)
-                    THEN 1 ELSE 0 END) AS boundary_docs
+           CAST(sum(n_tok) AS BIGINT) AS toks_starting,
+           CAST(sum(CASE WHEN floor((e - 1) / 2048.0) > floor((e - n_tok) / 2048.0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs
     FROM cum GROUP BY seq_id
     """,
 )
@@ -627,9 +627,9 @@ _MIX_RATES = {"src0": 3.0, "src1": 1.25, "src2": 0.5, "src3": 0.0}
                substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 4) AS h4
         FROM documents)
     SELECT source, count(*) AS n_docs_in,
-           sum(CAST(floor(rate) AS BIGINT)
+           CAST(sum(CAST(floor(rate) AS BIGINT)
                + CASE WHEN h4 < lpad(lower(hex(CAST(round((rate - floor(rate)) * 65536) AS BIGINT))), 4, '0')
-                      THEN 1 ELSE 0 END) AS n_rows_out
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_out
     FROM c GROUP BY source
     """,
 )
@@ -713,8 +713,8 @@ def bigram_lm_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chunking_report",
     """
     SELECT source, count(*) AS n_docs,
-           sum(1 + CAST(floor((greatest(n_tok - 16, 1) - 1) / 48.0) AS BIGINT))
-               AS total_chunks
+           CAST(sum(1 + CAST(floor((greatest(n_tok - 16, 1) - 1) / 48.0) AS BIGINT))
+               AS BIGINT) AS total_chunks
     FROM (SELECT source,
                  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
           FROM documents)
@@ -928,11 +928,11 @@ def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
               GROUP BY doc_id, w)
         GROUP BY doc_id)
     SELECT source,
-           sum(CASE WHEN n_words < 30 THEN 1 ELSE 0 END) AS n_short,
-           sum(CASE WHEN n_words >= 30 AND ratio > 0.12 THEN 1 ELSE 0 END)
-               AS n_repetitive,
-           sum(CASE WHEN n_words >= 30 AND ratio <= 0.12 THEN 1 ELSE 0 END)
-               AS n_kept
+           CAST(sum(CASE WHEN n_words < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           CAST(sum(CASE WHEN n_words >= 30 AND ratio > 0.12 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_repetitive,
+           CAST(sum(CASE WHEN n_words >= 30 AND ratio <= 0.12 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept
     FROM t JOIN rep USING (doc_id)
     GROUP BY source
     """,
@@ -1103,11 +1103,11 @@ _PII_ORACLE = r"""
     )
     SELECT source,
            count(*) AS docs,
-           sum(e) AS n_emails,
-           sum(p) AS n_phones,
-           sum(i) AS n_ips,
-           sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS docs_with_pii,
-           sum(len(ptext) - len(rtext)) AS chars_removed
+           CAST(sum(e) AS BIGINT) AS n_emails,
+           CAST(sum(p) AS BIGINT) AS n_phones,
+           CAST(sum(i) AS BIGINT) AS n_ips,
+           CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(sum(len(ptext) - len(rtext)) AS BIGINT) AS chars_removed
     FROM scrubbed
     GROUP BY source
 """.replace("@EMAIL@", pii.EMAIL_RE).replace("@PHONE@", pii.PHONE_RE).replace(
