@@ -7,7 +7,12 @@ import time
 
 import pytest
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import EqualTo, GreaterThan, LessThanOrEqual
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThanOrEqual,
+)
 
 from waddleml_spark.sources import pyds
 from waddleml_spark.sources import snaptable as st
@@ -59,10 +64,23 @@ def test_pushed_filters_skip_files(spark, tmp_path):
 
 
 def test_bounds_folding():
-    b = _file_bounds(
+    b, temporal = _file_bounds(
         [GreaterThan(("id",), 5), LessThanOrEqual(("id",), 10), EqualTo(("t",), "a")]
     )
     assert b == {"id": (5, 10), "t": ("a", "a")}
+    assert temporal == set()
+
+
+def test_bounds_folding_temporal_naive_utc():
+    import datetime as dt
+
+    aware = dt.datetime(2024, 1, 1, 10, 0, 0, tzinfo=dt.timezone.utc)
+    naive = dt.datetime(2024, 1, 1, 10, 0, 0)
+    ba, ta = _file_bounds([GreaterThanOrEqual(("ts",), aware)])
+    bn, tn = _file_bounds([GreaterThanOrEqual(("ts",), naive)])
+    # tz-aware and naive bounds canonicalize to the SAME naive-UTC ISO
+    assert ba == bn == {"ts": ("2024-01-01T10:00:00", None)}
+    assert ta == tn == {"ts"}
 
 
 def test_format_write_commits_one_version(spark, tmp_path):

@@ -169,6 +169,60 @@ def test_date_bounds_normalized_for_prune(spark, tmp_path):
     assert got  # date objects compare against ISO-string stats
 
 
+def test_timestamp_prune_boundary_keeps_file(spark, tmp_path):
+    """Pushed timestamp bounds vs footer stats: an equal boundary must
+    KEEP the file (the tz-aware-ISO vs naive-ISO string-compare bug made
+    mn > hi true at equality and silently dropped the file's rows)."""
+    import datetime as dt
+
+    tbl = str(tmp_path / "t_ts")
+    df = spark.sql(
+        "SELECT id, timestamp'2024-01-01 10:00:00' + make_interval(0,0,0,0,0,0,id) AS ts"
+        " FROM range(0, 10)"
+    )
+    st.write(df, tbl)
+    files = st.file_list(tbl)
+    assert all("ts" in f["stats"] for f in files)
+    # stored stats are canonical naive-UTC ISO (no offset suffix)
+    for f in files:
+        mn, mx = f["stats"]["ts"]
+        assert "+" not in mn and "+" not in mx, (mn, mx)
+    # a lo bound EQUAL to a file's max must keep that file (the tz bug
+    # dropped it); naive and tz-aware UTC bounds must agree exactly
+    for bound in (
+        dt.datetime(2024, 1, 1, 10, 0, 9),
+        dt.datetime(2024, 1, 1, 10, 0, 9, tzinfo=dt.timezone.utc),
+    ):
+        kept = st._prune(files, "ts", bound, None)
+        assert any(f["stats"]["ts"][1] == "2024-01-01T10:00:09" for f in kept)
+        assert kept == st._prune(files, "ts", dt.datetime(2024, 1, 1, 10, 0, 9), None)
+    # off-range bounds still prune
+    assert st._prune(files, "ts", dt.datetime(2024, 1, 1, 11, 0, 0), None) == []
+
+
+def test_prune_handles_legacy_tz_aware_stats():
+    """Manifests written before canonicalization carry tz-aware ISO stats;
+    a temporal bound must still compare correctly — and a STRING column
+    whose values merely look like ISO datetimes must never be rewritten."""
+    import datetime as dt
+
+    legacy = [
+        {
+            "path": "p",
+            "rows": 1,
+            "stats": {"ts": ("2024-01-01T10:00:00+00:00", "2024-01-01T10:00:09+00:00")},
+        }
+    ]
+    # naive bound equal to the max: file must be kept
+    assert st._prune(legacy, "ts", dt.datetime(2024, 1, 1, 10, 0, 9), None) == legacy
+    # naive bound past the max: pruned
+    assert st._prune(legacy, "ts", dt.datetime(2024, 1, 1, 10, 0, 10), None) == []
+    # string bound on a string column: raw lexical compare, stats untouched
+    s = [{"path": "p", "rows": 1, "stats": {"s": ("a", "b")}}]
+    assert st._prune(s, "s", "a", "b") == s
+    assert st._prune(s, "s", "c", None) == []
+
+
 def test_append_race_after_overwrite_never_resurrects(spark, tmp_path):
     # writer A computes its append against v1; a concurrent overwrite
     # wins v2 with a smaller file set.  A's rebased commit must contain

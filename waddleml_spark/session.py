@@ -55,6 +55,11 @@ def get_spark(
         # driver testdata writes events.ts as TIMESTAMP(NANOS); Spark can't
         # read nanos natively — read as long, convert in read_table()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark still DEFAULTS to deprecated INT96 timestamps, which carry
+        # no parquet footer min/max — killing manifest/row-group pruning
+        # on every timestamp column.  TIMESTAMP_MICROS restores stats and
+        # matches what pyarrow writers produce.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # the whole-stage-codegen class cache defaults to 100 entries; a
         # wide query mix (the 121-query catalog, a dashboard serving many

@@ -75,17 +75,23 @@ from . import snaptable as st
 
 
 def _norm(v: Any) -> Any:
-    """Mirror snaptable's stats normalization (temporals → ISO strings)."""
-    if isinstance(v, (datetime, date)):
-        return v.isoformat()
-    return v
+    """Mirror snaptable's stats normalization (temporals → naive-UTC ISO;
+    tz-aware values fold to UTC so a pushed naive bound and a tz-aware
+    footer stat land in the same total order)."""
+    return st._canon_temporal(v)
 
 
-def _file_bounds(filters: Sequence[Filter]) -> dict[str, tuple[Any, Any]]:
+def _file_bounds(
+    filters: Sequence[Filter],
+) -> tuple[dict[str, tuple[Any, Any]], set[str]]:
     """Fold supported pushed filters into per-column [lo, hi] bounds
     (strict comparisons widen to non-strict — keeping an extra file is
-    always safe).  Unsupported shapes contribute nothing."""
+    always safe).  Unsupported shapes contribute nothing.  Also returns
+    the set of columns whose bound came from a TEMPORAL value, so the
+    caller can re-canonicalize possibly-tz-aware manifest stats for
+    exactly those columns (and never rewrite a string column's stats)."""
     bounds: dict[str, tuple[Any, Any]] = {}
+    temporal: set[str] = set()
 
     def tighten(col: str, lo: Any, hi: Any) -> None:
         cur = bounds.get(col, (None, None))
@@ -98,6 +104,10 @@ def _file_bounds(filters: Sequence[Filter]) -> dict[str, tuple[Any, Any]]:
         if attr is None or len(attr) != 1:  # nested columns carry no stats
             continue
         col = attr[0]
+        if isinstance(
+            f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+        ) and isinstance(f.value, (datetime, date)):
+            temporal.add(col)
         if isinstance(f, EqualTo):
             tighten(col, _norm(f.value), _norm(f.value))
         elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
@@ -105,12 +115,14 @@ def _file_bounds(filters: Sequence[Filter]) -> dict[str, tuple[Any, Any]]:
         elif isinstance(f, (LessThan, LessThanOrEqual)):
             tighten(col, None, _norm(f.value))
         elif isinstance(f, In) and f.value:
+            if any(isinstance(v, (datetime, date)) for v in f.value):
+                temporal.add(col)
             vs = [_norm(v) for v in f.value]
             try:
                 tighten(col, min(vs), max(vs))
             except TypeError:
                 continue
-    return bounds
+    return bounds, temporal
 
 
 @dataclass(frozen=True)
@@ -130,7 +142,7 @@ class SnapTableReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         files = st.file_list(self._table, self._version)
-        bounds = _file_bounds(self._filters)
+        bounds, temporal_cols = _file_bounds(self._filters)
         null_only = {
             f.attribute[0]
             for f in self._filters
@@ -146,6 +158,8 @@ class SnapTableReader(DataSourceReader):
                 if stats is None:
                     continue
                 mn, mx = stats
+                if col in temporal_cols:
+                    mn, mx = st._canon_stat(mn), st._canon_stat(mx)
                 if (hi is not None and mn > hi) or (lo is not None and mx < lo):
                     ok = False
                     break

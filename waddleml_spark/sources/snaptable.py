@@ -54,6 +54,7 @@ import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
+from datetime import date, datetime, timezone
 from typing import Any
 
 import pyarrow.parquet as pq
@@ -106,6 +107,39 @@ def _load_manifest(table: str, version: int) -> dict:
         return json.load(f)
 
 
+def _canon_temporal(v: Any) -> Any:
+    """Canonical JSON form for temporal stats/bounds: naive-UTC ISO.
+
+    Parquet footer stats come back tz-AWARE for timestamp-with-tz columns
+    while Spark's pushed filter values arrive NAIVE (session tz, pinned
+    UTC by session.get_spark) — comparing the two as raw ISO strings makes
+    ``'...T10:00:00'`` vs ``'...T10:00:00+00:00'`` unequal at an equal
+    boundary and a file gets skipped, silently losing rows (pruning must
+    never change results).  Folding every datetime to naive UTC before it
+    is stored or compared keeps both sides in one total order.
+    """
+    if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    return v
+
+
+def _canon_stat(s: Any) -> Any:
+    """Re-canonicalize a stored stat string for a TEMPORAL comparison:
+    manifests written before _canon_temporal may carry tz-aware ISO
+    strings.  Callers apply this only when the prune bound itself was a
+    temporal, so an ordinary string column can never be rewritten."""
+    if isinstance(s, str):
+        try:
+            return _canon_temporal(datetime.fromisoformat(s))
+        except ValueError:
+            return s
+    return s
+
+
 def _footer_stats(table: str, rel_path: str) -> FileEntry:
     """Row count + per-column min/max from the parquet FOOTER only.
 
@@ -137,8 +171,8 @@ def _footer_stats(table: str, rel_path: str) -> FileEntry:
                 except UnicodeDecodeError:
                     bad.add(name)
                     continue
-            if hasattr(mn, "isoformat"):
-                mn, mx = mn.isoformat(), mx.isoformat()
+            if isinstance(mn, (datetime, date)):
+                mn, mx = _canon_temporal(mn), _canon_temporal(mx)
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
     stats = {c: (mins[c], maxs[c]) for c in mins if c not in bad}
@@ -263,10 +297,12 @@ def write(
 
 
 def _prune(files: list[dict], col: str, lo: Any, hi: Any) -> list[dict]:
-    # stats JSON-normalize temporals to ISO strings; mirror that on the
-    # caller's bounds so date/datetime prune bounds compare like-for-like
-    lo = lo.isoformat() if hasattr(lo, "isoformat") else lo
-    hi = hi.isoformat() if hasattr(hi, "isoformat") else hi
+    # stats JSON-normalize temporals to naive-UTC ISO strings; mirror
+    # that on the caller's bounds AND (for temporal bounds only) on the
+    # stored stats, so pre-canonicalization manifests with tz-aware ISO
+    # stats still compare like-for-like
+    temporal = isinstance(lo, (datetime, date)) or isinstance(hi, (datetime, date))
+    lo, hi = _canon_temporal(lo), _canon_temporal(hi)
     kept = []
     for f in files:
         st = f["stats"].get(col)
@@ -274,6 +310,8 @@ def _prune(files: list[dict], col: str, lo: Any, hi: Any) -> list[dict]:
             kept.append(f)
             continue
         mn, mx = st
+        if temporal:
+            mn, mx = _canon_stat(mn), _canon_stat(mx)
         if (hi is None or mn <= hi) and (lo is None or mx >= lo):
             kept.append(f)
     return kept
