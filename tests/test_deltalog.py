@@ -98,7 +98,7 @@ def test_history_vacuum_and_schema_guard(spark, tmp_path):
     h = dl.history(tbl)
     assert [e["version"] for e in h] == [0, 1]
     assert h[1]["operationParameters"]["mode"] == "overwrite"
-    deleted = dl.vacuum(tbl)
+    deleted = dl.vacuum(tbl, retain_minutes=0)
     assert deleted, "overwritten files should be collected"
     assert dl.read_delta(spark, tbl).count() == 5
     with pytest.raises(ValueError, match="schema mismatch"):
@@ -130,7 +130,7 @@ def test_partition_values_needing_escapes_round_trip(spark, tmp_path):
     }
     assert got.filter(F.col("k") == "a:b").count() == 2
     # vacuum on the latest snapshot must delete nothing
-    assert dl.vacuum(tbl) == []
+    assert dl.vacuum(tbl, retain_minutes=0) == []
     assert dl.read_delta(spark, tbl).count() == 4
 
 
@@ -156,3 +156,52 @@ def test_concurrent_delta_appenders_all_land(spark, tmp_path):
     # the log replays cleanly at every intermediate version
     for v in sorted(versions):
         assert dl.read_delta(spark, tbl, version=v).count() % 10 == 0
+
+
+def test_checkpoint_carries_full_action_schema(spark, tmp_path):
+    """Spec checkpoint completeness: remove tombstones, txn and metaData
+    configuration/format.options columns must exist (nullable) so a real
+    Delta client replaying checkpoint + newer commits sees the same state
+    — a checkpoint without tombstones can resurrect overwritten files."""
+    import pyarrow.parquet as pq
+
+    tbl = str(tmp_path / "t_cp")
+    dl.write_delta(_df(spark, 0, 20, "a"), tbl)
+    dl.write_delta(_df(spark, 0, 5, "b"), tbl, mode="overwrite")  # -> removes
+    v = dl.create_checkpoint(tbl)
+    t = pq.read_table(dl._checkpoint_path(tbl, v))
+    assert set(t.column_names) == {"txn", "add", "remove", "metaData", "protocol"}
+    recs = t.to_pylist()
+    removed = [r["remove"]["path"] for r in recs if r["remove"] is not None]
+    added = [r["add"]["path"] for r in recs if r["add"] is not None]
+    assert removed and not (set(removed) & set(added))
+    meta = next(r["metaData"] for r in recs if r["metaData"] is not None)
+    assert meta["format"]["provider"] == "parquet"
+    assert "configuration" in meta and "options" in meta["format"]
+    # checkpoint-only replay: drop the JSON prefix, state must survive
+    import os
+
+    for cv in range(v + 1):
+        p = dl._commit_path(tbl, cv)
+        if os.path.exists(p):
+            os.unlink(p)
+    assert dl.read_delta(spark, tbl).count() == 5
+    # tombstones survive a replay THROUGH the checkpoint
+    state = dl._replay_state(tbl, v)
+    assert set(state["removes"]) == set(removed)
+
+
+def test_checkpoint_interop_with_delta_spark(spark, tmp_path):
+    """Guarded interop: only runs when the delta-spark jars are present
+    (absent in this container -> skip)."""
+    import pytest
+
+    from waddleml_spark.sources import lakehouse
+
+    if not lakehouse.lakehouse_available(spark, "delta"):
+        pytest.skip("delta-spark jars not on the classpath")
+    tbl = str(tmp_path / "t_interop")
+    dl.write_delta(_df(spark, 0, 10, "a"), tbl)
+    dl.write_delta(_df(spark, 0, 4, "b"), tbl, mode="overwrite")
+    dl.create_checkpoint(tbl)
+    assert spark.read.format("delta").load(tbl).count() == 4

@@ -49,7 +49,7 @@ class _SnapAdapter:
         return None  # snaptable manifests are already self-contained
 
     def vacuum(self):
-        st.vacuum(self.tbl, keep_versions=1)
+        st.vacuum(self.tbl, keep_versions=1, retain_minutes=0)
 
 
 class _DeltaAdapter:
@@ -68,7 +68,7 @@ class _DeltaAdapter:
         return dl.create_checkpoint(self.tbl)
 
     def vacuum(self):
-        dl.vacuum(self.tbl)
+        dl.vacuum(self.tbl, retain_minutes=0)
 
 
 @pytest.mark.parametrize("fmt", ["snaptable", "delta"])

@@ -199,3 +199,46 @@ def test_neardup_sink_id_not_first_column_and_in_batch_pairs(spark, tmp_path):
     sink(b2, 1)  # must not raise schema mismatch
     got2 = sorted(r.doc_id for r in st.read(spark, tbl).collect())
     assert got2 == [10, 12, 21]
+
+
+def test_vacuum_preserves_epoch_record_after_lost_sidecar(spark, tmp_path):
+    """Double-failure replay guard: sidecar write lost (crash between
+    _commit and _record_epoch) AND the epoch's manifest later vacuumed.
+    vacuum must fold manifest epochs into the sidecar before dropping
+    them, or a restarted query re-delivers the epoch and duplicates rows."""
+    import os
+
+    tbl = str(tmp_path / "s_vac")
+    sink = snapsink.snapshot_sink(tbl)
+    sink(spark.range(0, 5), 0)
+    sink(spark.range(5, 9), 1)
+    # simulate the crash: the sidecar write never landed
+    os.unlink(snapsink._streams_path(tbl))
+    # out-of-band maintenance expires epoch 0's manifest
+    st.vacuum(tbl, keep_versions=1, retain_minutes=0)
+    assert snapsink._stream_state(tbl) == {"default": 1}
+    # the restarted query re-delivers both epochs: both must skip
+    sink(spark.range(0, 5), 0)
+    sink(spark.range(5, 9), 1)
+    assert st.read(spark, tbl).count() == 9
+    assert st.current_version(tbl) == 2
+
+
+def test_vacuum_grace_window_spares_young_files(spark, tmp_path):
+    """An unreferenced file younger than retain_minutes may be an
+    in-flight writer's staging; vacuum must not delete it."""
+    import os
+
+    tbl = str(tmp_path / "s_grace")
+    sink = snapsink.snapshot_sink(tbl)
+    sink(spark.range(0, 5), 0)
+    staged = os.path.join(tbl, st._DATA_DIR, "inflight")
+    os.makedirs(staged)
+    young = os.path.join(staged, "part-0.parquet")
+    open(young, "wb").close()
+    assert st.vacuum(tbl, keep_versions=1) == []
+    assert os.path.exists(young)
+    # age the file past the window: now it is a crashed-commit orphan
+    os.utime(young, (0, 0))
+    deleted = st.vacuum(tbl, keep_versions=1)
+    assert any("inflight" in p for p in deleted)

@@ -96,12 +96,12 @@ def test_vacuum_reclaims_unreferenced_files(spark, tmp_path):
     orphan = os.path.join(tbl, st._DATA_DIR, "deadbeef")
     os.makedirs(orphan)
     open(os.path.join(orphan, "part-0.parquet"), "wb").close()
-    deleted = st.vacuum(tbl, keep_versions=1)
+    deleted = st.vacuum(tbl, keep_versions=1, retain_minutes=0)
     assert any("deadbeef" in p for p in deleted)
     assert st.read(spark, tbl).count() == 10  # tip intact
     with pytest.raises(FileNotFoundError):
         st.read(spark, tbl, version=1)  # expired by vacuum
-    assert st.vacuum(tbl, keep_versions=1) == []  # idempotent
+    assert st.vacuum(tbl, keep_versions=1, retain_minutes=0) == []  # idempotent
 
 
 def test_versioned_corpus_with_incremental_dedup(spark, tmp_path):

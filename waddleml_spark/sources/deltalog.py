@@ -112,9 +112,15 @@ def _partition_values(raw) -> dict[str, str | None]:
 
 
 def _replay_state(table: str, version: int) -> dict:
-    """Table state at ``version``: checkpoint base + JSON tail replay."""
+    """Table state at ``version``: checkpoint base + JSON tail replay.
+
+    ``removes`` carries the still-standing tombstones (spec: checkpoints
+    must retain remove actions until vacuum's retention expires them) —
+    a re-add of the same path clears its tombstone."""
     adds: dict[str, dict] = {}
+    removes: dict[str, dict] = {}
     meta: dict | None = None
+    txns: dict[str, dict] = {}
     start = 0
     cps = [c for c in _list_checkpoints(table) if c <= version]
     if cps:
@@ -128,6 +134,12 @@ def _replay_state(table: str, version: int) -> dict:
                 adds[a["path"]] = a
             if m is not None and m.get("id"):
                 meta = dict(m)
+            r = rec.get("remove")
+            if r is not None and r.get("path"):
+                removes[r["path"]] = dict(r)
+            x = rec.get("txn")
+            if x is not None and x.get("appId"):
+                txns[x["appId"]] = dict(x)
         start = cp + 1
     for v in range(start, version + 1):
         p = _commit_path(table, v)
@@ -144,13 +156,18 @@ def _replay_state(table: str, version: int) -> dict:
                     a = action["add"]
                     a["partitionValues"] = _partition_values(a.get("partitionValues"))
                     adds[a["path"]] = a
+                    removes.pop(a["path"], None)
                 elif "remove" in action:
-                    adds.pop(action["remove"]["path"], None)
+                    r = action["remove"]
+                    adds.pop(r["path"], None)
+                    removes[r["path"]] = r
                 elif "metaData" in action:
                     meta = action["metaData"]
+                elif "txn" in action:
+                    txns[action["txn"]["appId"]] = action["txn"]
     if meta is None:
         raise ValueError(f"delta log of {table!r} has no metaData action")
-    return {"adds": adds, "metaData": meta}
+    return {"adds": adds, "metaData": meta, "removes": removes, "txns": txns}
 
 
 def read_delta(
@@ -366,71 +383,126 @@ def write_delta(
 def create_checkpoint(table: str, version: int | None = None) -> int:
     """Write ``{v}.checkpoint.parquet`` + ``_last_checkpoint``.
 
-    The checkpoint is the complete replayed state at ``v`` (live adds +
-    metaData + protocol), one action per row with the spec's column
-    names and ``partitionValues`` as a string→string map — after it,
-    reads never touch the JSON commits at or before ``v``.
+    The checkpoint is the complete replayed state at ``v``, one action
+    per row with the FULL set of top-level action columns a Delta reader
+    replays — ``add``, ``remove`` (standing tombstones; a client that
+    replays the checkpoint plus newer commits must see them or a
+    vacuum-era file could resurrect), ``txn`` (streaming-writer
+    idempotence watermarks), ``metaData`` (incl. ``configuration`` and
+    ``format.options``) and ``protocol`` — with ``partitionValues`` as a
+    string→string map.  After it, reads never touch the JSON commits at
+    or before ``v``.
     """
     v = current_version(table) if version is None else version
     state = _replay_state(table, v)
     meta = state["metaData"]
+    str_map = pa.map_(pa.string(), pa.string())
     add_t = pa.struct(
         [
             ("path", pa.string()),
-            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("partitionValues", str_map),
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
         ]
     )
+    remove_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("extendedFileMetadata", pa.bool_()),
+            ("partitionValues", str_map),
+            ("size", pa.int64()),
+        ]
+    )
+    txn_t = pa.struct(
+        [
+            ("appId", pa.string()),
+            ("version", pa.int64()),
+            ("lastUpdated", pa.int64()),
+        ]
+    )
     meta_t = pa.struct(
         [
             ("id", pa.string()),
-            ("format", pa.struct([("provider", pa.string())])),
+            ("name", pa.string()),
+            ("description", pa.string()),
+            (
+                "format",
+                pa.struct([("provider", pa.string()), ("options", str_map)]),
+            ),
             ("schemaString", pa.string()),
             ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", str_map),
             ("createdTime", pa.int64()),
         ]
     )
     proto_t = pa.struct(
         [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
     )
-    rows_add: list[dict | None] = []
-    rows_meta: list[dict | None] = []
-    rows_proto: list[dict | None] = []
-    for a in state["adds"].values():
-        rows_add.append(
-            {
-                "path": a["path"],
-                "partitionValues": list(a["partitionValues"].items()),
-                "size": a.get("size"),
-                "modificationTime": a.get("modificationTime"),
-                "dataChange": False,
-                "stats": a.get("stats"),
-            }
-        )
-        rows_meta.append(None)
-        rows_proto.append(None)
-    rows_add.append(None)
-    rows_meta.append(
-        {
-            "id": meta["id"],
-            "format": {"provider": "parquet"},
-            "schemaString": meta["schemaString"],
-            "partitionColumns": list(meta.get("partitionColumns") or []),
-            "createdTime": meta.get("createdTime"),
-        }
+
+    n_actions = (
+        len(state["adds"]) + len(state["removes"]) + len(state["txns"]) + 2
     )
-    rows_proto.append(None)
-    rows_add.append(None)
-    rows_meta.append(None)
-    rows_proto.append({"minReaderVersion": 1, "minWriterVersion": 2})
+    cols: dict[str, list] = {
+        k: [None] * n_actions for k in ("add", "remove", "txn", "metaData", "protocol")
+    }
+    i = 0
+    for a in state["adds"].values():
+        cols["add"][i] = {
+            "path": a["path"],
+            "partitionValues": list(a["partitionValues"].items()),
+            "size": a.get("size"),
+            "modificationTime": a.get("modificationTime"),
+            "dataChange": False,
+            "stats": a.get("stats"),
+        }
+        i += 1
+    for r in state["removes"].values():
+        cols["remove"][i] = {
+            "path": r["path"],
+            "deletionTimestamp": r.get("deletionTimestamp"),
+            "dataChange": False,
+            "extendedFileMetadata": r.get("extendedFileMetadata"),
+            "partitionValues": (
+                list(_partition_values(r.get("partitionValues")).items())
+                if r.get("partitionValues") is not None
+                else None
+            ),
+            "size": r.get("size"),
+        }
+        i += 1
+    for x in state["txns"].values():
+        cols["txn"][i] = {
+            "appId": x["appId"],
+            "version": x.get("version"),
+            "lastUpdated": x.get("lastUpdated"),
+        }
+        i += 1
+    fmt = meta.get("format") or {}
+    cols["metaData"][i] = {
+        "id": meta["id"],
+        "name": meta.get("name"),
+        "description": meta.get("description"),
+        "format": {
+            "provider": fmt.get("provider", "parquet"),
+            "options": list((fmt.get("options") or {}).items()),
+        },
+        "schemaString": meta["schemaString"],
+        "partitionColumns": list(meta.get("partitionColumns") or []),
+        "configuration": list((meta.get("configuration") or {}).items()),
+        "createdTime": meta.get("createdTime"),
+    }
+    cols["protocol"][i + 1] = {"minReaderVersion": 1, "minWriterVersion": 2}
     t = pa.table(
         {
-            "add": pa.array(rows_add, type=add_t),
-            "metaData": pa.array(rows_meta, type=meta_t),
-            "protocol": pa.array(rows_proto, type=proto_t),
+            "txn": pa.array(cols["txn"], type=txn_t),
+            "add": pa.array(cols["add"], type=add_t),
+            "remove": pa.array(cols["remove"], type=remove_t),
+            "metaData": pa.array(cols["metaData"], type=meta_t),
+            "protocol": pa.array(cols["protocol"], type=proto_t),
         }
     )
     pq.write_table(t, _checkpoint_path(table, v))
@@ -454,24 +526,36 @@ def history(table: str) -> list[dict]:
     return out
 
 
-def vacuum(table: str) -> list[str]:
+def vacuum(table: str, retain_minutes: float = 30.0) -> list[str]:
     """Delete data files not referenced by the LATEST snapshot (plus
     crashed-commit staging leftovers).  Returns deleted relative paths.
-    Time travel before the latest version stops working — the trade."""
+    Time travel before the latest version stops working — the trade.
+
+    ``retain_minutes`` is the concurrent-writer grace window (Delta's
+    retention check): a writer moves staged parquet to final paths
+    BEFORE its log commit, so an unreferenced-but-young file may belong
+    to an in-flight write — deleting it would make the imminent commit
+    reference missing data.  Files younger than the window are skipped;
+    pass 0 only when no writer can be active."""
     v = current_version(table)
     if v < 0:
         return []
     live = {unquote(a["path"]) for a in _replay_state(table, v)["adds"].values()}
+    cutoff = time.time() - retain_minutes * 60.0
     deleted: list[str] = []
     for dirpath, _dirs, names in os.walk(table, topdown=False):
         if os.path.basename(dirpath) == _LOG or (_LOG + os.sep) in dirpath:
             continue
         for n in names:
-            rel = os.path.relpath(os.path.join(dirpath, n), table).replace(
-                os.sep, "/"
-            )
+            full = os.path.join(dirpath, n)
+            rel = os.path.relpath(full, table).replace(os.sep, "/")
             if rel not in live and (n.endswith(".parquet") or n.startswith(("_", "."))):
-                os.unlink(os.path.join(dirpath, n))
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue  # possibly an in-flight writer's staging
+                except OSError:
+                    continue
+                os.unlink(full)
                 deleted.append(rel)
         if dirpath != table and not os.listdir(dirpath):
             os.rmdir(dirpath)

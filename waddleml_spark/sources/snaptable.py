@@ -370,11 +370,27 @@ def file_list(table: str, version: int | None = None) -> list[dict]:
     return _load_manifest(table, v)["files"]
 
 
-def vacuum(table: str, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    table: str, keep_versions: int = 1, retain_minutes: float = 30.0
+) -> list[str]:
     """Delete data files unreachable from the newest ``keep_versions``
     manifests (plus orphans from crashed commits); drops the expired
     manifests too.  Returns the deleted file paths.  After vacuum,
     time travel only reaches the kept versions — that's the trade.
+
+    ``retain_minutes`` is the concurrent-writer grace window: writers
+    stage data files BEFORE claiming a manifest version, so an
+    unreferenced-but-young file may belong to an in-flight commit —
+    deleting it would make that commit reference missing data.  Files
+    younger than the window are skipped; pass 0 only when no writer can
+    be active.
+
+    Streaming-sink epochs survive manifest expiry: before a manifest is
+    dropped, its ``append-epoch-*`` operation is folded into the
+    streams.json sidecar (streaming/snapsink.py) — otherwise a crash
+    that lost the sidecar write plus a vacuum of that epoch's manifest
+    would erase both records and a restarted query would re-deliver the
+    epoch, duplicating rows.
     """
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
@@ -385,16 +401,29 @@ def vacuum(table: str, keep_versions: int = 1) -> list[str]:
     live: set[str] = set()
     for v in keep:
         live |= {f["path"] for f in _load_manifest(table, v)["files"]}
+    cutoff = time.time() - retain_minutes * 60.0
     deleted: list[str] = []
     data_root = os.path.join(table, _DATA_DIR)
     for dirpath, _dirs, names in os.walk(data_root, topdown=False):
         for n in names:
-            rel = os.path.relpath(os.path.join(dirpath, n), table)
+            full = os.path.join(dirpath, n)
+            rel = os.path.relpath(full, table)
             if rel not in live and (n.endswith(".parquet") or n.startswith(("_", "."))):
-                os.unlink(os.path.join(dirpath, n))
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue  # possibly an in-flight writer's staging
+                except OSError:
+                    continue
+                os.unlink(full)
                 deleted.append(rel)
         if not os.listdir(dirpath):
             os.rmdir(dirpath)
+    if drop:
+        # the manifests being dropped are the durable record of delivered
+        # stream epochs; persist them to the sidecar FIRST
+        from waddleml_spark.streaming.snapsink import persist_stream_state
+
+        persist_stream_state(table)
     for v in drop:
         os.unlink(_manifest_path(table, v))
     return deleted

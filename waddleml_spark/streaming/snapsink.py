@@ -93,6 +93,15 @@ def _stream_state(table: str) -> dict[str, int]:
     return _stream_state_scan(table)[0]
 
 
+def _write_sidecar(table: str, state: dict[str, int], covered: int) -> None:
+    tmp = os.path.join(
+        table, snaptable._MANIFEST_DIR, f".tmp-streams-{uuid.uuid4().hex}"
+    )
+    with open(tmp, "w") as f:
+        json.dump({"at_version": covered, "streams": state}, f)
+    os.replace(tmp, _streams_path(table))
+
+
 def _record_epoch(table: str, stream_id: str, epoch_id: int) -> None:
     # merge against a FRESH read so a concurrent stream's watermark is
     # never regressed, and stamp at_version with the max version the
@@ -102,12 +111,21 @@ def _record_epoch(table: str, stream_id: str, epoch_id: int) -> None:
     # Correctness doesn't depend on this write landing at all.
     state, covered = _stream_state_scan(table)
     state[stream_id] = max(state.get(stream_id, -1), epoch_id)
-    tmp = os.path.join(
-        table, snaptable._MANIFEST_DIR, f".tmp-streams-{uuid.uuid4().hex}"
-    )
-    with open(tmp, "w") as f:
-        json.dump({"at_version": covered, "streams": state}, f)
-    os.replace(tmp, _streams_path(table))
+    _write_sidecar(table, state, covered)
+
+
+def persist_stream_state(table: str) -> None:
+    """Fold every manifest's epoch record into the sidecar NOW.
+
+    snaptable.vacuum calls this before expiring manifests: the manifests
+    are the durable epoch record and the sidecar only a scan watermark,
+    so dropping a manifest whose epoch never reached the sidecar (crash
+    between _commit and _record_epoch) would erase the only evidence the
+    epoch was delivered — a restarted query would replay it."""
+    state, covered = _stream_state_scan(table)
+    if not state:
+        return
+    _write_sidecar(table, state, covered)
 
 
 def snapshot_sink(table: str, stream_id: str = "default"):
