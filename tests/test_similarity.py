@@ -39,6 +39,47 @@ def test_cosine_topk_matches_numpy(spark, emb, qvec):
     assert got == _brute_topk(emb, qvec, 10)
 
 
+def test_cosine_topk_batch_matches_expression_kernel(spark, emb):
+    """The Arrow/numpy batch kernel must agree with the expression kernel
+    per query — same ids in the same order, sims equal to float noise."""
+    q_rows = emb.filter(F.col("vec_id") < 5).collect()
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in q_rows]
+    got = similarity.cosine_topk_batch(emb, queries, k=10).collect()
+    by_qid: dict[int, list] = {}
+    for r in got:
+        by_qid.setdefault(r.qid, []).append(r)
+    assert set(by_qid) == {q for q, _ in queries}
+    for qid, vec in queries:
+        exact = similarity.cosine_topk(emb, vec, k=10).collect()
+        batch = by_qid[qid]
+        assert [r.vec_id for r in batch] == [r.vec_id for r in exact]
+        for b, e in zip(batch, exact):
+            assert abs(b.cos_sim - e.cos_sim) < 1e-9
+
+
+def test_cosine_topk_batch_single_partition_and_small_corpus(spark, emb):
+    """kk == len(ids) branch: corpus smaller than k per batch."""
+    tiny = emb.filter(F.col("vec_id") < 7).repartition(4)
+    row = emb.filter(F.col("vec_id") == 0).head()
+    q = [(0, [float(x) for x in row.embedding])]
+    got = similarity.cosine_topk_batch(tiny, q, k=10).collect()
+    assert len(got) == 7  # every corpus row returned, k not reachable
+    assert got[0].vec_id == 0 and got[0].cos_sim == pytest.approx(1.0)
+
+
+def test_ivf_fit_is_sample_bounded(spark, emb):
+    """The KMeans fit input must be O(fit_sample_rows), not corpus-sized,
+    while assignment still covers every corpus row."""
+    n = emb.count()
+    model, with_cells = similarity.ivf_index(
+        emb, n_cells=4, fit_sample_rows=max(10, n // 10)
+    )
+    assert with_cells.count() == n  # full-corpus assignment
+    assert model.summary.numIter >= 1
+    # the fit saw a bounded sample, not the whole corpus
+    assert model.summary.predictions.count() < n
+
+
 def test_ivf_topk_recall(spark, emb, qvec):
     model, with_cells = similarity.ivf_index(emb.filter(F.col("vec_id") != 0), n_cells=8)
     got = {r.vec_id for r in similarity.ivf_topk(with_cells, model, qvec, k=10, n_probe=3).collect()}

@@ -8,15 +8,15 @@ Two training-data pipeline stages downstream of dedup/quality filtering:
   from a DISTRIBUTED two-pass prefix sum (per-bucket window cumsum +
   broadcast bucket offsets), never a single-partition global window: at
   100 TB a global `Window.orderBy` funnels every row through one task,
-  while the bucketed decomposition shuffles once on a 16-way hash prefix
-  and the offset table is 16 rows regardless of data size.
+  while the bucketed decomposition shuffles once on a 256-way hash prefix
+  and the offset table is 256 rows regardless of data size.
 - `resample_to_mix`: up/down-sample each source to a target rate with a
   salted-hash Bernoulli trial + integer repeats — reproducible on any
   engine/cluster/run, unlike `sample()` whose RNG is partition-dependent.
 
 Cross-engine parity notes: the deterministic order key is the md5 hex
-string of the doc id (DuckDB 1.0 lacks xxhash64); the 16 buckets are the
-FIRST HEX DIGIT of that key, so (bucket, key) order == plain key order
+string of the doc id (DuckDB 1.0 lacks xxhash64); the 256 buckets are the
+FIRST TWO HEX DIGITS of that key, so (bucket, key) order == plain key order
 and a SQL oracle can reproduce the packing with one window sum.  Token
 counts are integers, so all cumulative sums are exact — no float drift.
 """
@@ -71,11 +71,14 @@ def packed_sequences(
     are dropped (they occupy no tape).
 
     Distributed prefix sum, the scale-critical part:
-      1. bucket = first hex digit of the order key (16-way);
+      1. bucket = first two hex digits of the order key (256-way — a
+         single digit caps the window stage at 16 parallel tasks, a hard
+         ceiling at 100 TB; two digits keep the offset table trivially
+         broadcastable while matching any realistic core count);
       2. per-bucket running sum via a window PARTITIONED by bucket —
          parallel, shuffle on the bucket key only;
-      3. bucket offsets = exclusive prefix over the 16 bucket totals —
-         a single-partition window over a CONSTANT 16 rows (explicitly
+      3. bucket offsets = exclusive prefix over the 256 bucket totals —
+         a single-partition window over a CONSTANT 256 rows (explicitly
          safe: its input is an aggregate, not the data), broadcast back.
     Because the bucket is a prefix of the order key, concatenated bucket
     order equals global key order — the decomposition is exact.
@@ -85,7 +88,7 @@ def packed_sequences(
         token_count_bpe(F.col(text_col)).cast("long").alias("n_tok"),
     ).filter(F.col("n_tok") > 0)
     d = d.withColumn("h", order_key(F.col("id"))).withColumn(
-        "b", F.substring("h", 1, 1)
+        "b", F.substring("h", 1, 2)
     )
     w_local = (
         Window.partitionBy("b")

@@ -13,7 +13,7 @@ matching buckets; bucket skew is handled by AQE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,6 +64,74 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched brute-force cosine top-k: Q query vectors, ONE corpus scan.
+
+    The 100 TB-shape for brute-force ANN serving: the query matrix is a
+    broadcast (Q×d floats), each Arrow batch computes all Q×batch sims as
+    a single numpy matmul (BLAS — vs Q interpreted higher-order-function
+    evaluations per row for the expression kernel), keeps only a LOCAL
+    top-k per query per batch, and a final k·Q-row window pass picks the
+    global winners.  Shuffle volume is O(k·Q·n_batches), never corpus-
+    sized.  Returns (qid, <id_col>, cos_sim) ordered desc per qid with id
+    tiebreak.
+
+    Use :func:`cosine_topk` for single ad-hoc queries needing exact SQL
+    parity; this kernel's float summation order differs in the last ulp.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from waddleml_spark.session import ensure_shipped, fan_out
+
+    spark = corpus.sparkSession
+    ensure_shipped(spark)
+    qids = np.array([int(q) for q, _ in queries], dtype="int64")
+    qm = np.stack([np.asarray(v, dtype="float64") for _, v in queries])
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    bq = spark.sparkContext.broadcast((qids, qn))
+    src = fan_out(
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    )
+
+    def score(batches):
+        q_ids, q_norm = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["__v"].to_numpy()).astype("float64")
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+            sims = xn @ q_norm.T  # n_rows × Q
+            ids = pdf["__id"].to_numpy()
+            kk = min(k, len(ids))
+            if kk < len(ids):
+                top = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]
+            else:
+                top = np.tile(np.arange(len(ids))[:, None], (1, len(q_ids)))
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(q_ids, kk),
+                    "__id": ids[top].T.ravel(),
+                    "cos_sim": np.take_along_axis(sims, top, axis=0).T.ravel(),
+                }
+            )
+
+    part = src.mapInPandas(score, schema="qid long, __id long, cos_sim double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("__id"))
+    return (
+        part.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("qid", F.col("__id").alias(id_col), "cos_sim")
+        .orderBy("qid", F.desc("cos_sim"), F.asc(id_col))
+    )
+
+
 def lsh_bucketize(
     df: DataFrame,
     hyperplanes: list[list[float]],
@@ -86,20 +154,33 @@ def ivf_index(
     n_cells: int = 16,
     vec_col: str = "embedding",
     seed: int = 42,
+    fit_sample_rows: int = 100_000,
 ):
     """IVF (inverted-file) index: KMeans cells over the corpus.
 
     Returns (model, corpus_with_cells) where each row gains `ivf_cell`.
-    At 100 TB: train the model on a sample (KMeans fit is iterative), then
-    one pass assigns cells; store partitioned by cell so probes are
-    partition-pruned scans.
+
+    The FIT is bounded: KMeans is an iterative, driver-synchronized
+    algorithm (each iteration is a full pass over its input), so it
+    trains on a uniform sample capped at ~``fit_sample_rows`` rows — at
+    100 TB that turns a multi-full-scan loop into iterations over a
+    fixed-size sample, while the cell ASSIGNMENT stays a single map-only
+    pass over the whole corpus.  One extra count(*) sizes the sample
+    fraction; on parquet that is metadata-cheap.  Store the result
+    partitioned by cell so probes are partition-pruned scans.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     df = corpus.withColumn("__vec", array_to_vector(as_double(F.col(vec_col))))
+    fit_df = df.select("__vec")
+    n = fit_df.count()
+    if n > fit_sample_rows:
+        # slight oversample so the expected draw stays >= the target
+        frac = min(1.0, 1.1 * fit_sample_rows / n)
+        fit_df = fit_df.sample(withReplacement=False, fraction=frac, seed=seed)
     km = KMeans(k=n_cells, seed=seed, featuresCol="__vec", predictionCol="ivf_cell")
-    model = km.fit(df)
+    model = km.fit(fit_df)
     return model, model.transform(df).drop("__vec")
 
 
