@@ -5,28 +5,126 @@ WS client — `{"type": "metric", run_id, key, step, ts, value}`
 (waddle/_server.py:115-124, built at waddle/_run.py:133-135) — and its
 bundled client consumes exactly that shape (waddle/static/index.html:448).
 
-starlette is optional in this container (as in the reference CLI), so
-these tests gate on it: green wherever starlette+httpx are installed,
-skipped otherwise.  The always-on SSE `/events` twin carries the same
-JSON and is covered unconditionally in test_server_cli.py.
+Two server paths cover it:
+
+- the stdlib adapter's vendored RFC 6455 endpoint (server.py /ws) —
+  tested UNCONDITIONALLY below with a raw-socket client, so the true
+  wire protocol is exercised even in containers without starlette;
+- the starlette `create_app()` twin — gated on starlette+httpx being
+  installed (optional here, as in the reference CLI).
+
+The always-on SSE `/events` twin carries the same JSON and is covered
+in test_server_cli.py.
 """
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
+import os
+import socket
 
 import pytest
 
-pytest.importorskip("starlette")
-pytest.importorskip("httpx")  # TestClient transport
+from waddleml_spark import state
+from waddleml_spark.server import (
+    serve_in_thread,
+    ws_accept_key,
+    ws_encode_frame,
+    ws_read_frame,
+)
+from waddleml_spark.streaming.live import LiveBus
 
-from waddleml_spark import state  # noqa: E402
-from waddleml_spark.server import create_app  # noqa: E402
-from waddleml_spark.streaming.live import LiveBus  # noqa: E402
+_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+# --- frame-codec units (no server needed) ----------------------------------
+
+
+def test_accept_key_matches_rfc6455_worked_example():
+    # the RFC's own §1.3 example key/accept pair
+    assert (
+        ws_accept_key("dGhlIHNhbXBsZSBub25jZQ==")
+        == "s3pPLMBiTxaQ9kYGzzhZRbK+xOo="
+    )
+
+
+def test_frame_roundtrip_all_lengths():
+    import io
+
+    for n in (0, 1, 125, 126, 70000):
+        payload = os.urandom(n)
+        raw = ws_encode_frame(payload)
+        op, got = ws_read_frame(io.BytesIO(raw))
+        assert (op, got) == (0x1, payload)
+
+
+def test_read_frame_unmasks_client_payload():
+    import io
+
+    payload = b'{"hello":1}'
+    mask = os.urandom(4)
+    masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+    raw = bytes([0x81, 0x80 | len(payload)]) + mask + masked
+    op, got = ws_read_frame(io.BytesIO(raw))
+    assert (op, got) == (0x1, payload)
+
+
+# --- stdlib /ws end-to-end --------------------------------------------------
+
+
+class _RawWsClient:
+    """Minimal masked-frame client: enough protocol to certify the server."""
+
+    def __init__(self, host: str, port: int):
+        self.sock = socket.create_connection((host, port), timeout=10)
+        key = base64.b64encode(os.urandom(16)).decode()
+        req = (
+            f"GET /ws HTTP/1.1\r\nHost: {host}:{port}\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        )
+        self.sock.sendall(req.encode())
+        self.f = self.sock.makefile("rb")
+        status = self.f.readline()
+        assert b"101" in status, status
+        headers = {}
+        while True:
+            line = self.f.readline().strip()
+            if not line:
+                break
+            k, _, v = line.partition(b": ")
+            headers[k.decode().lower()] = v.decode()
+        expect = base64.b64encode(
+            hashlib.sha1((key + _GUID).encode()).digest()
+        ).decode()
+        assert headers["sec-websocket-accept"] == expect
+
+    def recv_text(self) -> str:
+        op, payload = ws_read_frame(self.f)
+        assert op == 0x1
+        return payload.decode()
+
+    def send_frame(self, payload: bytes, opcode: int) -> None:
+        mask = os.urandom(4)
+        head = bytes([0x80 | opcode, 0x80 | len(payload)]) + mask
+        body = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+        self.sock.sendall(head + body)
+
+    def recv_frame(self):
+        return ws_read_frame(self.f)
+
+    def close(self):
+        try:
+            self.send_frame(b"", 0x8)
+        except OSError:
+            pass
+        self.sock.close()
 
 
 @pytest.fixture()
-def app_and_bus(spark, tmp_path):
+def ws_server(spark, tmp_path):
     import waddleml_spark as w
 
     state.set_active_run(None)
@@ -36,11 +134,80 @@ def app_and_bus(spark, tmp_path):
     )
     run.finish()
     bus = LiveBus()
+    server = serve_in_thread(run._store, port=0, bus=bus)
+    yield server.server_address, bus
+    server.shutdown()
+    state.set_active_run(None)
+
+
+def test_stdlib_ws_pushes_reference_metric_frames(ws_server):
+    (host, port), bus = ws_server
+    client = _RawWsClient(host, port)
+    try:
+        row = {"run_id": "r1", "key": "loss", "step": 3,
+               "ts": 1700000000.25, "value": 0.125}
+        bus.publish([row, {**row, "step": 4, "value": 0.0625}])
+        first = json.loads(client.recv_text())
+        second = json.loads(client.recv_text())
+        # exact reference frame: type tag + the five fields, nothing else
+        assert first == {"type": "metric", **row}
+        assert second["step"] == 4 and second["type"] == "metric"
+        assert set(first) == {"type", "run_id", "key", "step", "ts", "value"}
+    finally:
+        client.close()
+
+
+def test_stdlib_ws_ping_pong_and_dead_client_prune(ws_server):
+    (host, port), bus = ws_server
+    client = _RawWsClient(host, port)
+    client.send_frame(b"probe", 0x9)
+    op, payload = client.recv_frame()
+    assert (op, payload) == (0xA, b"probe")  # pong echoes the ping payload
+    client.close()
+    # closed socket: subsequent publishes must not raise, and the bus
+    # must prune the dead subscriber once the handler thread has seen the
+    # close (poll — the close frame is serviced asynchronously)
+    import time
+
+    row = {"run_id": "r1", "key": "m", "step": 1, "ts": 1.0, "value": 2.0}
+    deadline = time.time() + 5
+    while bus._subs and time.time() < deadline:
+        bus.publish([row])
+        time.sleep(0.05)
+    assert not bus._subs
+
+
+def test_stdlib_ws_rejects_non_upgrade_request(ws_server):
+    import urllib.request
+
+    (host, port), _bus = ws_server
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(f"http://{host}:{port}/ws")
+    assert exc.value.code == 400
+
+
+# --- starlette twin (optional in this container, as in the ref CLI) --------
+
+
+@pytest.fixture()
+def app_and_bus(spark, tmp_path):
+    pytest.importorskip("starlette")
+    pytest.importorskip("httpx")  # TestClient transport
+    import waddleml_spark as w
+    from waddleml_spark.server import create_app
+
+    state.set_active_run(None)
+    run = w.init(
+        project="wsp", name="r2", store_path=str(tmp_path / ".waddle"),
+        system_metrics=False, spark=spark,
+    )
+    run.finish()
+    bus = LiveBus()
     yield create_app(run._store, bus=bus), bus
     state.set_active_run(None)
 
 
-def test_ws_pushes_reference_metric_frames(app_and_bus):
+def test_starlette_ws_pushes_reference_metric_frames(app_and_bus):
     from starlette.testclient import TestClient
 
     app, bus = app_and_bus
@@ -51,13 +218,12 @@ def test_ws_pushes_reference_metric_frames(app_and_bus):
             bus.publish([row, {**row, "step": 4, "value": 0.0625}])
             first = json.loads(ws.receive_text())
             second = json.loads(ws.receive_text())
-    # exact reference frame: type tag + the five metric fields, nothing else
     assert first == {"type": "metric", **row}
     assert second["step"] == 4 and second["type"] == "metric"
     assert set(first) == {"type", "run_id", "key", "step", "ts", "value"}
 
 
-def test_ws_dead_client_pruned_without_killing_bus(app_and_bus):
+def test_starlette_ws_dead_client_pruned_without_killing_bus(app_and_bus):
     from starlette.testclient import TestClient
 
     app, bus = app_and_bus
@@ -66,5 +232,4 @@ def test_ws_dead_client_pruned_without_killing_bus(app_and_bus):
         with client.websocket_connect("/ws") as ws:
             bus.publish([row])
             assert json.loads(ws.receive_text())["type"] == "metric"
-        # socket closed: the next publish must not raise (prune path, T5)
         bus.publish([row])

@@ -8,10 +8,12 @@ this container; `create_app()` returns a Starlette app when those libs ARE
 present, import-gated).
 
 Live updates: the reference pushes per-insert WebSocket messages
-{"type":"metric",...} (ref :115-124).  Without a WS library the adapter
-exposes Server-Sent Events at GET /events carrying the identical JSON
-payloads from the LiveBus; create_app() wires a real /ws when starlette
-exists.
+{"type":"metric",...} (ref :115-124).  The stdlib adapter speaks that
+exact wire protocol at GET /ws via a vendored minimal RFC 6455 server
+(handshake + text frames + close/ping — the whole surface the reference
+client uses), and ALSO exposes Server-Sent Events at GET /events with
+the identical JSON payloads; create_app() wires starlette's /ws when
+those libs are present.
 """
 
 from __future__ import annotations
@@ -94,6 +96,73 @@ def _metric_messages(rows: list[dict]) -> list[dict]:
         }
         for r in rows
     ]
+
+
+# --- minimal RFC 6455 server-side framing (stdlib-only /ws) ----------------
+# The protocol surface the reference actually uses (waddle/_server.py:115-124)
+# is: handshake, server->client text frames, client close, ping/pong.  That
+# is small enough to speak directly over the stdlib server's socket, so the
+# true WS wire format works even where starlette/uvicorn are absent.
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+class _QueueSub:
+    """LiveBus subscriber feeding a handler thread's queue; once the
+    handler marks it dead, the next publish raises and LiveBus prunes it
+    (ref T5 prune) — without this, a disconnected client's subscriber
+    would keep buffering rows forever."""
+
+    def __init__(self):
+        self.q: queue.Queue = queue.Queue()
+        self.dead = False
+
+    def __call__(self, rows: list[dict]) -> None:
+        if self.dead:
+            raise RuntimeError("client disconnected")
+        self.q.put(rows)
+
+
+def ws_accept_key(client_key: str) -> str:
+    """Sec-WebSocket-Accept per RFC 6455 §4.2.2."""
+    import base64
+    import hashlib
+
+    digest = hashlib.sha1((client_key + _WS_GUID).encode()).digest()
+    return base64.b64encode(digest).decode()
+
+
+def ws_encode_frame(payload: bytes, opcode: int = 0x1) -> bytes:
+    """One FIN frame, server->client (unmasked, RFC 6455 §5.2)."""
+    head = bytes([0x80 | opcode])
+    n = len(payload)
+    if n < 126:
+        head += bytes([n])
+    elif n < 1 << 16:
+        head += bytes([126]) + n.to_bytes(2, "big")
+    else:
+        head += bytes([127]) + n.to_bytes(8, "big")
+    return head + payload
+
+
+def ws_read_frame(rfile) -> tuple[int, bytes] | None:
+    """Read one client->server frame; returns (opcode, payload) or None on
+    EOF.  Client frames MUST be masked (§5.1); unmask before returning."""
+    hdr = rfile.read(2)
+    if len(hdr) < 2:
+        return None
+    opcode = hdr[0] & 0x0F
+    masked = bool(hdr[1] & 0x80)
+    n = hdr[1] & 0x7F
+    if n == 126:
+        n = int.from_bytes(rfile.read(2), "big")
+    elif n == 127:
+        n = int.from_bytes(rfile.read(8), "big")
+    mask = rfile.read(4) if masked else b""
+    payload = rfile.read(n)
+    if masked:
+        payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+    return opcode, payload
 
 
 def make_http_server(
@@ -181,6 +250,8 @@ def make_http_server(
                 return self._json(routes.metric_summary(q))
             if u.path == "/events":
                 return self._sse()
+            if u.path == "/ws":
+                return self._ws()
             self._json({"error": "not found"}, 404)
 
         def do_POST(self):
@@ -198,22 +269,78 @@ def make_http_server(
                 return self._json(data, status)
             self._json({"error": "not found"}, 404)
 
+        def _ws(self):
+            """True RFC 6455 WebSocket: the reference's wire protocol
+            (waddle/_server.py:115-124), one text frame per metric insert.
+            A reader thread services client close/ping frames while the
+            handler thread drains the LiveBus queue."""
+            key = self.headers.get("Sec-WebSocket-Key")
+            if (
+                key is None
+                or self.headers.get("Upgrade", "").lower() != "websocket"
+            ):
+                return self._json({"error": "websocket upgrade required"}, 400)
+            # subscribe BEFORE the 101 goes out: the moment the client
+            # sees the handshake it may publish-and-expect, and a frame
+            # published in the gap would be lost
+            sub = _QueueSub()
+            routes.bus.subscribe(sub)
+            self.send_response_only(101)
+            self.send_header("Upgrade", "websocket")
+            self.send_header("Connection", "Upgrade")
+            self.send_header("Sec-WebSocket-Accept", ws_accept_key(key))
+            self.end_headers()
+            self.close_connection = True
+            _CLOSED = object()
+
+            def reader():
+                try:
+                    while True:
+                        frame = ws_read_frame(self.rfile)
+                        if frame is None or frame[0] == 0x8:  # EOF / close
+                            break
+                        if frame[0] == 0x9:  # ping -> pong, same payload
+                            self.wfile.write(ws_encode_frame(frame[1], 0xA))
+                            self.wfile.flush()
+                except (OSError, ValueError):
+                    pass
+                sub.q.put(_CLOSED)
+
+            t = threading.Thread(target=reader, daemon=True)
+            t.start()
+            try:
+                while True:
+                    rows = sub.q.get(timeout=300)
+                    if rows is _CLOSED:
+                        break
+                    for msg in _metric_messages(rows):
+                        self.wfile.write(
+                            ws_encode_frame(json.dumps(msg).encode())
+                        )
+                    self.wfile.flush()
+            except (queue.Empty, BrokenPipeError, ConnectionResetError):
+                pass
+            finally:
+                sub.dead = True  # LiveBus prunes on its next publish
+
         def _sse(self):
             """SSE stream of live metric messages (WS-equivalent payloads)."""
-            qq: queue.Queue = queue.Queue()
-            routes.bus.subscribe(lambda rows: qq.put(rows))
+            sub = _QueueSub()
+            routes.bus.subscribe(sub)
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
             try:
                 while True:
-                    rows = qq.get(timeout=300)
+                    rows = sub.q.get(timeout=300)
                     for msg in _metric_messages(rows):
                         self.wfile.write(f"data: {json.dumps(msg)}\n\n".encode())
                     self.wfile.flush()
             except (queue.Empty, BrokenPipeError, ConnectionResetError):
-                return  # dead client pruned by LiveBus on next publish
+                return
+            finally:
+                sub.dead = True  # LiveBus prunes on its next publish
 
     server = ThreadingHTTPServer((host, port), Handler)
     return server
