@@ -96,7 +96,31 @@ def test_dashboard_index_served(served):
     with urllib.request.urlopen(f"{base}/", timeout=30) as r:
         body = r.read().decode()
     assert r.status == 200
-    assert "waddleml-spark runs" in body and "/api/runs" in body
+    assert "waddleml-spark" in body and "/api/runs" in body
+
+
+def test_dashboard_ui_references_parity_endpoints(served):
+    """Reference-parity front-end (waddle/static/index.html behaviors:
+    per-metric charts :301-414, param-diff :373-389, client search
+    :184-213, live socket :443-481): the served page must wire every
+    backing endpoint and the live channels."""
+    base, run = served
+    with urllib.request.urlopen(f"{base}/", timeout=30) as r:
+        body = r.read().decode()
+    for needle in (
+        "/api/runs",            # run list + detail
+        "/metrics?limit",       # per-run series for the charts
+        "/api/compare",         # multi-run comparison overlays
+        "/api/metric-keys",     # overview selector
+        "/api/metric-summary",  # final-value-per-run bar chart
+        "/ws",                  # true WebSocket live path
+        "/events",              # SSE fallback
+        "DELETE",               # delete-run action
+    ):
+        assert needle in body, f"dashboard UI missing {needle}"
+    # behavioral surface: search box, param-diff table, tabs, svg charts
+    for feature in ("filter runs", "Parameter diff", "Artifacts", "svg"):
+        assert feature in body, f"dashboard UI missing feature: {feature}"
 
 
 def test_cli_module_invocation(served, run=None):
