@@ -169,6 +169,20 @@ def test_date_bounds_normalized_for_prune(spark, tmp_path):
     assert got  # date objects compare against ISO-string stats
 
 
+def test_date_prune_equal_boundary_keeps_file():
+    """_canon_stat must NOT inflate date-only stats to midnight datetimes:
+    with stats ('2024-01-01','2024-01-05') a bound d <= 2024-01-01 (or an
+    EqualTo on it) must keep the file, not drop its rows."""
+    import datetime as dt
+
+    files = [{"path": "p", "rows": 1, "stats": {"d": ("2024-01-01", "2024-01-05")}}]
+    d1 = dt.date(2024, 1, 1)
+    assert st._prune(files, "d", None, d1) == files      # hi == min
+    assert st._prune(files, "d", d1, d1) == files        # EqualTo
+    assert st._prune(files, "d", dt.date(2024, 1, 5), None) == files  # lo == max
+    assert st._prune(files, "d", dt.date(2024, 1, 6), None) == []    # off-range
+
+
 def test_timestamp_prune_boundary_keeps_file(spark, tmp_path):
     """Pushed timestamp bounds vs footer stats: an equal boundary must
     KEEP the file (the tz-aware-ISO vs naive-ISO string-compare bug made

@@ -41,11 +41,10 @@ def family(t: str) -> str:
 
 
 def main() -> int:
-    import duckdb
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as e
-    from waddleml_spark.testing import DRIVER_TABLES, compare
+    from waddleml_spark.testing import compare, duckdb_conn
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -53,15 +52,7 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    import os
-
-    for name in DRIVER_TABLES:
-        p = os.path.join(SF_DIR, f"{name}.parquet")
-        if os.path.exists(p):
-            con.execute(
-                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{p}')"
-            )
+    con = duckdb_conn(SF_DIR)
 
     targets = sys.argv[1:] or list(e._DRIVER_WINDOW)
     q, o = e.queries(), e.oracle_sql()

@@ -110,10 +110,13 @@ def cosine_topk_batch(
             sims = xn @ q_norm.T  # n_rows × Q
             ids = pdf["__id"].to_numpy()
             kk = min(k, len(ids))
-            if kk < len(ids):
-                top = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]
-            else:
-                top = np.tile(np.arange(len(ids))[:, None], (1, len(q_ids)))
+            # exact (sim desc, id asc) local top-k per query: argpartition
+            # is UNSTABLE among ties at the k-th cutoff and could drop the
+            # smallest-id row of a tie group before the global window sees
+            # it (duplicate embeddings are common in a dedup corpus)
+            top = np.empty((kk, len(q_ids)), dtype="int64")
+            for j in range(len(q_ids)):
+                top[:, j] = np.lexsort((ids, -sims[:, j]))[:kk]
             yield pd.DataFrame(
                 {
                     "qid": np.repeat(q_ids, kk),
@@ -162,12 +165,16 @@ def ivf_index(
 
     The FIT is bounded: KMeans is an iterative, driver-synchronized
     algorithm (each iteration is a full pass over its input), so it
-    trains on a uniform sample capped at ~``fit_sample_rows`` rows — at
-    100 TB that turns a multi-full-scan loop into iterations over a
-    fixed-size sample, while the cell ASSIGNMENT stays a single map-only
-    pass over the whole corpus.  One extra count(*) sizes the sample
-    fraction; on parquet that is metadata-cheap.  Store the result
-    partitioned by cell so probes are partition-pruned scans.
+    trains on a sample capped at ~``fit_sample_rows`` rows — at 100 TB
+    that turns a multi-full-scan loop into iterations over a fixed-size
+    sample, while the cell ASSIGNMENT stays a single map-only pass over
+    the whole corpus.  One extra count(*) sizes the sample fraction; on
+    parquet that is metadata-cheap.  The sample is a DETERMINISTIC
+    Murmur3-hash Bernoulli trial on the vector values themselves (like
+    packing.bernoulli_keep): ``df.sample()``'s RNG is partition-layout-
+    dependent, which would make the centroids — and every downstream
+    ivf_cell — change with cluster size.  Store the result partitioned
+    by cell so probes are partition-pruned scans.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -177,8 +184,13 @@ def ivf_index(
     n = fit_df.count()
     if n > fit_sample_rows:
         # slight oversample so the expected draw stays >= the target
-        frac = min(1.0, 1.1 * fit_sample_rows / n)
-        fit_df = fit_df.sample(withReplacement=False, fraction=frac, seed=seed)
+        levels = 1 << 20
+        thresh = int(min(1.0, 1.1 * fit_sample_rows / n) * levels)
+        keep = (
+            F.pmod(F.abs(F.hash(as_double(F.col(vec_col)), F.lit(seed))), levels)
+            < thresh
+        )
+        fit_df = df.filter(keep).select("__vec")
     km = KMeans(k=n_cells, seed=seed, featuresCol="__vec", predictionCol="ivf_cell")
     model = km.fit(fit_df)
     return model, model.transform(df).drop("__vec")

@@ -282,42 +282,51 @@ def make_http_server(
                 return self._json({"error": "websocket upgrade required"}, 400)
             # subscribe BEFORE the 101 goes out: the moment the client
             # sees the handshake it may publish-and-expect, and a frame
-            # published in the gap would be lost
+            # published in the gap would be lost.  The finally covers the
+            # handshake writes too — a client that vanishes mid-101 must
+            # not leave a zombie subscriber buffering rows forever.
             sub = _QueueSub()
             routes.bus.subscribe(sub)
-            self.send_response_only(101)
-            self.send_header("Upgrade", "websocket")
-            self.send_header("Connection", "Upgrade")
-            self.send_header("Sec-WebSocket-Accept", ws_accept_key(key))
-            self.end_headers()
-            self.close_connection = True
             _CLOSED = object()
-
-            def reader():
-                try:
-                    while True:
-                        frame = ws_read_frame(self.rfile)
-                        if frame is None or frame[0] == 0x8:  # EOF / close
-                            break
-                        if frame[0] == 0x9:  # ping -> pong, same payload
-                            self.wfile.write(ws_encode_frame(frame[1], 0xA))
-                            self.wfile.flush()
-                except (OSError, ValueError):
-                    pass
-                sub.q.put(_CLOSED)
-
-            t = threading.Thread(target=reader, daemon=True)
-            t.start()
+            # pongs (reader thread) and metric frames (this thread) share
+            # wfile; an unlocked interleaved sendall could split one frame
+            # around the other and corrupt the stream
+            wlock = threading.Lock()
             try:
+                self.send_response_only(101)
+                self.send_header("Upgrade", "websocket")
+                self.send_header("Connection", "Upgrade")
+                self.send_header("Sec-WebSocket-Accept", ws_accept_key(key))
+                self.end_headers()
+                self.close_connection = True
+
+                def reader():
+                    try:
+                        while True:
+                            frame = ws_read_frame(self.rfile)
+                            if frame is None or frame[0] == 0x8:  # EOF/close
+                                break
+                            if frame[0] == 0x9:  # ping -> pong, same payload
+                                with wlock:
+                                    self.wfile.write(
+                                        ws_encode_frame(frame[1], 0xA)
+                                    )
+                                    self.wfile.flush()
+                    except (OSError, ValueError):
+                        pass
+                    sub.q.put(_CLOSED)
+
+                threading.Thread(target=reader, daemon=True).start()
                 while True:
                     rows = sub.q.get(timeout=300)
                     if rows is _CLOSED:
                         break
-                    for msg in _metric_messages(rows):
-                        self.wfile.write(
-                            ws_encode_frame(json.dumps(msg).encode())
-                        )
-                    self.wfile.flush()
+                    with wlock:
+                        for msg in _metric_messages(rows):
+                            self.wfile.write(
+                                ws_encode_frame(json.dumps(msg).encode())
+                            )
+                        self.wfile.flush()
             except (queue.Empty, BrokenPipeError, ConnectionResetError):
                 pass
             finally:
@@ -327,11 +336,11 @@ def make_http_server(
             """SSE stream of live metric messages (WS-equivalent payloads)."""
             sub = _QueueSub()
             routes.bus.subscribe(sub)
-            self.send_response(200)
-            self.send_header("Content-Type", "text/event-stream")
-            self.send_header("Cache-Control", "no-cache")
-            self.end_headers()
             try:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
                 while True:
                     rows = sub.q.get(timeout=300)
                     for msg in _metric_messages(rows):

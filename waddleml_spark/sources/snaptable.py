@@ -131,8 +131,13 @@ def _canon_stat(s: Any) -> Any:
     """Re-canonicalize a stored stat string for a TEMPORAL comparison:
     manifests written before _canon_temporal may carry tz-aware ISO
     strings.  Callers apply this only when the prune bound itself was a
-    temporal, so an ordinary string column can never be rewritten."""
-    if isinstance(s, str):
+    temporal, so an ordinary string column can never be rewritten.
+
+    Date-ONLY stats (exactly 10 chars, '2024-01-01') must stay date-only:
+    fromisoformat would inflate them to midnight datetimes ('...T00:00:00')
+    while date bounds stay 10 chars, making mn > hi at an equal boundary
+    — the same silent file-skip this helper exists to prevent."""
+    if isinstance(s, str) and len(s) > 10:
         try:
             return _canon_temporal(datetime.fromisoformat(s))
         except ValueError:
