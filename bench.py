@@ -75,8 +75,11 @@ def main() -> None:
         for name in HEADLINE:
             force(catalog.QUERIES[name](spark, sf_dir))
 
+    # best-of-THREE timed passes: single-pass totals vary ±20% run to run
+    # (GC pauses, interleaved codegen churn); the min per query converges
+    # to the engine's steady-state at ~5 s of extra wall clock
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             force(catalog.QUERIES[name](spark, sf_dir))
