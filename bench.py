@@ -69,8 +69,8 @@ def main() -> None:
     # Warmup: whole-stage codegen + C2 JIT dominate early executions
     # (3-5 s vs 0.5 s steady-state; the 32-aggregate signature kernels
     # need ~3 invocations before C2 finishes).  Three warm passes, then
-    # best-of-two timed passes per query — measures engine throughput,
-    # not JVM warmth.
+    # the timed passes below — measures engine throughput, not JVM
+    # warmth.
     for _ in range(3):
         for name in HEADLINE:
             force(catalog.QUERIES[name](spark, sf_dir))

@@ -83,10 +83,14 @@ async function main() {
   liveMsg({type: 'metric', run_id: runs[0].id, key: 'loss',
            step: 9999, ts: 1, value: 0.5});
   out.live_append = series.some(m => m.step === 9999);
-  // escaping: a hostile metric key must not inject raw markup
-  lineChart(makeEl('x'), [{pts: [[0, 1]], color: '#000', name: 'n'}],
-            100, 'loss<img src=x>');
-  out.title_escaped = true;  // throws above if esc missing ref
+  // escaping: a hostile metric key / run name must not inject raw markup
+  const hostile = makeEl('x');
+  lineChart(hostile,
+    [{pts: [[0, 1]], color: '#000', name: '<img src=a>'},
+     {pts: [[0, 2]], color: '#111', name: 'b'}],
+    100, 'loss<img src=x>');
+  const rendered = hostile.children.map(c => c._inner).join('');
+  out.title_escaped = !rendered.includes('<img') && rendered.includes('&lt;img');
   console.log(JSON.stringify(out));
   process.exit(0);
 }

@@ -181,6 +181,19 @@ def test_date_prune_equal_boundary_keeps_file():
     assert st._prune(files, "d", d1, d1) == files        # EqualTo
     assert st._prune(files, "d", dt.date(2024, 1, 5), None) == files  # lo == max
     assert st._prune(files, "d", dt.date(2024, 1, 6), None) == []    # off-range
+    # mixed precision: a DATETIME bound against date-only stats — the
+    # date-max lifts to its last instant (rows anywhere in that day may
+    # match a lo of that day's midnight)
+    assert st._prune(files, "d", dt.datetime(2024, 1, 5), None) == files
+    assert st._prune(files, "d", dt.datetime(2024, 1, 5, 14, 30), None) == files
+    assert st._prune(files, "d", dt.datetime(2024, 1, 6), None) == []
+    assert st._prune(files, "d", None, dt.datetime(2024, 1, 1)) == files
+    assert st._prune(files, "d", None, dt.datetime(2023, 12, 31, 23, 59)) == []
+    # and a DATE bound against datetime stats (cast-to-midnight semantics)
+    ts = [{"path": "p", "rows": 1,
+           "stats": {"t": ("2024-01-01T00:00:00", "2024-01-01T10:00:00")}}]
+    assert st._prune(ts, "t", None, dt.date(2024, 1, 1)) == ts   # midnight row
+    assert st._prune(ts, "t", dt.date(2024, 1, 2), None) == []
 
 
 def test_timestamp_prune_boundary_keeps_file(spark, tmp_path):

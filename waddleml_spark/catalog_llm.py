@@ -379,7 +379,9 @@ def ivf_ann_topk_q0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells (deterministic seed), probe nearest 3 of 8."""
     emb = t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
-    model, with_cells = similarity.ivf_index(emb.filter(F.col("vec_id") != 0), n_cells=8)
+    model, with_cells = similarity.ivf_index(
+        emb.filter(F.col("vec_id") != 0), n_cells=8, id_col="vec_id"
+    )
     return similarity.ivf_topk(with_cells, model, qvec, k=10, n_probe=3)
 
 
@@ -1026,7 +1028,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").head()[0])
     planes = np.random.RandomState(42).randn(4, dim).tolist()
-    model, with_cells = similarity.ivf_index(emb)
+    model, with_cells = similarity.ivf_index(emb, id_col="vec_id")
     rows = []
     for qid in (0, 1, 2):
         qvec = [

@@ -113,10 +113,19 @@ def cosine_topk_batch(
             # exact (sim desc, id asc) local top-k per query: argpartition
             # is UNSTABLE among ties at the k-th cutoff and could drop the
             # smallest-id row of a tie group before the global window sees
-            # it (duplicate embeddings are common in a dedup corpus)
+            # it (duplicate embeddings are common in a dedup corpus).
+            # O(n) partition finds the k-th value, then only the >=kth
+            # candidate set (covers every boundary tie) pays the lexsort —
+            # never a full O(n log n) sort of the batch per query.
             top = np.empty((kk, len(q_ids)), dtype="int64")
             for j in range(len(q_ids)):
-                top[:, j] = np.lexsort((ids, -sims[:, j]))[:kk]
+                s = sims[:, j]
+                if kk < len(ids):
+                    kth = np.partition(s, len(s) - kk)[len(s) - kk]
+                    cand = np.flatnonzero(s >= kth)
+                else:
+                    cand = np.arange(len(ids))
+                top[:, j] = cand[np.lexsort((ids[cand], -s[cand]))][:kk]
             yield pd.DataFrame(
                 {
                     "qid": np.repeat(q_ids, kk),
@@ -158,6 +167,7 @@ def ivf_index(
     vec_col: str = "embedding",
     seed: int = 42,
     fit_sample_rows: int = 100_000,
+    id_col: str | None = None,
 ):
     """IVF (inverted-file) index: KMeans cells over the corpus.
 
@@ -170,11 +180,16 @@ def ivf_index(
     sample, while the cell ASSIGNMENT stays a single map-only pass over
     the whole corpus.  One extra count(*) sizes the sample fraction; on
     parquet that is metadata-cheap.  The sample is a DETERMINISTIC
-    Murmur3-hash Bernoulli trial on the vector values themselves (like
-    packing.bernoulli_keep): ``df.sample()``'s RNG is partition-layout-
-    dependent, which would make the centroids — and every downstream
-    ivf_cell — change with cluster size.  Store the result partitioned
-    by cell so probes are partition-pruned scans.
+    Murmur3-hash Bernoulli trial (like packing.bernoulli_keep):
+    ``df.sample()``'s RNG is partition-layout-dependent, which would
+    make the centroids — and every downstream ivf_cell — change with
+    cluster size.  The trial keys on ``id_col`` when given (preferred:
+    independent per-row fate); otherwise on the vector VALUES, where
+    duplicate vectors share one fate — fine for centroid fitting (it
+    dedups the fit) except in a degenerate template-heavy corpus where
+    the draw can collapse, so a guard falls back to the full-corpus fit
+    when the draw comes back smaller than the cell count.  Store the
+    result partitioned by cell so probes are partition-pruned scans.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -186,11 +201,11 @@ def ivf_index(
         # slight oversample so the expected draw stays >= the target
         levels = 1 << 20
         thresh = int(min(1.0, 1.1 * fit_sample_rows / n) * levels)
-        keep = (
-            F.pmod(F.abs(F.hash(as_double(F.col(vec_col)), F.lit(seed))), levels)
-            < thresh
-        )
-        fit_df = df.filter(keep).select("__vec")
+        key = F.col(id_col) if id_col is not None else as_double(F.col(vec_col))
+        keep = F.pmod(F.abs(F.hash(key, F.lit(seed))), levels) < thresh
+        sampled = df.filter(keep).select("__vec")
+        if id_col is not None or sampled.count() >= max(n_cells, 1):
+            fit_df = sampled
     km = KMeans(k=n_cells, seed=seed, featuresCol="__vec", predictionCol="ivf_cell")
     model = km.fit(fit_df)
     return model, model.transform(df).drop("__vec")

@@ -159,7 +159,13 @@ class SnapTableReader(DataSourceReader):
                     continue
                 mn, mx = stats
                 if col in temporal_cols:
-                    mn, mx = st._canon_stat(mn), st._canon_stat(mx)
+                    # mixed date/datetime operands share one total order:
+                    # date-only strings lift to the day's first/last
+                    # instant (snaptable._inflate_date)
+                    mn = st._inflate_date(st._canon_stat(mn))
+                    mx = st._inflate_date(st._canon_stat(mx), end=True)
+                    lo = st._inflate_date(lo)
+                    hi = st._inflate_date(hi)
                 if (hi is not None and mn > hi) or (lo is not None and mx < lo):
                     ok = False
                     break

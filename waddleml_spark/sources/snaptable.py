@@ -133,15 +133,26 @@ def _canon_stat(s: Any) -> Any:
     strings.  Callers apply this only when the prune bound itself was a
     temporal, so an ordinary string column can never be rewritten.
 
-    Date-ONLY stats (exactly 10 chars, '2024-01-01') must stay date-only:
-    fromisoformat would inflate them to midnight datetimes ('...T00:00:00')
-    while date bounds stay 10 chars, making mn > hi at an equal boundary
-    — the same silent file-skip this helper exists to prevent."""
+    Date-ONLY stats (exactly 10 chars, '2024-01-01') stay date-only here;
+    _inflate_date handles the mixed date/datetime comparisons."""
     if isinstance(s, str) and len(s) > 10:
         try:
             return _canon_temporal(datetime.fromisoformat(s))
         except ValueError:
             return s
+    return s
+
+
+def _inflate_date(s: Any, end: bool = False) -> Any:
+    """Lift a date-only ISO string into datetime space so date and
+    datetime operands share ONE total order (SQL's CAST(date AS
+    timestamp) semantics): a BOUND or a stat MIN becomes the day's first
+    instant, a stat MAX its last — a date-max of '2024-01-05' must still
+    intersect a datetime bound of 2024-01-05T00:00:00 (rows anywhere in
+    that day may match), and comparing the raw 10-char string against a
+    19-char one gets that wrong in both directions."""
+    if isinstance(s, str) and len(s) == 10:
+        return s + ("T23:59:59.999999" if end else "T00:00:00")
     return s
 
 
@@ -308,6 +319,8 @@ def _prune(files: list[dict], col: str, lo: Any, hi: Any) -> list[dict]:
     # stats still compare like-for-like
     temporal = isinstance(lo, (datetime, date)) or isinstance(hi, (datetime, date))
     lo, hi = _canon_temporal(lo), _canon_temporal(hi)
+    if temporal:
+        lo, hi = _inflate_date(lo), _inflate_date(hi)
     kept = []
     for f in files:
         st = f["stats"].get(col)
@@ -316,7 +329,8 @@ def _prune(files: list[dict], col: str, lo: Any, hi: Any) -> list[dict]:
             continue
         mn, mx = st
         if temporal:
-            mn, mx = _canon_stat(mn), _canon_stat(mx)
+            mn = _inflate_date(_canon_stat(mn))
+            mx = _inflate_date(_canon_stat(mx), end=True)
         if (hi is None or mn <= hi) and (lo is None or mx >= lo):
             kept.append(f)
     return kept
