@@ -353,21 +353,9 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= 50))
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
+    pairs = dedup._bucket_pairs(buckets, distinct=False)
     return (
-        pairs.groupBy("p.id_a", "p.id_b")
+        pairs.groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= 3)
         .orderBy("id_a", "id_b")

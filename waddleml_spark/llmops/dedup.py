@@ -201,9 +201,13 @@ def minhash_lsh_candidates(
     return _bucket_pairs(buckets, star_threshold=64)
 
 
-def _bucket_pairs(buckets: DataFrame, star_threshold: int | None = None) -> DataFrame:
-    """Expand each bucket's SORTED ids array into distinct (id_a < id_b)
-    pairs with GENERATORS ONLY (posexplode + slice + explode).
+def _bucket_pairs(
+    buckets: DataFrame,
+    star_threshold: int | None = None,
+    distinct: bool = True,
+) -> DataFrame:
+    """Expand each bucket's SORTED ids array into (id_a < id_b) pairs
+    with GENERATORS ONLY (posexplode + slice + explode).
 
     The earlier nested transform/flatten HOF expression evaluated
     interpreted, outside whole-stage codegen (the CLAUDE.md rule) —
@@ -213,21 +217,21 @@ def _bucket_pairs(buckets: DataFrame, star_threshold: int | None = None) -> Data
     ``star_threshold``: buckets larger than it emit the STAR pattern
     (min id ↔ each other id) instead of all pairs — which is exactly the
     position-0 slice of the full expansion, so the guard is one filter.
+    ``distinct=False`` keeps one row per bucket co-occurrence (for
+    callers that COUNT shared buckets per pair instead of deduping).
     """
     expl = buckets.select("ids", F.posexplode("ids").alias("__i", "id_a"))
     if star_threshold is not None:
         expl = expl.filter(
             (F.size("ids") <= star_threshold) | (F.col("__i") == 0)
         )
-    return (
-        expl.select(
-            "id_a",
-            F.explode(
-                F.slice(F.col("ids"), F.col("__i") + 2, F.size("ids"))
-            ).alias("id_b"),
-        )
-        .distinct()
+    pairs = expl.select(
+        "id_a",
+        F.explode(
+            F.slice(F.col("ids"), F.col("__i") + 2, F.size("ids"))
+        ).alias("id_b"),
     )
+    return pairs.distinct() if distinct else pairs
 
 
 def jaccard_pairs(
