@@ -574,11 +574,15 @@ def phash_neardup_pairs(
     radii the bands are a high-recall candidate filter, and the exact
     JVM bit_count(xor) verify keeps the result precise.
 
-    Plan shape: explode 64/band_bits (band, value) keys → self-join on
-    the band key (mega-bucket star guard at `max_bucket`, mirrored from
-    the text LSH ops — uniform images pile into one bucket otherwise)
-    → distinct pair → exact hamming verify.  Only 8-byte hashes
-    shuffle; payloads stay where they were decoded.
+    Plan shape: explode 64/band_bits (band, value) keys → bucket-GROUP
+    (ONE shuffle; a self-join here would re-evaluate the upstream
+    Python decode+hash pipeline per plan reference — the old join shape
+    ran the mapInPandas decode FOUR times per query) with the
+    mega-bucket guard at `max_bucket` (mirrored from the text LSH ops —
+    uniform images pile into one bucket otherwise) → generator pair
+    expansion carrying the hashes → distinct → exact hamming verify.
+    Only 8-byte hashes shuffle; payloads stay where they were decoded,
+    and bucket arrays are bounded at max_bucket structs.
     """
     from waddleml_spark.llmops.dedup import band_rows
 
@@ -591,34 +595,31 @@ def phash_neardup_pairs(
         width=64,
         carry=("phash",),  # ride the explode; hamming verify needs it
     )
-    guarded = keys.join(
+    # array_sort on struct(id, phash) orders by id (unique) — the
+    # expansion below therefore emits id_a < id_b exactly
+    buckets = (
         keys.groupBy("band", "bucket")
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") <= max_bucket)
-        .select("band", "bucket"),
-        ["band", "bucket"],
+        .agg(F.array_sort(F.collect_list(F.struct("id", "phash"))).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
-    a, b = guarded.alias("a"), guarded.alias("b")
+    expl = buckets.select("ids", F.posexplode("ids").alias("__i", "a"))
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+        expl.select(
+            "a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("__i") + 2, F.size("ids"))
+            ).alias("b"),
         )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.phash").alias("ph_a"),
-            F.col("b.phash").alias("ph_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
         )
         .distinct()
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
-    ).filter(F.col("hamming") <= max_dist)
+    return cand.filter(F.col("hamming") <= max_dist)
 
 
 def payload_stats(media: DataFrame) -> DataFrame:
