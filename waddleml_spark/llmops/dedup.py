@@ -349,6 +349,11 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # materialize ONCE: the symmetric union references `pairs` twice
+        # and every propagation round joins `edges` again — without the
+        # cut, an uncached candidate pipeline (LSH banding + bucket
+        # grouping) would re-execute ~2× per iteration, up to 40× total
+        .localCheckpoint(eager=True)
     )
     # labels start as self
     labels = (

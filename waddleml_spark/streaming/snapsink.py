@@ -309,26 +309,29 @@ def neardup_snapshot_sink(
             b_keys = dedup.band_rows(
                 dedup.simhash32_jvm(batch, text_col, id_col), band_bits
             )
-            s_keys = dedup.band_rows(
-                dedup.simhash32_jvm(snap, text_col, id_col), band_bits
+            # ONE evaluation of the snapshot signature pipeline: bucket
+            # size + representative come from a single window pass, and
+            # the mega-bucket guard is one filter — keep a bucket's rows
+            # when it is small enough, else only its min-id
+            # representative (not zero coverage).  The previous
+            # ok_keys ∪ reps construction referenced the keys subtree
+            # four times, and Catalyst re-executes the corpus-scale
+            # signature projection once per reference.
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("band", "bucket")
+            s_annot = (
+                dedup.band_rows(
+                    dedup.simhash32_jvm(snap, text_col, id_col), band_bits
+                )
+                .withColumn("__n", F.count("*").over(w))
+                .withColumn("__min", F.min("id").over(w))
             )
-            sizes = s_keys.groupBy("band", "bucket").agg(F.count("*").alias("__n"))
-            ok_keys = s_keys.join(
-                sizes.filter(F.col("__n") <= max_bucket), ["band", "bucket"]
+            snap_keys = s_annot.filter(
+                (F.col("__n") <= max_bucket) | (F.col("id") == F.col("__min"))
             ).select(F.col("id").alias("snap_id"), "band", "bucket")
-            # capped buckets: ONE representative each, not zero coverage
-            reps = (
-                s_keys.join(
-                    sizes.filter(F.col("__n") > max_bucket), ["band", "bucket"]
-                )
-                .groupBy("band", "bucket")
-                .agg(F.min("id").alias("snap_id"))
-            )
             cand = (
-                b_keys.join(
-                    ok_keys.unionByName(reps.select("snap_id", "band", "bucket")),
-                    ["band", "bucket"],
-                )
+                b_keys.join(snap_keys, ["band", "bucket"])
                 .select(F.col("id").alias("id_a"), F.col("snap_id").alias("id_b"))
                 .distinct()
             )
