@@ -986,19 +986,33 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshots (src0 = old, src1 = new) on normalized fingerprints —
     added / removed / unchanged counts.
 
-    Anti/semi joins on 16-byte hashes: the diff of two 100 TB snapshots
-    ships fingerprints only, never text, and each side deduplicates
-    before the join (distinct on the hash).  The three scalar counts
-    cross-join broadcast into one row.
+    ONE text pass: the diff of two 100 TB snapshots ships 16-byte
+    fingerprints only, never text — per-fingerprint presence flags from
+    a single fp-grain aggregate (max of two booleans collapses map-side),
+    then one 1-row count pass.  The earlier anti/semi-join formulation
+    referenced the scan six times (Catalyst does not dedupe common
+    subtrees), fingerprinting the corpus three times over.
     """
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
     fp = textstats.fingerprint(F.col("text")).alias("fp")
-    a = d.filter(F.col("source") == "src0").select(fp).distinct()
-    b = d.filter(F.col("source") == "src1").select(fp).distinct()
-    added = b.join(a, "fp", "left_anti").agg(F.count("*").alias("n_added"))
-    removed = a.join(b, "fp", "left_anti").agg(F.count("*").alias("n_removed"))
-    common = a.join(b, "fp", "left_semi").agg(F.count("*").alias("n_common"))
-    return added.crossJoin(F.broadcast(removed)).crossJoin(F.broadcast(common))
+    flags = (
+        d.select(
+            fp,
+            (F.col("source") == "src0").alias("in_a"),
+            (F.col("source") == "src1").alias("in_b"),
+        )
+        .groupBy("fp")
+        .agg(F.max("in_a").alias("a"), F.max("in_b").alias("b"))
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    return flags.agg(
+        F.sum(F.when(F.col("b") & ~F.col("a"), one).otherwise(zero)).alias("n_added"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), one).otherwise(zero)).alias("n_removed"),
+        F.sum(F.when(F.col("a") & F.col("b"), one).otherwise(zero)).alias("n_common"),
+    )
 
 
 @_register("ann_recall_report", None)
