@@ -1008,10 +1008,19 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     one = F.lit(1)
     zero = F.lit(0)
+
+    def _n(cond, name):
+        # sum over an EMPTY relation is NULL; the oracle's count(*)
+        # scalar subqueries return 0 — coalesce or a src-less testdata
+        # regeneration trips the exact compare
+        return F.coalesce(
+            F.sum(F.when(cond, one).otherwise(zero)), F.lit(0).cast("long")
+        ).alias(name)
+
     return flags.agg(
-        F.sum(F.when(F.col("b") & ~F.col("a"), one).otherwise(zero)).alias("n_added"),
-        F.sum(F.when(F.col("a") & ~F.col("b"), one).otherwise(zero)).alias("n_removed"),
-        F.sum(F.when(F.col("a") & F.col("b"), one).otherwise(zero)).alias("n_common"),
+        _n(F.col("b") & ~F.col("a"), "n_added"),
+        _n(F.col("a") & ~F.col("b"), "n_removed"),
+        _n(F.col("a") & F.col("b"), "n_common"),
     )
 
 

@@ -579,11 +579,16 @@ def phash_neardup_pairs(
     Python decode+hash pipeline per plan reference — the old join shape
     ran the mapInPandas decode FOUR times per query) with the
     mega-bucket guard at `max_bucket` (mirrored from the text LSH ops —
-    uniform images pile into one bucket otherwise) → generator pair
-    expansion carrying the hashes → distinct → exact hamming verify.
-    Only 8-byte hashes shuffle; payloads stay where they were decoded,
-    and bucket arrays are bounded at max_bucket structs.
+    uniform images pile into one bucket otherwise; the guard is a WINDOW
+    count over the same (band, bucket) partitioning, so over-cap rows
+    drop BEFORE collect_list ever materializes a mega array, and the
+    groupBy reuses the window's shuffle) → generator pair expansion
+    carrying the hashes → distinct → exact hamming verify.  Only 8-byte
+    hashes shuffle; payloads stay where they were decoded, and bucket
+    arrays are bounded at max_bucket structs.
     """
+    from pyspark.sql import Window
+
     from waddleml_spark.llmops.dedup import band_rows
 
     src = phashes.filter(F.col("phash").isNotNull())
@@ -595,12 +600,14 @@ def phash_neardup_pairs(
         width=64,
         carry=("phash",),  # ride the explode; hamming verify needs it
     )
-    # array_sort on struct(id, phash) orders by id (unique) — the
-    # expansion below therefore emits id_a < id_b exactly
+    w = Window.partitionBy("band", "bucket")
+    bounded = keys.withColumn("__n", F.count("*").over(w)).filter(
+        F.col("__n") <= max_bucket
+    )
     buckets = (
-        keys.groupBy("band", "bucket")
+        bounded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(F.struct("id", "phash"))).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+        .filter(F.size("ids") > 1)
     )
     expl = buckets.select("ids", F.posexplode("ids").alias("__i", "a"))
     cand = (
@@ -610,6 +617,10 @@ def phash_neardup_pairs(
                 F.slice(F.col("ids"), F.col("__i") + 2, F.size("ids"))
             ).alias("b"),
         )
+        # a duplicated media_id (re-read snapshot, unioned batches) sits
+        # adjacent after array_sort and would pair with itself at
+        # hamming 0 — the replaced a.id < b.id join excluded that
+        .filter(F.col("a.id") != F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
