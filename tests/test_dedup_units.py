@@ -181,3 +181,51 @@ def test_levenshtein_pairs_candidate_fed(spark):
     assert len(got) == 1 and got[0].edit_dist == 3  # kitten->sitting
     # max_chars drops long docs before the join (pair disappears)
     assert _dedup.levenshtein_pairs(df, cand, max_chars=10).count() == 0
+
+
+def test_bucket_pairs_matches_combinations(spark):
+    """_bucket_pairs (generator expansion) == itertools.combinations on
+    sorted ids, across bucket shapes: pair bucket, larger bucket, star-
+    guarded bucket, duplicate ids across buckets (distinct collapses),
+    and distinct=False keeping per-co-occurrence rows."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from waddleml_spark.llmops.dedup import _bucket_pairs
+
+    rows = [
+        ("b0", [1, 2]),
+        ("b1", [3, 4, 5, 6]),
+        ("b2", [1, 2, 7]),          # re-pairs (1,2) -> distinct collapses
+        ("b3", list(range(10, 20))),  # exceeds star threshold of 4
+    ]
+    buckets = spark.createDataFrame(rows, "bucket string, ids array<long>")
+
+    got = {(r.id_a, r.id_b) for r in _bucket_pairs(buckets).collect()}
+    want = set()
+    for _, ids in rows:
+        want |= set(itertools.combinations(sorted(ids), 2))
+    assert got == want
+
+    # star guard: the over-threshold bucket contributes min-id star edges
+    got_star = {
+        (r.id_a, r.id_b)
+        for r in _bucket_pairs(buckets, star_threshold=4).collect()
+    }
+    want_star = set()
+    for _, ids in rows:
+        s = sorted(ids)
+        if len(s) <= 4:
+            want_star |= set(itertools.combinations(s, 2))
+        else:
+            want_star |= {(s[0], x) for x in s[1:]}
+    assert got_star == want_star
+
+    # distinct=False: (1,2) appears once per shared bucket
+    counts = (
+        _bucket_pairs(buckets, distinct=False)
+        .groupBy("id_a", "id_b").count().collect()
+    )
+    by_pair = {(r.id_a, r.id_b): r["count"] for r in counts}
+    assert by_pair[(1, 2)] == 2 and by_pair[(3, 4)] == 1
