@@ -57,6 +57,19 @@ def test_cosine_topk_batch_matches_expression_kernel(spark, emb):
             assert abs(b.cos_sim - e.cos_sim) < 1e-9
 
 
+def test_cosine_topk_batch_query_chunking_is_invariant(spark, emb):
+    """query_chunk bounds the per-batch sims matrix at serving scale;
+    the selected ids and their order must not depend on it (sims may
+    move a couple of ulps with BLAS blocking — ids are the contract)."""
+    q_rows = emb.filter(F.col("vec_id") < 7).collect()
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in q_rows]
+    full = similarity.cosine_topk_batch(emb, queries, k=5).collect()
+    tiny = similarity.cosine_topk_batch(emb, queries, k=5, query_chunk=2).collect()
+    assert [(r.qid, r.vec_id) for r in full] == [(r.qid, r.vec_id) for r in tiny]
+    for a, b in zip(full, tiny):
+        assert abs(a.cos_sim - b.cos_sim) < 1e-12
+
+
 def test_cosine_topk_batch_single_partition_and_small_corpus(spark, emb):
     """kk == len(ids) branch: corpus smaller than k per batch."""
     tiny = emb.filter(F.col("vec_id") < 7).repartition(4)

@@ -70,6 +70,7 @@ def cosine_topk_batch(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    query_chunk: int = 1024,
 ) -> DataFrame:
     """Batched brute-force cosine top-k: Q query vectors, ONE corpus scan.
 
@@ -83,7 +84,10 @@ def cosine_topk_batch(
     tiebreak.
 
     Use :func:`cosine_topk` for single ad-hoc queries needing exact SQL
-    parity; this kernel's float summation order differs in the last ulp.
+    parity; this kernel's float summation order differs in the last ulp
+    (and BLAS blocking varies with the ``query_chunk`` slice shape, so
+    sims can move a couple of ulps across chunk sizes — selected ids and
+    ordering are chunk-invariant, pinned by test).
     """
     import numpy as np
     import pandas as pd
@@ -107,32 +111,40 @@ def cosine_topk_batch(
                 continue
             x = np.stack(pdf["__v"].to_numpy()).astype("float64")
             xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
-            sims = xn @ q_norm.T  # n_rows × Q
             ids = pdf["__id"].to_numpy()
             kk = min(k, len(ids))
-            # exact (sim desc, id asc) local top-k per query: argpartition
-            # is UNSTABLE among ties at the k-th cutoff and could drop the
-            # smallest-id row of a tie group before the global window sees
-            # it (duplicate embeddings are common in a dedup corpus).
-            # O(n) partition finds the k-th value, then only the >=kth
-            # candidate set (covers every boundary tie) pays the lexsort —
-            # never a full O(n log n) sort of the batch per query.
-            top = np.empty((kk, len(q_ids)), dtype="int64")
-            for j in range(len(q_ids)):
-                s = sims[:, j]
-                if kk < len(ids):
-                    kth = np.partition(s, len(s) - kk)[len(s) - kk]
-                    cand = np.flatnonzero(s >= kth)
-                else:
-                    cand = np.arange(len(ids))
-                top[:, j] = cand[np.lexsort((ids[cand], -s[cand]))][:kk]
-            yield pd.DataFrame(
-                {
-                    "qid": np.repeat(q_ids, kk),
-                    "__id": ids[top].T.ravel(),
-                    "cos_sim": np.take_along_axis(sims, top, axis=0).T.ravel(),
-                }
-            )
+            # chunk the QUERY axis: the sims matrix is n_rows × Q doubles
+            # — at serving scale (Q in the tens of thousands) one
+            # unchunked matmul would hold gigabytes per Arrow batch;
+            # query_chunk bounds it at n_rows × query_chunk
+            for q0 in range(0, len(q_ids), query_chunk):
+                q_sl = slice(q0, q0 + query_chunk)
+                sims = xn @ q_norm[q_sl].T  # n_rows × chunk
+                chunk_ids = q_ids[q_sl]
+                # exact (sim desc, id asc) local top-k per query:
+                # argpartition is UNSTABLE among ties at the k-th cutoff
+                # and could drop the smallest-id row of a tie group before
+                # the global window sees it (duplicate embeddings are
+                # common in a dedup corpus).  O(n) partition finds the
+                # k-th value, then only the >=kth candidate set (covers
+                # every boundary tie) pays the lexsort — never a full
+                # O(n log n) sort of the batch per query.
+                top = np.empty((kk, len(chunk_ids)), dtype="int64")
+                for j in range(len(chunk_ids)):
+                    s = sims[:, j]
+                    if kk < len(ids):
+                        kth = np.partition(s, len(s) - kk)[len(s) - kk]
+                        cand = np.flatnonzero(s >= kth)
+                    else:
+                        cand = np.arange(len(ids))
+                    top[:, j] = cand[np.lexsort((ids[cand], -s[cand]))][:kk]
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(chunk_ids, kk),
+                        "__id": ids[top].T.ravel(),
+                        "cos_sim": np.take_along_axis(sims, top, axis=0).T.ravel(),
+                    }
+                )
 
     part = src.mapInPandas(score, schema="qid long, __id long, cos_sim double")
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("__id"))
