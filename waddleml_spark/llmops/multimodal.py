@@ -687,10 +687,19 @@ def frame_neardup_pairs(
     bounded fan-out, the binary analog of shingle-bucket joins; payload
     bytes never shuffle, only 32-byte digests) → pair count ≥ threshold.
     Returns (id_a, id_b, shared_chunks).
+
+    The digest frame is localCheckpointed before the self-join: Catalyst
+    evaluates each join side independently, so without the cut the
+    PAYLOAD column — the widest bytes in the table — would scan and
+    sha-hash twice.  The materialized rows are (id, 32-byte sha) at
+    ≤ max_chunks per doc, digest-grain regardless of payload size.
     """
-    fp = chunk_fingerprints(media, chunk_bytes, max_chunks).select(
-        F.col("media_id").alias("id"), "chunk_sha"
-    ).distinct()
+    fp = (
+        chunk_fingerprints(media, chunk_bytes, max_chunks)
+        .select(F.col("media_id").alias("id"), "chunk_sha")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(
