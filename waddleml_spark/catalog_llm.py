@@ -8,7 +8,7 @@ the weaker check — by design, they are not ANSI-SQL-expressible).
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from waddleml_spark.catalog import _r, _r_sql, _register, t
@@ -507,18 +507,22 @@ def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain/language mix report: token share per (source, lang) — the
     dataset-card table every training pipeline publishes.  Global total =
-    1-row broadcast scalar (integer token counts are order-insensitive,
-    so only the final ratio needs rounding)."""
+    an unpartitioned window SUM over the (source, lang)-grain aggregate —
+    ~|sources|·|langs| rows, so the single window task is trivially safe,
+    and unlike the scalar-aggregate + cross-join formulation it keeps ONE
+    reference to the doc-grain pipeline (the agg + cross-join re-ran the
+    corpus text tokenization twice).  Integer token counts are
+    order-insensitive, so only the final ratio needs rounding."""
     d = t(spark, sf_dir, "documents")
     per = d.groupBy("source", "lang").agg(
         F.sum(textstats.word_count(F.col("text"))).alias("total_tokens")
     )
-    total = per.agg(F.sum("total_tokens").alias("__total"))
-    return per.crossJoin(F.broadcast(total)).select(
+    total = F.sum("total_tokens").over(Window.partitionBy())
+    return per.select(
         "source",
         "lang",
         "total_tokens",
-        _r(F.lit(100.0) * F.col("total_tokens") / F.col("__total"), 6).alias(
+        _r(F.lit(100.0) * F.col("total_tokens") / total, 6).alias(
             "pct_of_corpus"
         ),
     )
