@@ -21,9 +21,27 @@ from tests.conftest import SF_SMOKE
 
 _PY_MARKERS = ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas")
 
+# wide-column (text/payload) scan budget: 1 unless the query's semantics
+# genuinely need independent passes.  Adding a name here requires a
+# justification — "Catalyst evaluated my subtree twice" is NOT one
+# (restructure instead: window flags, bucket-group, or a digest-grain
+# localCheckpoint).
+_WIDE_SCAN_BUDGET = {
+    "bigram_lm_quality_by_lang": 2,   # train the LM, then score (two passes by definition)
+    "contamination_by_source": 2,     # corpus shingles vs eval-set shingles (different filters)
+    "incremental_dedup_report": 2,    # stored-index role vs incoming-batch role of the same table
+    "jaccard_verify_lsh": 3,          # candidates + two hydration sides; persisting shingle sets
+                                      # would materialize corpus-scale arrays (documented trade)
+    "levenshtein_verify_lsh": 3,      # same hydration shape on normalized text
+    "jaccard_word_pairs_src0": 2,     # coarse-block self-join demo (the LSH-fed shape is the prod path)
+    "levenshtein_pairs_src0": 2,      # same demo shape
+}
+
 
 @pytest.mark.parametrize("name", sorted(catalog.QUERIES))
 def test_no_duplicated_python_stage(spark, name):
+    import re
+
     df = catalog.QUERIES[name](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     counts = {m: plan.count(m) for m in _PY_MARKERS if plan.count(m)}
@@ -33,4 +51,11 @@ def test_no_duplicated_python_stage(spark, name):
         "subtree containing Python is referenced more than once and will "
         "re-execute per reference; restructure to a single evaluation "
         "(bucket-group / window flags / localCheckpoint)"
+    )
+    wide = len(re.findall(r"ReadSchema: [^\n]*(?:text|payload)[^\n]*", plan))
+    budget = _WIDE_SCAN_BUDGET.get(name, 1)
+    assert wide <= budget, (
+        f"{name}: {wide} scans read the wide text/payload columns "
+        f"(budget {budget}) — at corpus scale each extra scan is a full "
+        "pass over the biggest bytes in the table"
     )
