@@ -35,6 +35,12 @@ _WIDE_SCAN_BUDGET = {
     "levenshtein_verify_lsh": 3,      # same hydration shape on normalized text
     "jaccard_word_pairs_src0": 2,     # coarse-block self-join demo (the LSH-fed shape is the prod path)
     "levenshtein_pairs_src0": 2,      # same demo shape
+    # these two persist() a digest/doc-grain frame: the plan STRING
+    # embeds the cached subtree's FileScan once per reference, but the
+    # InMemoryRelation executes the scan once — textual count 2,
+    # execution count 1
+    "media_frame_neardup_pairs": 2,
+    "sequence_packing_report": 2,
 }
 
 
@@ -42,8 +48,16 @@ _WIDE_SCAN_BUDGET = {
 def test_no_duplicated_python_stage(spark, name):
     import re
 
-    df = catalog.QUERIES[name](spark, SF_SMOKE)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # plan stringification truncates ReadSchema at
+    # spark.sql.maxMetadataStringLength (default 100): a wide schema
+    # could push 'text'/'payload' past the cutoff and under-count scans
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        df = catalog.QUERIES[name](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     counts = {m: plan.count(m) for m in _PY_MARKERS if plan.count(m)}
     total = sum(counts.values())
     assert total <= 1, (

@@ -628,7 +628,11 @@ def phash_neardup_pairs(
                 F.col("a.phash").bitwiseXOR(F.col("b.phash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # pair-grain MIN, not distinct: a duplicated id whose two rows
+        # carry different phashes would otherwise emit the same pair
+        # once per hamming value; min = the nearest-duplicate distance
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
     )
     return cand.filter(F.col("hamming") <= max_dist)
 
@@ -688,17 +692,19 @@ def frame_neardup_pairs(
     bytes never shuffle, only 32-byte digests) → pair count ≥ threshold.
     Returns (id_a, id_b, shared_chunks).
 
-    The digest frame is localCheckpointed before the self-join: Catalyst
-    evaluates each join side independently, so without the cut the
+    The digest frame is persisted before the self-join: Catalyst
+    evaluates each join side independently, so without the cache the
     PAYLOAD column — the widest bytes in the table — would scan and
-    sha-hash twice.  The materialized rows are (id, 32-byte sha) at
-    ≤ max_chunks per doc, digest-grain regardless of payload size.
+    sha-hash twice.  The cached rows are (id, 32-byte sha) at
+    ≤ max_chunks per doc, digest-grain regardless of payload size;
+    persist (not localCheckpoint) keeps lineage, so blocks are
+    evictable and executor loss recomputes instead of failing.
     """
     fp = (
         chunk_fingerprints(media, chunk_bytes, max_chunks)
         .select(F.col("media_id").alias("id"), "chunk_sha")
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
     a, b = fp.alias("a"), fp.alias("b")
     return (

@@ -91,13 +91,13 @@ def packed_sequences(
         "b", F.substring("h", 1, 2)
     )
     # the bucket-totals branch and the per-bucket window branch both
-    # consume d; without a cut Catalyst evaluates the upstream text
+    # consume d; without a cache Catalyst evaluates the upstream text
     # tokenization (the expensive regex over the corpus) once per
-    # branch.  The materialized frame is doc-grain numerics+hash — no
-    # text — so the checkpoint is small at any corpus size.  (At toy SF
-    # the checkpoint job costs ~0.1 s more than the saved tokenize; at
-    # corpus scale it saves a full text pass.)
-    d = d.localCheckpoint(eager=True)
+    # branch.  The cached frame is doc-grain numerics+hash — no text —
+    # so it is small at any corpus size; persist (not localCheckpoint)
+    # keeps lineage, so blocks stay evictable, nothing runs at plan-
+    # build time, and executor loss recomputes instead of failing.
+    d = d.persist()
     w_local = (
         Window.partitionBy("b")
         .orderBy("h", "id")

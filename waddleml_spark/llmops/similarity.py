@@ -94,6 +94,10 @@ def cosine_topk_batch(
 
     from waddleml_spark.session import ensure_shipped, fan_out
 
+    if query_chunk < 1:
+        # fail on the driver: a bad chunk inside the kernel would make
+        # the scan silently yield zero rows (empty range), not an error
+        raise ValueError(f"query_chunk must be >= 1 (got {query_chunk})")
     spark = corpus.sparkSession
     ensure_shipped(spark)
     qids = np.array([int(q) for q, _ in queries], dtype="int64")
