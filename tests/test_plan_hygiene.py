@@ -50,7 +50,11 @@ def test_no_duplicated_python_stage(spark, name):
 
     # plan stringification truncates ReadSchema at
     # spark.sql.maxMetadataStringLength (default 100): a wide schema
-    # could push 'text'/'payload' past the cutoff and under-count scans
+    # could push 'text'/'payload' past the cutoff and under-count scans.
+    # Clear the SQL cache first: a MATERIALIZED InMemoryRelation left by
+    # an earlier test prints its embedded FileScan with extra detail per
+    # reference, inflating the textual count without extra execution.
+    spark.catalog.clearCache()
     prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
     spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
     try:
