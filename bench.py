@@ -52,19 +52,30 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Size configs to the data (guide: default partitioning is wrong at both
     # extremes).  At bench scale (≤600 k rows) shuffles are tiny: 8 shuffle
-    # partitions beat 32.  AQE stays ON (the shipped session default): its
-    # per-query planning cost is small, and skew-join splitting is worth 2x
-    # on the pair-hydration joins.  SPARK_GRAFT_AQE=0 for static plans.
+    # partitions beat 32.  AQE defaults OFF here (round-5 measurement:
+    # static plans won on EVERY headline query, 5.66 s -> 4.32 s total —
+    # at this scale AQE's per-stage re-planning/coalescing only adds
+    # overhead, and the skew its skew-join would fix is already handled
+    # explicitly via salting + bucket-grouping).  The shipped session
+    # default keeps AQE ON for real scale; SPARK_GRAFT_AQE=1 restores it
+    # for the bench.
     spark = get_spark(
         app_name="waddleml-bench",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
         extra_conf={
             "spark.sql.adaptive.enabled": (
-                "false" if os.environ.get("SPARK_GRAFT_AQE") == "0" else "true"
+                "true" if os.environ.get("SPARK_GRAFT_AQE") == "1" else "false"
             )
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Each pass builds a FRESH DataFrame and forces it with a noop sink:
+    # a reused DataFrame object would let Spark re-use its shuffle-map
+    # outputs across actions (skipped stages — measured 18x "speedup" on
+    # minhash_lsh_candidates, i.e. not measuring the engine at all), so
+    # fresh lineage per pass is the honest methodology even though it
+    # re-pays ~0.1-0.2 s/query of driver planning at this tiny scale.
 
     # Warmup: whole-stage codegen + C2 JIT dominate early executions
     # (3-5 s vs 0.5 s steady-state; the 32-aggregate signature kernels

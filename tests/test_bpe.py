@@ -26,6 +26,25 @@ def test_toy_corpus_learns_canonical_merges(spark):
     assert bpe.train_bpe(_toy_freqs(spark), n_merges=4) == merges
 
 
+def test_all_training_paths_agree(spark):
+    """In-memory (1 job), batched-distributed, and one-pair-at-a-time
+    distributed training must produce the SAME merge sequence — on a
+    tie-heavy corpus (the dangerous case: a merge-created pair tying a
+    batch member's count and winning the lexicographic tie-break)."""
+    freqs = spark.createDataFrame(
+        [("column", 3), ("custom", 3), ("colombo", 2), ("moon", 3),
+         ("noon", 2), ("cucumber", 3), ("stone", 4), ("notes", 4)],
+        "word string, freq long",
+    )
+    inmem = bpe.train_bpe(freqs, n_merges=24)
+    batched = bpe.train_bpe(freqs, n_merges=24, driver_vocab_rows=0)
+    sequential = bpe.train_bpe(
+        freqs, n_merges=24, topk=1, driver_vocab_rows=0
+    )
+    assert inmem == sequential
+    assert batched == sequential
+
+
 def test_tokenize_words_applies_merges_in_order(spark):
     merges = [("e", "s"), ("es", "t"), ("l", "o")]
     toks = {

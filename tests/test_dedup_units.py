@@ -93,6 +93,30 @@ def test_connected_components_groups(spark):
     }
 
 
+def test_connected_components_long_chain_converges(spark):
+    # adversarial diameter: a 600-node path.  Plain min-propagation moves
+    # the label ONE hop per round (600 rounds); pointer jumping doubles
+    # the reach per round, so the default max_iter=20 (~2^20 diameter)
+    # must cover it — and every node must land on the chain minimum.
+    n = 600
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    comps = {r.id: r.component for r in dedup.connected_components(edges).collect()}
+    assert len(comps) == n
+    assert set(comps.values()) == {0}
+
+
+def test_connected_components_raises_when_cap_too_small(spark):
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iter=2)
+
+
 def test_end_to_end_dedup_groups(spark, docs):
     cand = dedup.minhash_lsh_candidates(docs)
     verified = dedup.jaccard_pairs(docs, candidates=cand, threshold=0.9)

@@ -176,13 +176,20 @@ def test_pii_scrub_is_map_only(spark):
     assert count_op(df, "Exchange") == 1
 
 
-def test_embedding_neardup_is_shuffle_join_not_broadcast(spark):
-    # near-dup pairs join on the blocking key must NOT broadcast a full
-    # side: at corpus scale that ships every embedding to every executor.
-    # Hash-partitioning both sides on `label` keeps each bucket's
-    # quadratic term local and AQE-splittable.
+def test_embedding_neardup_is_blocked_kernel_no_join(spark):
+    # near-dup pairs: ONE shuffle on the blocking key feeding ONE Arrow
+    # kernel (the quadratic term runs inside numpy per block; only
+    # surviving pairs leave).  No join operator at all — and never a
+    # broadcast of a full corpus side (the 100 TB killer).  The r4 plan
+    # was a salted SortMergeJoin paying an interpreted HOF per pair.
     df = q(spark, "embedding_neardup_pairs")
-    assert_plan(df, contains=["SortMergeJoin"], absent=["BroadcastHashJoin"])
+    assert_plan(
+        df,
+        contains=["FlatMapGroupsInPandas"],
+        absent=["BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin"],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1
 
 
 def test_lsh_fed_verifiers_are_candidate_bounded(spark):

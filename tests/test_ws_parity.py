@@ -50,13 +50,27 @@ def test_accept_key_matches_rfc6455_worked_example():
     )
 
 
+def _mask_frame(payload: bytes, opcode: int = 0x1, fin: bool = True) -> bytes:
+    """Client-side masked frame (client frames MUST be masked, §5.1)."""
+    mask = os.urandom(4)
+    masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+    head = bytes([(0x80 if fin else 0x00) | opcode])
+    n = len(payload)
+    if n < 126:
+        head += bytes([0x80 | n])
+    elif n < 1 << 16:
+        head += bytes([0x80 | 126]) + n.to_bytes(2, "big")
+    else:
+        head += bytes([0x80 | 127]) + n.to_bytes(8, "big")
+    return head + mask + masked
+
+
 def test_frame_roundtrip_all_lengths():
     import io
 
     for n in (0, 1, 125, 126, 70000):
         payload = os.urandom(n)
-        raw = ws_encode_frame(payload)
-        op, got = ws_read_frame(io.BytesIO(raw))
+        op, got = ws_read_frame(io.BytesIO(_mask_frame(payload)))
         assert (op, got) == (0x1, payload)
 
 
@@ -64,11 +78,42 @@ def test_read_frame_unmasks_client_payload():
     import io
 
     payload = b'{"hello":1}'
-    mask = os.urandom(4)
-    masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
-    raw = bytes([0x81, 0x80 | len(payload)]) + mask + masked
-    op, got = ws_read_frame(io.BytesIO(raw))
+    op, got = ws_read_frame(io.BytesIO(_mask_frame(payload)))
     assert (op, got) == (0x1, payload)
+
+
+def test_read_frame_rejects_unmasked_client_frame():
+    # §5.1: a server must fail the connection on an unmasked client frame
+    import io
+
+    raw = ws_encode_frame(b"nope")  # server-style frame = unmasked
+    assert ws_read_frame(io.BytesIO(raw)) is None
+
+
+def test_read_frame_reassembles_fragmented_message():
+    # FIN=0 text fragment + FIN=0 continuation + FIN=1 continuation (§5.4)
+    import io
+
+    raw = (
+        _mask_frame(b"hel", opcode=0x1, fin=False)
+        + _mask_frame(b"lo ", opcode=0x0, fin=False)
+        + _mask_frame(b"ws", opcode=0x0, fin=True)
+    )
+    assert ws_read_frame(io.BytesIO(raw)) == (0x1, b"hello ws")
+
+
+def test_read_frame_returns_interleaved_control_frame_first():
+    # a ping arriving BETWEEN fragments is surfaced immediately; the
+    # fragmented data message continues on subsequent reads
+    import io
+
+    raw = (
+        _mask_frame(b"fra", opcode=0x1, fin=False)
+        + _mask_frame(b"ping!", opcode=0x9, fin=True)
+        + _mask_frame(b"gment", opcode=0x0, fin=True)
+    )
+    buf = io.BytesIO(raw)
+    assert ws_read_frame(buf) == (0x9, b"ping!")
 
 
 # --- stdlib /ws end-to-end --------------------------------------------------
@@ -102,7 +147,7 @@ class _RawWsClient:
         assert headers["sec-websocket-accept"] == expect
 
     def recv_text(self) -> str:
-        op, payload = ws_read_frame(self.f)
+        op, payload = ws_read_frame(self.f, require_mask=False)
         assert op == 0x1
         return payload.decode()
 
@@ -113,7 +158,7 @@ class _RawWsClient:
         self.sock.sendall(head + body)
 
     def recv_frame(self):
-        return ws_read_frame(self.f)
+        return ws_read_frame(self.f, require_mask=False)
 
     def close(self):
         try:

@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 
 from waddleml_spark.catalog import _r, _r_sql, _register, t
 from waddleml_spark.llmops import dedup, multimodal, pii, similarity, textstats
-from waddleml_spark.operators import skew
 
 # --- exact dedup -----------------------------------------------------------
 
@@ -256,37 +255,24 @@ _COS_PAIR_SQL = (
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: exact pairs within a blocking key (label)
-    with cos >= 0.3 (chosen so sf0.01 yields non-trivial rows).  The blocking key bounds the quadratic term exactly the
-    way LSH buckets do at scale (swap label for lsh_bucket / ivf_cell on an
-    unlabeled corpus — ann_lsh_topk_q0 / ivf_ann_topk_q0 are that path)."""
-    # Per-row norms BEFORE the self-join: |a| is the same double whether
-    # computed once per row or once per pair (identical sequential-sum op
-    # sequence → bit-exact vs the oracle's per-pair sqrt(list_dot_product)),
-    # but per-pair costs O(n·pairs) interpreted HOF evals instead of O(n).
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", similarity.as_double(F.col("embedding")).alias("ed")
+    with cos >= 0.3 (chosen so sf0.01 yields non-trivial rows).  The
+    blocking key bounds the quadratic term exactly the way LSH buckets do
+    at scale (swap label for lsh_bucket / ivf_cell on an unlabeled corpus —
+    ann_lsh_topk_q0 / ivf_ann_topk_q0 are that path).
+
+    One shuffle on the blocking key, then the quadratic work runs INSIDE
+    a per-block Arrow kernel (similarity.blocked_cosine_pairs) with
+    dimension-ordered accumulation — bit-exact vs the oracle's sequential
+    list_dot_product, but numpy-vectorized instead of an interpreted
+    per-pair HOF (the round-4 review's cost center; a flat unrolled
+    expression measured even worse — it knocked the join stage out of
+    codegen).  Only surviving pairs leave the kernel."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    pairs = similarity.blocked_cosine_pairs(
+        e, "label", id_col="vec_id", vec_col="embedding", threshold=0.3
     )
-    e = e.withColumn("nrm", F.sqrt(similarity.dot(F.col("ed"), F.col("ed"))))
-    # Shuffle-join on the blocking key, NEVER a full-side broadcast (at
-    # 100 TB shipping the whole corpus to every executor is the scale
-    # killer) — and SALTED: with few distinct labels the quadratic pair
-    # work would cap at one task per label, and AQE's input-size-based
-    # coalescing makes it worse (it can't see the join's quadratic
-    # output; measured 2.2x slower).  salted_self_pairs spreads each
-    # label across labels x 8 tasks; the a.vec_id < b.vec_id dedup keeps
-    # the output bit-identical to the unsalted join.
-    pairs = skew.salted_self_pairs(e, "label", "vec_id")
-    cos = similarity.dot(F.col("a.ed"), F.col("b.ed")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    return (
-        pairs.filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(cos >= 0.3)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            _r(cos, 6).alias("cos_sim"),
-        )
+    return pairs.select(
+        "id_a", "id_b", _r(F.col("cos_raw"), 6).alias("cos_sim")
     )
 
 

@@ -68,24 +68,171 @@ def _merge_kernel(merges: list[tuple[str, str]]):
     return F.pandas_udf(apply_merges, T.ArrayType(T.StringType()))
 
 
+def _select_batch(
+    rows: list,
+    saw_all: bool,
+    produced: set[str],
+    limit: int,
+) -> list[tuple[str, str]]:
+    """Pick a prefix-batch of merges PROVABLY equal to sequential greedy.
+
+    ``rows`` is the pair-count ranking ``(a, b, c)`` sorted exactly as the
+    sequential argmax sorts (count desc, then pair text) — so rows[0] is
+    what one-at-a-time greedy would pick.  A later row may join the same
+    batch only when applying the earlier picks cannot change its rank:
+
+    - it shares no symbol (and no merged-string) with any earlier pick —
+      its own count is then invariant under those merges;
+    - its count strictly exceeds every pair that DOES conflict with an
+      earlier pick (visible conflicts tracked exactly; pairs below the
+      collected top-K bounded by the K-th count when the list was
+      truncated).  Any pair a merge creates — (x, ab) or (ab, y) — maps
+      injectively onto a pre-merge occurrence of a conflicted pair
+      ((x, a) / (b, y)), so "beats every conflicted pair" also beats
+      every pair the merges can create, strictly (ties impossible);
+    - its merged string is NOT an already-existing symbol (a+b matching
+      an earlier round's product would let a merge BOOST an existing
+      pair's count beyond the conflict bound) — such a candidate ends
+      the batch and trains solo next job.
+    """
+    if not rows:
+        return []
+    unseen_bound = rows[-1].c if not saw_all else -1
+    first = rows[0]
+    chosen = [(first.a, first.b)]
+    chosen_set = {(first.a, first.b)}
+    used = {first.a, first.b, first.a + first.b}
+    if first.a + first.b in produced:
+        return chosen
+    while len(chosen) < limit:
+        # the bound scans the WHOLE ranking, not just rows above the
+        # candidate: a conflicted pair TIED with the candidate but
+        # lex-after it can seed a created pair of equal count whose
+        # text sorts first (measured divergence: ('m','n') tied with
+        # ('cu','st') let sequential pick ('colum','n') early)
+        bound, cand = unseen_bound, None
+        for r in rows:
+            if (r.a, r.b) in chosen_set:
+                continue
+            if r.a in used or r.b in used or (r.a + r.b) in used:
+                bound = max(bound, r.c)
+            elif cand is None:
+                cand = r
+        if cand is None or cand.c <= bound:
+            break
+        chosen.append((cand.a, cand.b))
+        chosen_set.add((cand.a, cand.b))
+        used |= {cand.a, cand.b, cand.a + cand.b}
+        if cand.a + cand.b in produced:
+            break  # merged-string collision: close the batch after it
+    return chosen
+
+
+def _train_inmem(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Exact greedy BPE on a collected (word, freq) vocab — the classic
+    incremental trainer (count once, apply per-merge deltas, lazy
+    max-heap).  Bit-identical to the distributed recount loop: same
+    overlap-counting pair statistics, same (count desc, pair text)
+    tie-break, same leftmost non-overlapping merge application, and
+    string-keyed pairs so merged-spelling collisions conflate exactly
+    as a recount does."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    words = [list(w) for w, _ in vocab]
+    wfreq = [f for _, f in vocab]
+    counts: Counter = Counter()
+    where: defaultdict = defaultdict(set)
+    for i, syms in enumerate(words):
+        f = wfreq[i]
+        for p in zip(syms, syms[1:]):
+            counts[p] += f
+            where[p].add(i)
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negc, p = heapq.heappop(heap)
+        if -negc <= 0 or counts.get(p, 0) != -negc:
+            continue  # stale entry — a fresh one exists for every live count
+        merges.append(p)
+        a, b = p
+        for i in list(where[p]):
+            syms = words[i]
+            merged, j, hit = [], 0, False
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    merged.append(a + b)
+                    j += 2
+                    hit = True
+                else:
+                    merged.append(syms[j])
+                    j += 1
+            if not hit:
+                continue  # stale index entry (pair already consumed here)
+            f = wfreq[i]
+            delta: Counter = Counter()
+            for q in zip(syms, syms[1:]):
+                delta[q] -= f
+            for q in zip(merged, merged[1:]):
+                delta[q] += f
+            words[i] = merged
+            for q, d in delta.items():
+                if d == 0:
+                    continue
+                counts[q] += d
+                if counts[q] <= 0:
+                    counts.pop(q, None)
+                else:
+                    heapq.heappush(heap, (-counts[q], q))
+                    if d > 0:
+                        where[q].add(i)
+        counts.pop(p, None)
+        where.pop(p, None)
+    return merges
+
+
 def train_bpe(
     freqs: DataFrame,
     n_merges: int = 50,
     checkpoint_every: int = 8,
+    topk: int = 512,
+    driver_vocab_rows: int = 2_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a (word, freq) table.
 
-    Deterministic: the winning pair maximizes summed frequency with
-    lexicographic tie-break.  Each iteration is vocab-scale; the driver
-    sees exactly one row per merge.  Lineage is cut with
-    localCheckpoint every ``checkpoint_every`` merges (without it the
-    plan doubles per iteration and analysis time explodes).
+    Deterministic and IDENTICAL to one-pair-at-a-time greedy (winning
+    pair maximizes summed frequency, lexicographic tie-break).  Two
+    exact execution paths (the round-4 review flagged one-Spark-job-
+    per-merge as driver/scheduler-bound at a 32 k-merge vocab):
+
+    - vocab fits ``driver_vocab_rows`` (the aggregated word table, NOT
+      the corpus — tokenizer statistics are vocab-sized by
+      construction): ONE collect, then the classic incremental trainer
+      (``_train_inmem``).  A 256-merge train is 1 Spark job, not 256.
+    - larger vocab: distributed batched loop — each job collects the
+      top-``topk`` pair ranking and ``_select_batch`` certifies the
+      longest prefix provably identical to sequential greedy; each
+      batch applies in ONE Arrow kernel pass, lineage cut with
+      localCheckpoint every ``checkpoint_every`` merges.
+
+    The size probe is ``limit(cap+1)`` — if the vocab is under the cap
+    the limit returns ALL rows (no sampling bias) and doubles as the
+    collect; otherwise the distributed loop starts with no extra pass.
     """
+    if driver_vocab_rows > 0:
+        head = freqs.select("word", "freq").limit(driver_vocab_rows + 1).collect()
+        if len(head) <= driver_vocab_rows:
+            return _train_inmem([(r.word, r.freq) for r in head], n_merges)
     vocab = freqs.select(
         "word", "freq", F.split(F.col("word"), "").alias("syms")
     ).localCheckpoint()
     merges: list[tuple[str, str]] = []
-    for step in range(n_merges):
+    produced: set[str] = set()
+    since_ckpt = 0
+    while len(merges) < n_merges:
         n = F.size(F.col("syms"))
         pairs = vocab.filter(n >= 2).select(
             "freq",
@@ -100,16 +247,22 @@ def train_bpe(
             pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").alias("c"))
             .orderBy(F.col("c").desc(), F.col("a"), F.col("b"))
-            .limit(1)
+            .limit(topk)
             .collect()
         )
-        if not top:
+        batch = _select_batch(
+            top, saw_all=len(top) < topk, produced=produced,
+            limit=n_merges - len(merges),
+        )
+        if not batch:
             break
-        a, b = top[0].a, top[0].b
-        merges.append((a, b))
-        vocab = vocab.withColumn("syms", _merge_kernel([(a, b)])(F.col("syms")))
-        if (step + 1) % checkpoint_every == 0:
+        merges.extend(batch)
+        produced |= {a + b for a, b in batch}
+        vocab = vocab.withColumn("syms", _merge_kernel(batch)(F.col("syms")))
+        since_ckpt += len(batch)
+        if since_ckpt >= checkpoint_every:
             vocab = vocab.localCheckpoint()
+            since_ckpt = 0
     return merges
 
 

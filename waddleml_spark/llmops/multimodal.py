@@ -700,11 +700,13 @@ def frame_neardup_pairs(
     persist (not localCheckpoint) keeps lineage, so blocks are
     evictable and executor loss recomputes instead of failing.
     """
-    fp = (
+    from . import rotate_persist
+
+    fp = rotate_persist(
+        "multimodal.frame_neardup_pairs",
         chunk_fingerprints(media, chunk_bytes, max_chunks)
         .select(F.col("media_id").alias("id"), "chunk_sha")
-        .distinct()
-        .persist()
+        .distinct(),
     )
     a, b = fp.alias("a"), fp.alias("b")
     return (

@@ -97,7 +97,12 @@ def packed_sequences(
     # so it is small at any corpus size; persist (not localCheckpoint)
     # keeps lineage, so blocks stay evictable, nothing runs at plan-
     # build time, and executor loss recomputes instead of failing.
-    d = d.persist()
+    # rotate_persist releases the PREVIOUS invocation's cache (the
+    # caller consumes this frame lazily, so unpersisting here would be
+    # too early).
+    from . import rotate_persist
+
+    d = rotate_persist("packing.packed_sequences", d)
     w_local = (
         Window.partitionBy("b")
         .orderBy("h", "id")

@@ -186,13 +186,44 @@ def distill_report(
     )
 
 
-def learned_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fit_sample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    fit_sample_rows: int = 250_000,
+) -> DataFrame:
+    """Deterministic bounded fit input (mirror of ivf_index's rule): the
+    student fit is iterative — every L-BFGS iteration is a full pass
+    over its input — so the input must be O(sample), not O(corpus);
+    teacher labeling rides the same bound because only fit rows need
+    labels.  Scoring (score_quality) stays a full-corpus projection.
+
+    Hash-Bernoulli on the id (packing.bernoulli_keep), never
+    ``df.sample()`` whose RNG is partition-layout-dependent.  The size
+    probe is ``limit(cap+1).count()`` — an early-stopping scan, so a
+    small computed input never pays a full count."""
+    from .packing import bernoulli_keep
+
+    probe = docs.limit(fit_sample_rows + 1).count()
+    if probe <= fit_sample_rows:
+        return docs
+    n = docs.count()
+    p = min(1.0, 1.1 * fit_sample_rows / n)  # oversample to hold the target
+    return docs.filter(bernoulli_keep(F.col(id_col), p, "quality-fit"))
+
+
+def learned_filter_report(
+    spark: SparkSession, sf_dir: str, fit_sample_rows: int = 250_000
+) -> DataFrame:
     """Distill the lang-ID-confidence teacher into the linear surface-
     feature student — the two-class signal the fixture corpus actually
     carries (its text is template-English regardless of the lang column,
     and it contains no PII or quality axis; swap in lm_teacher_labels on
-    a real crawl)."""
+    a real crawl).  Teacher + fit + eval all run on the bounded
+    ``fit_sample`` (the round-4 review's last unbounded fit); applying
+    the learned filter to the corpus remains a pure projection."""
     from waddleml_spark.session import read_table
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fit_sample(
+        read_table(spark, sf_dir, "documents"), fit_sample_rows=fit_sample_rows
+    )
     return distill_report(spark, docs, langid_teacher_labels(docs))

@@ -145,24 +145,45 @@ def ws_encode_frame(payload: bytes, opcode: int = 0x1) -> bytes:
     return head + payload
 
 
-def ws_read_frame(rfile) -> tuple[int, bytes] | None:
-    """Read one client->server frame; returns (opcode, payload) or None on
-    EOF.  Client frames MUST be masked (§5.1); unmask before returning."""
-    hdr = rfile.read(2)
-    if len(hdr) < 2:
-        return None
-    opcode = hdr[0] & 0x0F
-    masked = bool(hdr[1] & 0x80)
-    n = hdr[1] & 0x7F
-    if n == 126:
-        n = int.from_bytes(rfile.read(2), "big")
-    elif n == 127:
-        n = int.from_bytes(rfile.read(8), "big")
-    mask = rfile.read(4) if masked else b""
-    payload = rfile.read(n)
-    if masked:
-        payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
-    return opcode, payload
+def ws_read_frame(rfile, require_mask: bool = True) -> tuple[int, bytes] | None:
+    """Read one WebSocket MESSAGE; returns (opcode, payload) or None on
+    EOF / protocol error.
+
+    RFC 6455 conformance (round-4 advice): fragmented data messages
+    (FIN=0 then continuation opcode 0x0 frames, §5.4) are reassembled
+    under the initial opcode; control frames (>=0x8, never fragmented)
+    interleaved between fragments are returned immediately; with
+    ``require_mask`` (the server side), an UNMASKED client frame fails
+    the connection (§5.1) by returning None.  A client parsing
+    server->client frames (which are unmasked) passes
+    ``require_mask=False``."""
+    data_op: int | None = None
+    data_buf = b""
+    while True:
+        hdr = rfile.read(2)
+        if len(hdr) < 2:
+            return None
+        fin = bool(hdr[0] & 0x80)
+        op = hdr[0] & 0x0F
+        masked = bool(hdr[1] & 0x80)
+        n = hdr[1] & 0x7F
+        if n == 126:
+            n = int.from_bytes(rfile.read(2), "big")
+        elif n == 127:
+            n = int.from_bytes(rfile.read(8), "big")
+        if require_mask and not masked:
+            return None  # §5.1: client frames MUST be masked
+        mask = rfile.read(4) if masked else b""
+        payload = rfile.read(n)
+        if masked:
+            payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+        if op >= 0x8:  # control frame — may interleave with fragments
+            return op, payload
+        if op != 0x0:
+            data_op = op
+        data_buf += payload
+        if fin:
+            return (data_op if data_op is not None else 0x0, data_buf)
 
 
 def make_http_server(
@@ -318,7 +339,17 @@ def make_http_server(
 
                 threading.Thread(target=reader, daemon=True).start()
                 while True:
-                    rows = sub.q.get(timeout=300)
+                    try:
+                        rows = sub.q.get(timeout=300)
+                    except queue.Empty:
+                        # quiet dashboard: keep the connection alive with
+                        # a server ping (reference keeps WS clients
+                        # connected indefinitely); a dead peer surfaces
+                        # as a write error here
+                        with wlock:
+                            self.wfile.write(ws_encode_frame(b"", 0x9))
+                            self.wfile.flush()
+                        continue
                     if rows is _CLOSED:
                         break
                     with wlock:
@@ -327,7 +358,7 @@ def make_http_server(
                                 ws_encode_frame(json.dumps(msg).encode())
                             )
                         self.wfile.flush()
-            except (queue.Empty, BrokenPipeError, ConnectionResetError):
+            except (BrokenPipeError, ConnectionResetError, OSError):
                 pass
             finally:
                 sub.dead = True  # LiveBus prunes on its next publish
@@ -342,11 +373,18 @@ def make_http_server(
                 self.send_header("Cache-Control", "no-cache")
                 self.end_headers()
                 while True:
-                    rows = sub.q.get(timeout=300)
+                    try:
+                        rows = sub.q.get(timeout=300)
+                    except queue.Empty:
+                        # SSE comment line = keep-alive (same contract as
+                        # the WS ping): quiet streams stay connected
+                        self.wfile.write(b": keep-alive\n\n")
+                        self.wfile.flush()
+                        continue
                     for msg in _metric_messages(rows):
                         self.wfile.write(f"data: {json.dumps(msg)}\n\n".encode())
                     self.wfile.flush()
-            except (queue.Empty, BrokenPipeError, ConnectionResetError):
+            except (BrokenPipeError, ConnectionResetError, OSError):
                 return
             finally:
                 sub.dead = True  # LiveBus prunes on its next publish
