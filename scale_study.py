@@ -43,6 +43,7 @@ QUERIES = [
     "hypertable_rollup_day",
     "contamination_by_source",
     "sequence_packing_report",
+    "embedding_neardup_pairs",
     # Python-kernel ops (Arrow-batch mapInPandas + banded joins / MLlib):
     # CPU-bound linear in docs — expect time_ratio ≈ factor at 10x, far
     # past the shuffle-bound queries above; see SCALING.md §Python-kernel

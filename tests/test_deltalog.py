@@ -191,6 +191,72 @@ def test_checkpoint_carries_full_action_schema(spark, tmp_path):
     assert set(state["removes"]) == set(removed)
 
 
+def test_spec_reader_clean_room_replay(spark, tmp_path):
+    """Jar-free interop proxy: a CLEAN-ROOM reader that follows only the
+    public Delta protocol rules (delta-io PROTOCOL.md) — read
+    ``_last_checkpoint``, load the checkpoint parquet's add/remove
+    actions, apply newer ``%020d.json`` commits in order, surviving adds
+    = the table — with NO calls into deltalog's own replay code.  If
+    this reconstruction matches, a real Delta client following the same
+    spec reads the table too (the jar-gated test below stays the direct
+    proof where jars exist)."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = str(tmp_path / "t_spec")
+    dl.write_delta(_df(spark, 0, 10, "a"), tbl)
+    dl.write_delta(_df(spark, 0, 4, "b"), tbl, mode="overwrite")
+    dl.create_checkpoint(tbl)
+    dl.write_delta(_df(spark, 100, 103, "c"), tbl, mode="append")
+
+    log = os.path.join(tbl, "_delta_log")
+    with open(os.path.join(log, "_last_checkpoint")) as f:
+        cp = _json.load(f)
+    assert set(cp) >= {"version", "size"}
+    cp_table = pq.read_table(
+        os.path.join(log, f"{cp['version']:020d}.checkpoint.parquet")
+    ).to_pylist()
+    live: dict[str, dict] = {}
+    n_proto = n_meta = 0
+    for action in cp_table:
+        # checkpoint rows: exactly one non-null action struct per row
+        present = {k for k, v in action.items() if v is not None}
+        assert len(present) == 1, present
+        if "add" in present:
+            live[action["add"]["path"]] = action["add"]
+        elif "remove" in present:
+            live.pop(action["remove"]["path"], None)
+        elif "protocol" in present:
+            n_proto += 1
+            assert action["protocol"]["minReaderVersion"] >= 1
+        elif "metaData" in present:
+            n_meta += 1
+            assert _json.loads(action["metaData"]["schemaString"])["type"] == "struct"
+    assert n_proto == 1 and n_meta == 1  # spec: exactly one of each
+    for v in range(cp["version"] + 1, 10**6):
+        p = os.path.join(log, f"{v:020d}.json")
+        if not os.path.exists(p):
+            break
+        with open(p) as f:
+            for line in f:
+                a = _json.loads(line)
+                if "add" in a:
+                    live[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+    # the spec reconstruction must equal what the engine itself serves
+    import urllib.parse
+
+    got = 0
+    for add in live.values():
+        fpath = os.path.join(tbl, urllib.parse.unquote(add["path"]))
+        assert os.path.exists(fpath), add["path"]
+        got += pq.read_metadata(fpath).num_rows
+    assert got == dl.read_delta(spark, tbl).count() == 7
+
+
 def test_checkpoint_interop_with_delta_spark(spark, tmp_path):
     """Guarded interop: only runs when the delta-spark jars are present
     (absent in this container -> skip)."""

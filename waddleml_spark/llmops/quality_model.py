@@ -189,7 +189,7 @@ def distill_report(
 def fit_sample(
     docs: DataFrame,
     id_col: str = "doc_id",
-    fit_sample_rows: int = 250_000,
+    fit_sample_rows: int = 25_000,
 ) -> DataFrame:
     """Deterministic bounded fit input (mirror of ivf_index's rule): the
     student fit is iterative — every L-BFGS iteration is a full pass
@@ -212,7 +212,7 @@ def fit_sample(
 
 
 def learned_filter_report(
-    spark: SparkSession, sf_dir: str, fit_sample_rows: int = 250_000
+    spark: SparkSession, sf_dir: str, fit_sample_rows: int = 25_000
 ) -> DataFrame:
     """Distill the lang-ID-confidence teacher into the linear surface-
     feature student — the two-class signal the fixture corpus actually

@@ -38,29 +38,40 @@ def blocked_cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.3,
     row_chunk: int = 1024,
+    fanout: int = 4,
 ):
     """All within-block pairs (id_a < id_b) with cosine >= threshold —
-    one Arrow kernel per block, NO pair materialization in the JVM.
+    Arrow kernels over CHUNK-PAIRS, NO pair materialization in the JVM.
 
     Replaces the pair-grain interpreted-HOF dot (the round-4 review's
     cost center: O(pairs*d) lambda evals; a flat unrolled expression was
     measured WORSE — the 128-term predicate gets pushed into the join
-    condition and knocks the whole stage out of codegen).  Here the
-    quadratic work happens inside numpy per block and only surviving
-    pairs cross back.
+    condition and knocks the whole stage out of codegen).  The quadratic
+    work happens inside numpy and only surviving pairs cross back.
+
+    Scale shape: a block's pair count grows QUADRATICALLY with its row
+    count while the number of blocks stays fixed (one group per label =
+    ten tasks forever — measured 11x wall at 10x data).  So each row is
+    assigned a deterministic sub-chunk c = xxhash64(id) % fanout and
+    replicated to every chunk-pair group {(min(c,j), max(c,j))}: each
+    unordered row pair lands in EXACTLY ONE of the fanout*(fanout+1)/2
+    groups per block, tasks spread across the cluster, and kernel memory
+    is bounded by the chunk-pair size.  fanout=1 degenerates to one
+    group per block; data inflation through the shuffle is fanout x.
 
     Bit-exact contract with the SQL oracle (sqrt/dot via DuckDB's
     sequential list_dot_product): the similarity matrix accumulates
-    DIMENSION-BY-DIMENSION (``S += outer(E[:,i], E[:,i])``) so each
+    DIMENSION-BY-DIMENSION (``S += outer(A[:, i], B[:, i])``) so each
     pair's dot is the left-associative sequential sum — identical FP
     result to per-pair ``aggregate(zip_with(...))`` — never a BLAS
     matmul, whose pairwise summation differs in the last ulp and can
     flip the threshold or the 6-decimal rounding on boundary values.
-    Norms come off the matrix diagonal (the same sequential sum).
+    Row norms use the same sequential order (identical doubles in every
+    group, so the decomposition cannot change any value).
 
-    100 TB shape: one shuffle on the blocking key (label / LSH bucket /
-    IVF cell), per-block O(n_b^2 d) vectorized flops, O(survivors)
-    output; ``row_chunk`` bounds kernel memory at chunk x n_b doubles.
+    100 TB shape: one shuffle on (block, chunk-pair), per-group
+    O(n_ci * n_cj * d) vectorized flops, O(survivors) output;
+    ``row_chunk`` additionally bounds kernel memory on the probe axis.
     """
     import numpy as np
     import pandas as pd
@@ -74,44 +85,94 @@ def blocked_cosine_pairs(
     )
     empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []})
 
-    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return empty
-        pdf = pdf.sort_values(id_col, kind="mergesort")
-        ids = pdf[id_col].to_numpy()
-        E = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        d = E.shape[1]
-        acc = np.zeros(n)
-        for i in range(d):  # same sequential order as the pair dots
+    def _norms(E: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(len(E))
+        for i in range(E.shape[1]):  # same sequential order as pair dots
             acc += E[:, i] * E[:, i]
-        nrm = np.sqrt(acc)
+        return np.sqrt(acc)
+
+    def _emit(ids_a, ids_b, cos, lo, same):
+        # NaN (zero-norm vector) passes: Spark AND DuckDB both order NaN
+        # above every value, so `cos >= t` keeps it there too
+        rows, cols = np.nonzero((cos >= threshold) | np.isnan(cos))
+        if same:
+            keep = (rows + lo) < cols  # strict upper triangle, sorted ids
+        else:
+            keep = ids_a[rows + lo] != ids_b[cols]  # distinct by chunking
+        rows, cols = rows[keep], cols[keep]
+        if not len(rows):
+            return None
+        a, b = ids_a[rows + lo], ids_b[cols]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cos_raw": cos[rows, cols],
+            }
+        )
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return empty
+        ci, cj = int(pdf["__ci"].iat[0]), int(pdf["__cj"].iat[0])
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        same = ci == cj
+        if same:
+            a_pdf = b_pdf = pdf
+        else:
+            a_pdf = pdf[pdf["__c"] == ci]
+            b_pdf = pdf[pdf["__c"] == cj]
+            if a_pdf.empty or b_pdf.empty:
+                return empty
+        ids_a = a_pdf[id_col].to_numpy()
+        ids_b = b_pdf[id_col].to_numpy()
+        A = np.stack(a_pdf[vec_col].to_numpy()).astype(np.float64)
+        B = A if same else np.stack(b_pdf[vec_col].to_numpy()).astype(np.float64)
+        d = A.shape[1]
+        nrm_a = _norms(A)
+        nrm_b = nrm_a if same else _norms(B)
         outs = []
-        for lo in range(0, n, row_chunk):
-            hi = min(lo + row_chunk, n)
-            S = np.zeros((hi - lo, n))
+        for lo in range(0, len(A), row_chunk):
+            hi = min(lo + row_chunk, len(A))
+            S = np.zeros((hi - lo, len(B)))
             for i in range(d):  # sequential per-pair accumulation order
-                S += np.multiply.outer(E[lo:hi, i], E[:, i])
-            cos = S / np.multiply.outer(nrm[lo:hi], nrm)
-            # NaN (zero-norm vector) passes: Spark AND DuckDB both order
-            # NaN above every value, so `cos >= t` keeps it there too
-            rows, cols = np.nonzero((cos >= threshold) | np.isnan(cos))
-            # strict upper triangle in sorted-id space -> id_a < id_b
-            keep = (rows + lo) < cols
-            rows, cols = rows[keep], cols[keep]
-            if len(rows):
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "id_a": ids[rows + lo],
-                            "id_b": ids[cols],
-                            "cos_raw": cos[rows, cols],
-                        }
-                    )
-                )
+                S += np.multiply.outer(A[lo:hi, i], B[:, i])
+            cos = S / np.multiply.outer(nrm_a[lo:hi], nrm_b)
+            part = _emit(ids_a, ids_b, cos, lo, same)
+            if part is not None:
+                outs.append(part)
         return pd.concat(outs) if outs else empty
 
-    return df.groupBy(block_col).applyInPandas(kern, out_schema)
+    c = F.pmod(F.xxhash64(F.col(id_col)), F.lit(fanout)).cast("int")
+    rep = (
+        df.select(block_col, id_col, vec_col)
+        .withColumn("__c", c)
+        .withColumn(
+            "__g",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.least(F.col("__c"), F.lit(j)).alias("ci"),
+                                F.greatest(F.col("__c"), F.lit(j)).alias("cj"),
+                            )
+                            for j in range(fanout)
+                        ]
+                    )
+                )
+            ),
+        )
+        .select(
+            block_col,
+            id_col,
+            vec_col,
+            "__c",
+            F.col("__g.ci").alias("__ci"),
+            F.col("__g.cj").alias("__cj"),
+        )
+    )
+    return rep.groupBy(block_col, "__ci", "__cj").applyInPandas(kern, out_schema)
 
 
 def norm(a):
