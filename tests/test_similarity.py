@@ -179,3 +179,27 @@ def test_domain_mix_smoothing_upsamples_tail_domains(spark):
     # deterministic (fixed KMeans seed + floor rounding)
     again = domain_mix_report(emb, n_domains=4, alpha=0.5).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rep]
+
+
+def test_blocked_cosine_pairs_drops_duplicate_id_self_pairs(spark):
+    # the oracle's `a.vec_id < b.vec_id` join excludes pairs of DIFFERENT
+    # rows sharing one id value; the kernel's triangle must too (duplicate
+    # ids hash to the same chunk, so the same-chunk guard covers them)
+    from waddleml_spark.llmops.similarity import blocked_cosine_pairs
+
+    rows = [
+        (1, "x", [1.0, 0.0]),
+        (1, "x", [1.0, 0.0]),   # duplicate id, identical vector (cos=1)
+        (2, "x", [1.0, 0.1]),
+        (9, "y", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    got = blocked_cosine_pairs(df, "label", threshold=0.3).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert (1, 1) not in pairs          # duplicate-id self pair excluded
+    assert (1, 2) in pairs              # real pair survives (twice: one
+    n12 = sum(1 for r in got if (r.id_a, r.id_b) == (1, 2))
+    assert n12 == 2                     # row per duplicate-source row,
+    assert all(r.id_a < r.id_b for r in got)  # exactly like the SQL join

@@ -102,18 +102,22 @@ def test_read_frame_reassembles_fragmented_message():
     assert ws_read_frame(io.BytesIO(raw)) == (0x1, b"hello ws")
 
 
-def test_read_frame_returns_interleaved_control_frame_first():
-    # a ping arriving BETWEEN fragments is surfaced immediately; the
-    # fragmented data message continues on subsequent reads
+def test_interleaved_control_frame_preserves_fragment_state():
+    # a ping arriving BETWEEN fragments is surfaced immediately, and the
+    # fragmented data message is STILL reassembled by the next read —
+    # fragment state lives on the WsReader, not the call
     import io
+
+    from waddleml_spark.server import WsReader
 
     raw = (
         _mask_frame(b"fra", opcode=0x1, fin=False)
         + _mask_frame(b"ping!", opcode=0x9, fin=True)
         + _mask_frame(b"gment", opcode=0x0, fin=True)
     )
-    buf = io.BytesIO(raw)
-    assert ws_read_frame(buf) == (0x9, b"ping!")
+    ws = WsReader(io.BytesIO(raw))
+    assert ws.read_message() == (0x9, b"ping!")
+    assert ws.read_message() == (0x1, b"fragment")
 
 
 # --- stdlib /ws end-to-end --------------------------------------------------
@@ -132,6 +136,9 @@ class _RawWsClient:
         )
         self.sock.sendall(req.encode())
         self.f = self.sock.makefile("rb")
+        from waddleml_spark.server import WsReader
+
+        self.reader = WsReader(self.f, require_mask=False)
         status = self.f.readline()
         assert b"101" in status, status
         headers = {}
@@ -147,7 +154,7 @@ class _RawWsClient:
         assert headers["sec-websocket-accept"] == expect
 
     def recv_text(self) -> str:
-        op, payload = ws_read_frame(self.f, require_mask=False)
+        op, payload = self.reader.read_message()
         assert op == 0x1
         return payload.decode()
 
@@ -158,7 +165,7 @@ class _RawWsClient:
         self.sock.sendall(head + body)
 
     def recv_frame(self):
-        return ws_read_frame(self.f, require_mask=False)
+        return self.reader.read_message()
 
     def close(self):
         try:

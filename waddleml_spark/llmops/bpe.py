@@ -92,8 +92,10 @@ def _select_batch(
       every pair the merges can create, strictly (ties impossible);
     - its merged string is NOT an already-existing symbol (a+b matching
       an earlier round's product would let a merge BOOST an existing
-      pair's count beyond the conflict bound) — such a candidate ends
-      the batch and trains solo next job.
+      pair's count beyond the conflict bound).  A colliding candidate is
+      still taken — as the LAST member, closing the batch — because its
+      count-boosting side effects can only influence picks made AFTER
+      it, and those happen in later jobs that recount from scratch.
     """
     if not rows:
         return []

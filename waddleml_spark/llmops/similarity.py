@@ -96,9 +96,13 @@ def blocked_cosine_pairs(
         # above every value, so `cos >= t` keeps it there too
         rows, cols = np.nonzero((cos >= threshold) | np.isnan(cos))
         if same:
-            keep = (rows + lo) < cols  # strict upper triangle, sorted ids
+            # strict upper triangle (sorted ids) AND distinct ids: the
+            # oracle joins on id_a < id_b, which also drops pairs of
+            # DIFFERENT rows sharing one id value (duplicate ids hash to
+            # the same chunk, so this guard covers every such pair)
+            keep = ((rows + lo) < cols) & (ids_a[rows + lo] != ids_b[cols])
         else:
-            keep = ids_a[rows + lo] != ids_b[cols]  # distinct by chunking
+            keep = ids_a[rows + lo] != ids_b[cols]  # chunks differ => ids do
         rows, cols = rows[keep], cols[keep]
         if not len(rows):
             return None

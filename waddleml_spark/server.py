@@ -145,45 +145,66 @@ def ws_encode_frame(payload: bytes, opcode: int = 0x1) -> bytes:
     return head + payload
 
 
-def ws_read_frame(rfile, require_mask: bool = True) -> tuple[int, bytes] | None:
-    """Read one WebSocket MESSAGE; returns (opcode, payload) or None on
-    EOF / protocol error.
+class WsReader:
+    """Stateful WebSocket message reader over one connection.
 
     RFC 6455 conformance (round-4 advice): fragmented data messages
     (FIN=0 then continuation opcode 0x0 frames, §5.4) are reassembled
     under the initial opcode; control frames (>=0x8, never fragmented)
-    interleaved between fragments are returned immediately; with
-    ``require_mask`` (the server side), an UNMASKED client frame fails
-    the connection (§5.1) by returning None.  A client parsing
-    server->client frames (which are unmasked) passes
-    ``require_mask=False``."""
-    data_op: int | None = None
-    data_buf = b""
-    while True:
-        hdr = rfile.read(2)
-        if len(hdr) < 2:
-            return None
-        fin = bool(hdr[0] & 0x80)
-        op = hdr[0] & 0x0F
-        masked = bool(hdr[1] & 0x80)
-        n = hdr[1] & 0x7F
-        if n == 126:
-            n = int.from_bytes(rfile.read(2), "big")
-        elif n == 127:
-            n = int.from_bytes(rfile.read(8), "big")
-        if require_mask and not masked:
-            return None  # §5.1: client frames MUST be masked
-        mask = rfile.read(4) if masked else b""
-        payload = rfile.read(n)
-        if masked:
-            payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
-        if op >= 0x8:  # control frame — may interleave with fragments
-            return op, payload
-        if op != 0x0:
-            data_op = op
-        data_buf += payload
-        if fin:
-            return (data_op if data_op is not None else 0x0, data_buf)
+    interleaved between fragments are returned immediately WITHOUT
+    losing the partial data message — the fragment buffer lives on the
+    reader, so the reassembled message is returned by a later call once
+    its final fragment arrives.  With ``require_mask`` (the server
+    side), an UNMASKED client frame fails the connection (§5.1) by
+    returning None; a client parsing server->client frames (which are
+    unmasked) passes ``require_mask=False``."""
+
+    def __init__(self, rfile, require_mask: bool = True):
+        self.rfile = rfile
+        self.require_mask = require_mask
+        self._data_op: int | None = None
+        self._data_buf = b""
+
+    def read_message(self) -> tuple[int, bytes] | None:
+        """Next complete message: (opcode, payload), or None on EOF /
+        protocol error."""
+        while True:
+            hdr = self.rfile.read(2)
+            if len(hdr) < 2:
+                return None
+            fin = bool(hdr[0] & 0x80)
+            op = hdr[0] & 0x0F
+            masked = bool(hdr[1] & 0x80)
+            n = hdr[1] & 0x7F
+            if n == 126:
+                n = int.from_bytes(self.rfile.read(2), "big")
+            elif n == 127:
+                n = int.from_bytes(self.rfile.read(8), "big")
+            if self.require_mask and not masked:
+                return None  # §5.1: client frames MUST be masked
+            mask = self.rfile.read(4) if masked else b""
+            payload = self.rfile.read(n)
+            if masked:
+                payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+            if op >= 0x8:  # control frame — may interleave with fragments
+                return op, payload
+            if op != 0x0:
+                self._data_op = op
+            self._data_buf += payload
+            if fin:
+                msg = (
+                    self._data_op if self._data_op is not None else 0x0,
+                    self._data_buf,
+                )
+                self._data_op, self._data_buf = None, b""
+                return msg
+
+
+def ws_read_frame(rfile, require_mask: bool = True) -> tuple[int, bytes] | None:
+    """One-shot ``WsReader`` read — for single-message uses.  Connection
+    loops must hold a ``WsReader`` so fragment state survives interleaved
+    control frames."""
+    return WsReader(rfile, require_mask).read_message()
 
 
 def make_http_server(
@@ -322,9 +343,10 @@ def make_http_server(
                 self.close_connection = True
 
                 def reader():
+                    ws = WsReader(self.rfile)  # fragment state per connection
                     try:
                         while True:
-                            frame = ws_read_frame(self.rfile)
+                            frame = ws.read_message()
                             if frame is None or frame[0] == 0x8:  # EOF/close
                                 break
                             if frame[0] == 0x9:  # ping -> pong, same payload
