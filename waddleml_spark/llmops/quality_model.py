@@ -164,7 +164,16 @@ def distill_report(
 
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
-    features = feature_frame(docs)
+    from . import rotate_persist
+
+    # both frames feed MULTIPLE consumers (fit, transform, two counts)
+    # and Catalyst does not dedupe common subtrees — without the cache
+    # the feature projection and the teacher pipeline re-execute per
+    # consumer.  Doc-grain numerics, small at any corpus size; persist
+    # keeps lineage (evictable), rotate_persist frees the previous
+    # invocation's blocks.
+    features = rotate_persist("quality_model.features", feature_frame(docs))
+    labeled = rotate_persist("quality_model.labels", labeled)
     fold = F.crc32(F.col("doc_id").cast("string")) % 5
     train_ids = labeled.filter(fold < 4)
     eval_ids = labeled.filter(fold == 4)
