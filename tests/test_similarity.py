@@ -203,3 +203,34 @@ def test_blocked_cosine_pairs_drops_duplicate_id_self_pairs(spark):
     n12 = sum(1 for r in got if (r.id_a, r.id_b) == (1, 2))
     assert n12 == 2                     # row per duplicate-source row,
     assert all(r.id_a < r.id_b for r in got)  # exactly like the SQL join
+
+
+def test_semantic_dedup_report_cell_accounting(spark):
+    # SemDeDup composition: IVF cells -> in-cell cosine pairs -> CC ->
+    # per-cell dup accounting.  Deterministic (fixed KMeans seed), duplicates
+    # never exceed members, and the total dropped count equals the CC
+    # non-keeper count computed independently.
+    from waddleml_spark import catalog
+    from waddleml_spark.llmops import dedup, similarity
+    from waddleml_spark.session import read_table
+    from tests.conftest import SF_SMOKE
+
+    rep = catalog.QUERIES["semantic_dedup_report"](spark, SF_SMOKE).collect()
+    assert len(rep) >= 1
+    assert all(0 <= r.n_dup <= r.n_vecs for r in rep)
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    assert sum(r.n_vecs for r in rep) == emb.count()
+    # independent recomputation of the drop count
+    _, cells = similarity.ivf_index(emb, n_cells=8, id_col="vec_id")
+    pairs = similarity.blocked_cosine_pairs(
+        emb.join(cells.select("vec_id", "ivf_cell"), "vec_id"),
+        "ivf_cell",
+        threshold=0.3,
+    )
+    comp = dedup.connected_components(pairs)
+    from pyspark.sql import functions as F
+
+    n_drop = comp.filter(F.col("id") != F.col("component")).count()
+    assert sum(r.n_dup for r in rep) == n_drop
+    again = catalog.QUERIES["semantic_dedup_report"](spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rep]

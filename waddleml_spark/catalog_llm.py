@@ -359,6 +359,58 @@ def ivf_ann_topk_q0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(with_cells, model, qvec, k=10, n_probe=3)
 
 
+@_register("semantic_dedup_report", None)
+def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (public recipe: Abbas et al. 2023 —
+    cluster embeddings, drop near-identical neighbors within clusters).
+
+    This is the SCALE PATH for ``embedding_neardup_pairs``: the blocking
+    key here is the IVF cell, whose cardinality GROWS with the corpus,
+    so block size — the term the pair kernel is quadratic in — stays
+    bounded no matter how large the corpus gets (the label-blocked twin
+    is the measured 240×-at-100× stress case in SCALING.md).  Pipeline:
+    sample-bounded KMeans cells (ivf_index) → chunk-pair cosine kernel
+    within cells (blocked_cosine_pairs, oracle-grade exact dots) →
+    connected components (pointer jumping) → keep the min-id member per
+    duplicate group.  Rows-only: KMeans is not SQL-expressible.
+
+    Threshold 0.3 suits the synthetic near-random fixture embeddings;
+    real corpora use ~0.9+ (the SemDeDup paper's epsilon regime).
+
+    One row per IVF cell: (ivf_cell, n_vecs, n_dup, dup_frac), ordered.
+    """
+    from waddleml_spark.llmops import rotate_persist
+
+    emb = t(spark, sf_dir, "embeddings")
+    _, cells = similarity.ivf_index(emb, n_cells=8, id_col="vec_id")
+    # three consumers (pair kernel, per-cell counts, dup hydration) and
+    # Catalyst does not dedupe common subtrees — pin the cell assignment
+    cells = rotate_persist(
+        "catalog.semantic_dedup.cells", cells.select("vec_id", "ivf_cell")
+    )
+    pairs = similarity.blocked_cosine_pairs(
+        emb.join(cells, "vec_id"), "ivf_cell", threshold=0.3
+    )
+    comp = dedup.connected_components(pairs)
+    dups = comp.filter(F.col("id") != F.col("component")).join(
+        cells.select(F.col("vec_id").alias("id"), "ivf_cell"), "id"
+    )
+    per_cell = cells.groupBy("ivf_cell").agg(F.count("*").alias("n_vecs"))
+    dup_cell = dups.groupBy("ivf_cell").agg(F.count("*").alias("n_dup"))
+    return (
+        per_cell.join(dup_cell, "ivf_cell", "left")
+        .select(
+            "ivf_cell",
+            "n_vecs",
+            F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"),
+            _r(
+                F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_vecs"), 4
+            ).alias("dup_frac"),
+        )
+        .orderBy("ivf_cell")
+    )
+
+
 @_register("multimodal_features", None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode end to end (rows-only): documents become binary-PPM
