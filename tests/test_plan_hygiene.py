@@ -32,9 +32,15 @@ _WIDE_SCAN_BUDGET = {
     "incremental_dedup_report": 2,    # stored-index role vs incoming-batch role of the same table
     "jaccard_verify_lsh": 3,          # candidates + two hydration sides; persisting shingle sets
                                       # would materialize corpus-scale arrays (documented trade)
-    "levenshtein_verify_lsh": 3,      # same hydration shape on normalized text
+    # levenshtein hydration persists BOTH the candidates frame (read 3x:
+    # id-union twice + pair join) and the participant text frame (read
+    # 2x: join sides) — the plan STRING prints the cached subtree's text
+    # scan once per reference (3+2+2 nested = 7 textual), but execution
+    # scans text exactly TWICE (one cache build each), down from 3 in
+    # the uncached shape (measured 1.99 -> 1.71 s at sf0.1)
+    "levenshtein_verify_lsh": 7,
     "jaccard_word_pairs_src0": 2,     # coarse-block self-join demo (the LSH-fed shape is the prod path)
-    "levenshtein_pairs_src0": 2,      # same demo shape
+    "levenshtein_pairs_src0": 7,      # same demo shape, same persisted hydration
     # these two persist() a digest/doc-grain frame: the plan STRING
     # embeds the cached subtree's FileScan once per reference, but the
     # InMemoryRelation executes the scan once — textual count 2,

@@ -259,7 +259,13 @@ def jaccard_pairs(
     id set from `candidates` instead would re-evaluate the entire
     candidate pipeline per branch (measured: 19 exchanges vs 7).  At
     corpus scale, persist the small candidates frame and semi-filter
-    `df` on it BEFORE calling this if shingling cost ever dominates.
+    `df` on it BEFORE calling this if shingling cost ever dominates —
+    measured at sf0.1 BOTH the semi-filter and a participant-grain
+    shingle persist LOSE (2.14 s → 2.45-3.03 s): with near-dup families
+    most docs participate, so the filter saves nothing and persisting
+    shingle ARRAYS pays serialization the duplicate evaluation doesn't.
+    levenshtein_pairs makes the opposite call (small text payloads,
+    measured win) — the trade is payload-size-dependent, not universal.
     """
     if candidates is None:
         sh = df.select(
@@ -309,7 +315,18 @@ def levenshtein_pairs(
     Returns (id_a, id_b, edit_dist); pairs with either side filtered out
     are dropped, mirroring an inner verify.
     """
-    d = df.select(
+    from . import rotate_persist
+
+    cand = rotate_persist("dedup.levenshtein.candidates", candidates)
+    ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # participants only, hydrated from ONE cached normalization pass —
+    # without the caches the candidate pipeline and the text projection
+    # each re-execute once per reference (no common-subtree dedup)
+    d = df.join(ids, F.col(id_col) == ids.id, "left_semi").select(
         F.col(id_col).alias("id"),
         F.lower(F.trim(F.col(text_col))).alias("tx"),
         *(
@@ -320,10 +337,11 @@ def levenshtein_pairs(
     )
     if max_chars is not None:
         d = d.filter(F.col("ln") < max_chars).drop("ln")
+    d = rotate_persist("dedup.levenshtein.texts", d)
     a, b = d.alias("a"), d.alias("b")
     pairs = (
-        candidates.join(a, candidates.id_a == F.col("a.id"))
-        .join(b, candidates.id_b == F.col("b.id"))
+        cand.join(a, cand.id_a == F.col("a.id"))
+        .join(b, cand.id_b == F.col("b.id"))
     )
     return pairs.select(
         F.col("a.id").alias("id_a"),
