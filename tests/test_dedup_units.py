@@ -253,3 +253,39 @@ def test_bucket_pairs_matches_combinations(spark):
     )
     by_pair = {(r.id_a, r.id_b): r["count"] for r in counts}
     assert by_pair[(1, 2)] == 2 and by_pair[(3, 4)] == 1
+
+
+def test_minhash32_band_pairs_recall_and_guard(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash32_band_pairs(docs).collect()}
+    # exact/normalized dups share every band -> always candidates
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs
+    # unrelated docs share no shingles -> no band collision on 4 raw mins
+    assert (0, 4) not in pairs and (0, 5) not in pairs
+
+
+def test_minhash32_band_pairs_mega_bucket_dropped(spark):
+    rows = [(i, "same exact text repeated for the template case") for i in range(80)]
+    rows += [(500, "tiny pair one of two near dup docs here"),
+             (501, "tiny pair one of two near dup docs here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash32_band_pairs(df).collect()}
+    # the 80-doc template bucket exceeds max_bucket=64 in EVERY band -> dropped
+    assert pairs == {(500, 501)}
+
+
+def test_passage_dup_report_detects_shared_block(spark):
+    block = " ".join(f"w{i}" for i in range(20))          # one full 20-word chunk
+    rows = [
+        (0, "src0", block + " tail only in doc zero"),
+        (1, "src1", block + " different tail here entirely"),
+        (2, "src1", "no shared content in this document at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in dedup.passage_dup_report(df).collect()}
+    # doc0: chunks [block, tail(4w)]; doc1: [block, tail(4w)]; doc2: 1 chunk
+    assert out["src0"].total_passages == 2
+    assert out["src1"].total_passages == 3
+    # the shared block is duplicated in both sources; tails are unique
+    assert out["src0"].dup_passages == 1 and out["src0"].docs_affected == 1
+    assert out["src1"].dup_passages == 1 and out["src1"].docs_affected == 1
+    assert out["src1"].docs_affected == 1  # doc2 untouched

@@ -1,0 +1,90 @@
+"""Gopher-rule quality flags and cluster-composition report units."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from waddleml_spark.llmops import dedup, textstats
+
+
+@pytest.fixture(scope="module")
+def rule_docs(spark):
+    # 55 distinct 5-6 char words + stopwords: mean len > 3, ttr ~1, 57 words
+    long_ok = " ".join(f"word{i:02d}" for i in range(55)) + " the and"
+    rows = [
+        (0, "srcA", long_ok),                           # passes everything
+        (1, "srcA", "too short a doc"),                 # fails word count
+        (2, "srcA", " ".join(["zzzz"] * 60)),           # fails stopwords + ttr
+        (3, "srcB", " ".join(["1234", "3456"] * 30) + " the and"),  # fails alpha
+        (4, "srcB", " ".join(["a"] * 26 + ["the"] * 26)),  # fails mean len + ttr
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_gopher_flags_per_rule(spark, rule_docs):
+    out = {r.doc_id: r for r in textstats.gopher_flags(rule_docs).collect()}
+    assert out[0].fail_word_count == 0 and out[0].fail_stopwords == 0
+    assert out[0].fail_mean_word_len == 0 and out[0].fail_ttr == 0
+    assert out[0].fail_alpha_ratio == 0
+    assert out[1].fail_word_count == 1
+    assert out[2].fail_stopwords == 1 and out[2].fail_ttr == 1
+    assert out[2].fail_mean_word_len == 0  # 4-char words are in range
+    assert out[3].fail_alpha_ratio == 1
+    assert out[4].fail_mean_word_len == 1  # mean word length 2 < 3
+    assert out[4].fail_ttr == 1            # 2 distinct / 52
+
+
+def test_gopher_report_counts(spark, rule_docs):
+    rep = {r.source: r for r in textstats.gopher_report(rule_docs).collect()}
+    assert rep["srcA"].n_docs == 3 and rep["srcA"].n_pass == 1
+    assert rep["srcB"].n_docs == 2 and rep["srcB"].n_pass == 0
+    assert rep["srcA"].fail_word_count == 1
+    assert rep["srcB"].fail_alpha_ratio == 1
+
+
+def test_leakage_safe_split_covers_corpus(spark):
+    from tests.conftest import SF_SMOKE
+    from waddleml_spark import catalog
+    from waddleml_spark.session import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    rep = catalog.QUERIES["leakage_safe_split"](spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in rep) == n_docs
+    # independent largest-cluster check straight from CC
+    pairs = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    comps = dedup.connected_components(pairs)
+    biggest = (
+        comps.groupBy("component").count().agg(F.max("count")).first()[0]
+    )
+    assert max(r.max_cluster_size for r in rep) == biggest
+    # clusters partition the docs: cluster totals match too
+    n_clusters = comps.select("component").distinct().count() + (
+        n_docs - comps.count()
+    )
+    assert sum(r.n_clusters for r in rep) == n_clusters
+
+
+def test_cluster_canonical_keeper_rule(spark):
+    from tests.conftest import SF_SMOKE
+    from waddleml_spark import catalog
+    from waddleml_spark.session import read_table
+
+    rep = catalog.QUERIES["cluster_canonical_docs"](spark, SF_SMOKE)
+    rows = rep.collect()
+    assert rows, "smoke corpus has near-dup clusters"
+    assert all(r.cluster_size >= 2 for r in rows)
+    # keeper is the longest doc of its cluster: verify on one cluster
+    docs = read_table(spark, SF_SMOKE, "documents")
+    pairs = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    comps = dedup.connected_components(pairs)
+    comp0 = rows[0].component
+    members = (
+        comps.filter(F.col("component") == comp0)
+        .join(docs, comps.id == docs.doc_id)
+        .select("id", textstats.word_count(F.col("text")).alias("n"))
+        .collect()
+    )
+    best = sorted(members, key=lambda r: (-r.n, r.id))[0]
+    assert rows[0].keeper_id == best.id

@@ -530,6 +530,94 @@ def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "gopher_quality_report",
+    r"""
+    WITH f AS (
+        SELECT source,
+               len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+')) AS n,
+               len(array_to_string(
+                   regexp_extract_all(lower(trim(text)), '[a-z0-9]+'), '')) AS wc,
+               len(regexp_extract_all(lower(trim(text)),
+                   '[0-9]*[a-z][a-z0-9]*')) AS na,
+               len(regexp_extract_all(lower(trim(text)),
+                   '\b(the|a|of|to|and|in)\b')) AS ns,
+               len(list_distinct(
+                   regexp_extract_all(lower(trim(text)), '[a-z0-9]+'))) AS nd
+        FROM documents
+    ), r AS (
+        SELECT source,
+               CASE WHEN n >= 50 AND n <= 100000 THEN 0 ELSE 1 END AS f_wc,
+               CASE WHEN n > 0 AND CAST(wc AS DOUBLE) / n >= 3.0
+                         AND CAST(wc AS DOUBLE) / n <= 10.0
+                    THEN 0 ELSE 1 END AS f_ml,
+               CASE WHEN ns >= 2 THEN 0 ELSE 1 END AS f_sw,
+               CASE WHEN n > 0 AND CAST(na AS DOUBLE) / n >= 0.8
+                    THEN 0 ELSE 1 END AS f_al,
+               CASE WHEN n > 0 AND CAST(nd AS DOUBLE) / n >= 0.3
+                    THEN 0 ELSE 1 END AS f_tt
+        FROM f
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(f_wc) AS BIGINT) AS fail_word_count,
+           CAST(sum(f_ml) AS BIGINT) AS fail_mean_word_len,
+           CAST(sum(f_sw) AS BIGINT) AS fail_stopwords,
+           CAST(sum(f_al) AS BIGINT) AS fail_alpha_ratio,
+           CAST(sum(f_tt) AS BIGINT) AS fail_ttr,
+           CAST(sum(CASE WHEN f_wc + f_ml + f_sw + f_al + f_tt = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM r GROUP BY source
+    """,
+)
+def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter report (textstats.gopher_report):
+    the published Rae et al. 2021 heuristics — word count, mean word
+    length, stopword floor, alphabetic-word ratio, type-token repetition —
+    as per-source failure counts.  All five rules are plain codegen'd
+    regexp/array expressions; the ratio comparisons divide identical
+    BIGINT operands as doubles in both engines, so the report is
+    value-exact with no rounding helper."""
+    return textstats.gopher_report(t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "passage_dedup_report",
+    r"""
+    WITH w AS (
+        SELECT doc_id, source,
+               str_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents
+    ), p AS (
+        SELECT doc_id, source,
+               unnest([
+                   md5(array_to_string(ws[(i-1)*20+1:(i-1)*20+20], ' '))
+                   for i in generate_series(
+                       1, greatest(CAST(ceil(len(ws) / 20.0) AS BIGINT), 1))
+               ]) AS ph
+        FROM w
+    ), g AS (
+        SELECT ph, source, doc_id, count(*) AS inst
+        FROM p GROUP BY ph, source, doc_id
+    ), gw AS (
+        SELECT *, count(*) OVER (PARTITION BY ph) AS nd FROM g
+    )
+    SELECT source,
+           CAST(sum(inst) AS BIGINT) AS total_passages,
+           CAST(coalesce(sum(CASE WHEN nd >= 2 THEN inst END), 0) AS BIGINT)
+               AS dup_passages,
+           count(DISTINCT CASE WHEN nd >= 2 THEN doc_id END) AS docs_affected
+    FROM gw GROUP BY source
+    """,
+)
+def passage_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact passage dedup (dedup.passage_dup_report):
+    non-overlapping 20-word chunks md5-hashed; a chunk held by >= 2
+    distinct docs counts as duplicated — the chunk-granular approximation
+    of exact-substring dedup (Lee et al. 2021).  Per source: passage
+    instances, duplicated instances, docs carrying any duplicate."""
+    return dedup.passage_dup_report(t(spark, sf_dir, "documents"))
+
+
+@_register(
     "corpus_mix_report",
     f"""
     WITH per AS (
@@ -1137,6 +1225,80 @@ def neardup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("leakage_safe_split", None)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split (rows-only: component resolution
+    is iterative).  A naive per-doc hash split leaks near-duplicates of
+    training docs into eval; here the SPLIT UNIT is the near-dup cluster —
+    every doc inherits its component's split (singletons are their own
+    cluster), so a cluster never straddles splits by construction.  Same
+    md5 cut points as dataset_split_report (~90/5/5).  Per split: cluster
+    count, doc count, and the largest cluster that landed there."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(d, num_hashes=32, bands=8)
+    comps = dedup.connected_components(pairs)
+    docs = d.select("doc_id").join(
+        comps, d.doc_id == comps.id, "left"
+    )
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    cut = F.substring(F.md5(cluster.cast("string")), 1, 2)
+    split = (
+        F.when(cut <= "e5", "train").when(cut <= "f2", "val").otherwise("test")
+    )
+    per_cluster = (
+        docs.select(cluster.alias("cluster_id"), split.alias("split"))
+        .groupBy("split", "cluster_id")
+        .agg(F.count("*").alias("csize"))
+    )
+    return per_cluster.groupBy("split").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("csize").alias("n_docs"),
+        F.max("csize").alias("max_cluster_size"),
+    )
+
+
+@_register("cluster_canonical_docs", None)
+def cluster_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper selection for near-dup clusters (rows-only: iterative CC):
+    within each cluster keep the doc a quality-aware dedup would keep —
+    longest (word count), ties to lowest id — the standard
+    keep-best-not-keep-first refinement of exact_dedup's min-id rule.
+    One row per multi-doc cluster: keeper, size, and how many words the
+    min-id rule would have thrown away (negative = min-id kept a longer
+    doc).  Window over component — cluster-grain, never corpus-grain."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(d, num_hashes=32, bands=8)
+    comps = dedup.connected_components(pairs)
+    scored = comps.join(
+        d.select("doc_id", textstats.word_count(F.col("text")).alias("n_words")),
+        comps.id == F.col("doc_id"),
+    ).select("component", "id", "n_words")
+    w = Window.partitionBy("component")
+    best = F.row_number().over(
+        w.orderBy(F.col("n_words").desc(), F.col("id"))
+    )
+    flagged = scored.select(
+        "component",
+        "id",
+        "n_words",
+        best.alias("__rk"),
+        F.count("*").over(w).alias("cluster_size"),
+        F.min(
+            F.struct(F.col("id"), F.col("n_words"))
+        ).over(w)["n_words"].alias("minid_words"),
+    )
+    return (
+        flagged.filter(F.col("__rk") == 1)
+        .select(
+            "component",
+            F.col("id").alias("keeper_id"),
+            "cluster_size",
+            (F.col("n_words") - F.col("minid_words")).alias("words_saved_vs_minid"),
+        )
+        .orderBy("component")
+    )
+
+
 @_register("media_frame_neardup_pairs", None)
 def media_frame_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal near-dup candidates on binary payloads (rows-only):
@@ -1371,21 +1533,17 @@ def simhash32_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash32_jvm(t(spark, sf_dir, "documents"))
 
 
-def _minhash32_oracle() -> str:
-    """SQL twin of dedup.minhash32_exact: same shingles (word 3-grams,
-    slice-clamped short docs), same md5-BE32 shingle hash, same
-    (a_i·x+b_i) mod 2^31−1 family, long-form via UNION ALL over i."""
+def _minhash32_ctes() -> str:
+    """Shared CTE chain for the oracle-exact minhash family: shingles
+    (word 3-grams, slice-clamped short docs) → md5-BE32 shingle hash →
+    ``g`` = wide (doc_id, m0..m31) via the (a_i·x+b_i) mod 2^31−1
+    family.  Twin of dedup._minhash32_grouped."""
     p = dedup._MH_P
     mins = ",\n               ".join(
         f"min(({a} * h32 + {b}) % {p}) AS m{i}"
         for i, (a, b) in enumerate(dedup._MH_AB)
     )
-    unpivot = "\n        UNION ALL ".join(
-        f"SELECT doc_id, {i} AS h_index, m{i} AS minhash FROM g"
-        for i in range(len(dedup._MH_AB))
-    )
-    return rf"""
-    WITH d AS (
+    return rf"""d AS (
         SELECT doc_id,
                list_distinct([
                    array_to_string(ws[i:i+2], ' ')
@@ -1408,8 +1566,50 @@ def _minhash32_oracle() -> str:
     ), g AS (
         SELECT doc_id, {mins}
         FROM h GROUP BY doc_id
+    )"""
+
+
+def _minhash32_oracle() -> str:
+    """SQL twin of dedup.minhash32_exact: the shared signature CTEs,
+    long-form via UNION ALL over i."""
+    unpivot = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {i} AS h_index, m{i} AS minhash FROM g"
+        for i in range(len(dedup._MH_AB))
     )
+    return f"""
+    WITH {_minhash32_ctes()}
     {unpivot}
+    """
+
+
+def _minhash32_pairs_oracle(bands: int = 8, max_bucket: int = 64) -> str:
+    """SQL twin of dedup.minhash32_band_pairs: the shared signature CTEs,
+    then band rows via UNION ALL (band b groups on its rows_per_band raw
+    min values), the mega-bucket HAVING guard, and a self-join per shared
+    band key with DISTINCT across bands."""
+    rpb = 32 // bands
+    cols = ", ".join(f"s{r}" for r in range(rpb))
+    band_sel = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {ms} FROM g".format(
+            b=b,
+            ms=", ".join(f"m{b * rpb + r} AS s{r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    on = " AND ".join(
+        [f"a.{c} = b.{c}" for c in ["band"] + [f"s{r}" for r in range(rpb)]]
+    )
+    return f"""
+    WITH {_minhash32_ctes()}, bands AS (
+        {band_sel}
+    ), bsz AS (
+        SELECT band, {cols} FROM bands
+        GROUP BY band, {cols} HAVING COUNT(*) BETWEEN 2 AND {max_bucket}
+    ), kept AS (
+        SELECT bands.* FROM bands JOIN bsz USING (band, {cols})
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM kept a JOIN kept b ON {on} AND a.doc_id < b.doc_id
     """
 
 
@@ -1420,6 +1620,19 @@ def minhash32_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and arithmetic rehashes are bit-identical across engines, unlike the
     xxhash64 production path (rows-only by necessity)."""
     return dedup.minhash32_exact(t(spark, sf_dir, "documents"))
+
+
+@_register("minhash32_band_pairs", _minhash32_pairs_oracle())
+def minhash32_band_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact MinHash+LSH candidate pairs (dedup.minhash32_band_pairs):
+    the full MinHash candidate chain — exact signatures (minhash32_docs'
+    md5/arithmetic family), 8 bands of 4 grouped on the RAW min values (no
+    band hash, so no cross-engine hash to reproduce and no collision
+    noise), 64-cap mega-bucket guard, generator pair expansion — checked
+    value-exactly against the SQL twin.  Complements simhash32_band_pairs
+    (the banded-simhash twin) and closes the proof gap on the production
+    minhash_lsh_candidates shape, which stays xxhash64/rows-only."""
+    return dedup.minhash32_band_pairs(t(spark, sf_dir, "documents"))
 
 
 def _simhash32_pairs_oracle() -> str:

@@ -618,6 +618,18 @@ def minhash32_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     doc-grain shuffle at 32 longs per doc per partition, and the
     differential gate still certifies the minhash CONSTRUCTION itself.
     """
+    grouped = _minhash32_grouped(df, text_col, id_col)
+    sig = F.array(*[F.col(f"__m{i}") for i in range(len(_MH_AB))])
+    return grouped.select(
+        F.col(id_col), F.posexplode(sig).alias("h_index", "minhash")
+    )
+
+
+def _minhash32_grouped(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_col, __m0..__m31): the wide oracle-exact signature frame shared
+    by minhash32_exact (long form) and minhash32_band_pairs (banding)."""
     sh_rows = shingle_rows(df, text_col, id_col, distinct=False).select(
         F.col("id").alias(id_col), "__s"
     )
@@ -627,11 +639,64 @@ def minhash32_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(_MH_P)).alias(f"__m{i}")
         for i, (a, b) in enumerate(_MH_AB)
     ]
-    grouped = hashed.groupBy(id_col).agg(*mins)
-    sig = F.array(*[F.col(f"__m{i}") for i in range(len(_MH_AB))])
-    return grouped.select(
-        F.col(id_col), F.posexplode(sig).alias("h_index", "minhash")
+    return hashed.groupBy(id_col).agg(*mins)
+
+
+def minhash32_band_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 8,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Banded-MinHash candidate pairs (id_a < id_b), oracle-exact end to end.
+
+    The production LSH path (minhash_lsh_candidates) is rows-only because
+    xxhash64 has no DuckDB twin; simhash32_band_pairs certifies a banded
+    SIMHASH pipeline.  This closes the remaining proof gap: the full
+    MinHash+LSH candidate chain — md5-BE32 shingle hash, the (a·x+b) mod
+    2^31−1 family, 32/bands-row bands, mega-bucket guard, pair expansion —
+    from cross-engine-exact primitives, so signatures AND candidates are
+    differentially checkable, not just counted.
+
+    Same plan shape as the production path: ONE shuffle on the band key
+    (here the rows_per_band raw min values, no band-hash needed — grouping
+    on 4 longs is equivalent to grouping on a hash of them, minus the
+    collision risk), bucket-group + generator pair expansion
+    (_bucket_pairs), DISTINCT across bands.  Buckets over ``max_bucket``
+    are dropped (mirrored in the oracle's HAVING) — identical mega-bucket
+    semantics to simhash32_band_pairs.
+    """
+    if 32 % bands != 0:
+        raise ValueError(f"bands must divide 32, got {bands}")
+    rpb = 32 // bands
+    wide = _minhash32_grouped(df, text_col, id_col)
+    rows = wide.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        *[
+                            F.col(f"__m{b * rpb + r}").alias(f"s{r}")
+                            for r in range(rpb)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", *[f"bb.s{r}" for r in range(rpb)])
+    key = ["band"] + [f"s{r}" for r in range(rpb)]
+    buckets = (
+        rows.groupBy(*key)
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    return _bucket_pairs(buckets)
 
 
 def band_rows(
@@ -735,3 +800,74 @@ def simhash32_band_pairs(
     if max_bucket is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket)
     return _bucket_pairs(buckets)
+
+
+def passage_dup_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    passage_words: int = 20,
+) -> DataFrame:
+    """Cross-document exact PASSAGE dedup report — the practical
+    chunk-granular approximation of exact-substring training-data dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better": repeated spans, not just whole-doc copies, drive
+    memorization).  Documents split into non-overlapping
+    ``passage_words``-word chunks; a chunk whose md5 appears in >= 2
+    DISTINCT documents is "duplicated".
+
+    Per group: total passage instances, duplicated instances, and
+    documents carrying at least one duplicated passage.
+
+    Scale shape: chunking is a generator explode (one map pass, no HOFs);
+    occurrence counting aggregates to (hash, doc) grain — ONE shuffle on
+    the 32-char hash, uniformly distributed by construction (no skew
+    guard needed: a hash bucket's size is the duplication count itself,
+    the thing being measured, and rows at that grain are ~40 bytes).  The
+    cross-doc count is a window over the SAME hash key at the already
+    aggregated grain — no second pipeline reference, so the corpus-scale
+    chunking runs exactly once (the Catalyst no-CSE rule).  Everything
+    downstream of the first aggregate is duplication-scale, not
+    corpus-scale.
+    """
+    from pyspark.sql import Window
+
+    text = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    toks = F.split(text, " ")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        toks.alias("__t"),
+        F.size(toks).alias("__n"),
+    )
+    n_chunks = F.ceil(F.col("__n") / F.lit(float(passage_words))).cast("long")
+    idx = base.select(
+        "id",
+        "grp",
+        "__t",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+        ).alias("__i"),
+    )
+    ph = F.md5(
+        F.concat_ws(
+            " ",
+            F.slice(F.col("__t"), F.col("__i") * passage_words + 1, passage_words),
+        )
+    )
+    inst = (
+        idx.select("id", "grp", ph.alias("ph"))
+        .groupBy("ph", "grp", "id")
+        .agg(F.count("*").alias("inst"))
+    )
+    nd = F.count("*").over(Window.partitionBy("ph"))
+    flagged = inst.withColumn("nd", nd)
+    dup = F.col("nd") >= 2
+    return flagged.groupBy(F.col("grp").alias(group_col)).agg(
+        F.sum("inst").alias("total_passages"),
+        F.coalesce(F.sum(F.when(dup, F.col("inst"))), F.lit(0)).alias(
+            "dup_passages"
+        ),
+        F.count_distinct(F.when(dup, F.col("id"))).alias("docs_affected"),
+    )

@@ -351,3 +351,77 @@ def repetition_ratio(
         F.size("tk").alias("n_tok"),
         (top_token_run(F.col("tk")) / F.size("tk")).alias("top_ratio"),
     )
+
+
+# Gopher-style document quality rules (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", table A1 quality heuristics — the published, public
+# rule set), restricted to the subset expressible as exact cross-engine
+# relational expressions.  Thresholds are the paper's.
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule failure flags (0 = pass, 1 = fail).
+
+    Five rules, each a plain JVM expression over the tokenized text (no
+    HOF lambdas — regexp counts and array builtins only, all inside
+    whole-stage codegen):
+
+    - ``fail_word_count``: not 50..100000 words;
+    - ``fail_mean_word_len``: mean word length outside [3, 10];
+    - ``fail_stopwords``: fewer than 2 stopword hits;
+    - ``fail_alpha_ratio``: < 80% of words contain a letter;
+    - ``fail_ttr``: type-token ratio < 0.3 (repetition proxy — the
+      paper's duplicate-n-gram family collapsed to its cheapest member).
+
+    Ratios divide BIGINT counts as doubles, so the comparisons are
+    bit-identical across engines (same IEEE operands) — no rounding
+    helper needed.
+    """
+    text = F.lower(F.trim(F.col(text_col)))
+    words = F.regexp_extract_all(text, F.lit("[a-z0-9]+"), F.lit(0))
+    n = F.size(words)
+    mean_len = F.length(F.concat_ws("", words)).cast("double") / n.cast("double")
+    alpha = F.size(
+        F.regexp_extract_all(text, F.lit("[0-9]*[a-z][a-z0-9]*"), F.lit(0))
+    )
+    stop_pat = "\\b(" + "|".join(GOPHER_STOPWORDS) + ")\\b"
+    stops = F.size(F.regexp_extract_all(text, F.lit(stop_pat), F.lit(0)))
+    ttr = F.size(F.array_distinct(words)).cast("double") / n.cast("double")
+
+    def fail(passes: Column) -> Column:
+        return F.when(passes, F.lit(0)).otherwise(F.lit(1))
+
+    return df.withColumns(
+        {
+            "fail_word_count": fail((n >= 50) & (n <= 100000)),
+            "fail_mean_word_len": fail(
+                (n > 0) & (mean_len >= 3.0) & (mean_len <= 10.0)
+            ),
+            "fail_stopwords": fail(stops >= 2),
+            "fail_alpha_ratio": fail(
+                (n > 0) & (alpha.cast("double") / n.cast("double") >= 0.8)
+            ),
+            "fail_ttr": fail((n > 0) & (ttr >= 0.3)),
+        }
+    )
+
+
+def gopher_report(df: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-group Gopher rule report: doc count, per-rule failure counts,
+    and how many docs pass every rule.  Integer-only outputs — exact
+    under any aggregation order."""
+    flags = [
+        "fail_word_count",
+        "fail_mean_word_len",
+        "fail_stopwords",
+        "fail_alpha_ratio",
+        "fail_ttr",
+    ]
+    d = gopher_flags(df)
+    all_pass = sum(F.col(c) for c in flags) == 0
+    return d.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        *[F.sum(c).alias(c) for c in flags],
+        F.sum(F.when(all_pass, 1).otherwise(0)).alias("n_pass"),
+    )
