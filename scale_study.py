@@ -44,6 +44,11 @@ QUERIES = [
     "contamination_by_source",
     "sequence_packing_report",
     "embedding_neardup_pairs",
+    # round-5 additions: oracle-exact LSH candidates + rule/passage reports
+    "minhash32_band_pairs",
+    "gopher_quality_report",
+    "passage_dedup_report",
+    "leakage_safe_split",
     # Python-kernel ops (Arrow-batch mapInPandas + banded joins / MLlib):
     # CPU-bound linear in docs — expect time_ratio ≈ factor at 10x, far
     # past the shuffle-bound queries above; see SCALING.md §Python-kernel
@@ -109,7 +114,18 @@ def main() -> None:
         action="store_true",
         help="reuse an existing replica at --out (re-time only)",
     )
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of QUERIES to time (default: all)",
+    )
     args = ap.parse_args()
+    if args.queries:
+        subset = args.queries.split(",")
+        unknown = set(subset) - set(catalog.QUERIES)
+        if unknown:
+            ap.error(f"unknown queries: {sorted(unknown)}")
+        QUERIES[:] = subset
 
     spark = get_spark(app_name="scale-study", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
