@@ -219,3 +219,84 @@ def test_resample_interpolate_hand_series(spark):
     assert out[240.0] == 40.0 + 0.0 * (240 - 210) / (300 - 210)  # 40.0
     assert out[300.0] == 40.0  # exact hit on a real point
     assert set(out) == {120.0, 180.0, 240.0, 300.0}
+
+
+# word pools for document-shaped properties: small vocab forces chunk and
+# rule-threshold collisions
+_words_st = st.lists(
+    st.sampled_from(["the", "a", "cat", "table", "12", "zz", "query", "spark"]),
+    min_size=0,
+    max_size=60,
+)
+_docs_st = st.lists(_words_st, min_size=1, max_size=8)
+
+
+@given(docs=_docs_st)
+@SET
+def test_passage_dup_report_matches_bruteforce(spark, docs):
+    import hashlib
+    from collections import defaultdict
+
+    from waddleml_spark.llmops import dedup
+
+    rows = [
+        (i, "src" + str(i % 2), " ".join(ws)) for i, ws in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.source: (r.total_passages, r.dup_passages, r.docs_affected)
+        for r in dedup.passage_dup_report(df).collect()
+    }
+    # brute force in Python: split like the operator does (empty text -> [''])
+    holders: dict[str, set[int]] = defaultdict(set)
+    inst: list[tuple[int, str, str]] = []
+    for i, src, text in rows:
+        ws = text.split() if text.strip() else [""]
+        chunks = [ws[j : j + 20] for j in range(0, max(len(ws), 1), 20)]
+        for ch in chunks:
+            h = hashlib.md5(" ".join(ch).encode()).hexdigest()
+            holders[h].add(i)
+            inst.append((i, src, h))
+    want: dict[str, list[int]] = {}
+    for src in {s for _, s, _ in inst}:
+        mine = [(i, h) for i, s, h in inst if s == src]
+        dup = [(i, h) for i, h in mine if len(holders[h]) >= 2]
+        want[src] = (len(mine), len(dup), len({i for i, _ in dup}))
+    assert got == want
+
+
+@given(docs=_docs_st)
+@SET
+def test_gopher_flags_match_bruteforce(spark, docs):
+    from waddleml_spark.llmops import textstats
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.fail_word_count,
+            r.fail_mean_word_len,
+            r.fail_stopwords,
+            r.fail_alpha_ratio,
+            r.fail_ttr,
+        )
+        for r in textstats.gopher_flags(df).collect()
+    }
+    import re
+
+    stop = set(textstats.GOPHER_STOPWORDS)
+    for i, text in rows:
+        ws = re.findall(r"[a-z0-9]+", text.lower())
+        n = len(ws)
+        mean_len = sum(map(len, ws)) / n if n else None
+        alpha = sum(1 for w in ws if re.search(r"[a-z]", w))
+        stops = sum(1 for w in ws if w in stop)
+        ttr = len(set(ws)) / n if n else None
+        want = (
+            0 if 50 <= n <= 100000 else 1,
+            0 if n and 3.0 <= mean_len <= 10.0 else 1,
+            0 if stops >= 2 else 1,
+            0 if n and alpha / n >= 0.8 else 1,
+            0 if n and ttr >= 0.3 else 1,
+        )
+        assert got[i] == want, (i, text, got[i], want)

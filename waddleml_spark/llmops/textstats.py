@@ -381,13 +381,19 @@ def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     text = F.lower(F.trim(F.col(text_col)))
     words = F.regexp_extract_all(text, F.lit("[a-z0-9]+"), F.lit(0))
     n = F.size(words)
-    mean_len = F.length(F.concat_ws("", words)).cast("double") / n.cast("double")
+    # try_divide: an EMPTY doc must fail the ratio rules, not raise the
+    # ANSI divide-by-zero (null ratio -> pass-condition null -> fail=1)
+    mean_len = F.try_divide(
+        F.length(F.concat_ws("", words)).cast("double"), n.cast("double")
+    )
     alpha = F.size(
         F.regexp_extract_all(text, F.lit("[0-9]*[a-z][a-z0-9]*"), F.lit(0))
     )
     stop_pat = "\\b(" + "|".join(GOPHER_STOPWORDS) + ")\\b"
     stops = F.size(F.regexp_extract_all(text, F.lit(stop_pat), F.lit(0)))
-    ttr = F.size(F.array_distinct(words)).cast("double") / n.cast("double")
+    ttr = F.try_divide(
+        F.size(F.array_distinct(words)).cast("double"), n.cast("double")
+    )
 
     def fail(passes: Column) -> Column:
         return F.when(passes, F.lit(0)).otherwise(F.lit(1))
@@ -400,7 +406,8 @@ def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
             "fail_stopwords": fail(stops >= 2),
             "fail_alpha_ratio": fail(
-                (n > 0) & (alpha.cast("double") / n.cast("double") >= 0.8)
+                (n > 0)
+                & (F.try_divide(alpha.cast("double"), n.cast("double")) >= 0.8)
             ),
             "fail_ttr": fail((n > 0) & (ttr >= 0.3)),
         }
