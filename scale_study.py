@@ -49,6 +49,7 @@ QUERIES = [
     "gopher_quality_report",
     "passage_dedup_report",
     "leakage_safe_split",
+    "corpus_pipeline_report",
     # Python-kernel ops (Arrow-batch mapInPandas + banded joins / MLlib):
     # CPU-bound linear in docs — expect time_ratio ≈ factor at 10x, far
     # past the shuffle-bound queries above; see SCALING.md §Python-kernel

@@ -47,6 +47,14 @@ _WIDE_SCAN_BUDGET = {
     # execution count 1
     "media_frame_neardup_pairs": 2,
     "sequence_packing_report": 2,
+    # the end-to-end funnel persists THREE doc-grain frames (base flags,
+    # exact keepers, final keepers) and unions five aggregates over
+    # them; the plan STRING prints the cached base subtree's text scan
+    # once per nested reference (8 textual), but execution scans text
+    # exactly TWICE — the base cache build and the pruned re-scan
+    # feeding MinHash on exact-unique survivors (stage-count verified:
+    # the funnel's only corpus-scale work is those two passes)
+    "corpus_pipeline_report": 8,
 }
 
 

@@ -1299,6 +1299,100 @@ def cluster_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("corpus_pipeline_report", None)
+def corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end pretraining-data pipeline as one query (rows-only:
+    CC is iterative): raw corpus → Gopher quality gate → exact dedup
+    (min-id keeper per fingerprint) → near-dup dedup (longest-doc keeper
+    per MinHash+LSH cluster) → leakage-safe cluster split.  One funnel
+    row per stage with surviving docs and word tokens — the
+    drop-accounting card a corpus build publishes end to end.
+
+    Scale shape: ONE doc-grain base pass computes words/flags/fingerprint
+    and is persisted WITHOUT text (ids + 3 longs + a hash per doc — at
+    100 TB this is the metadata table you'd checkpoint, not the corpus);
+    the only text re-scan is the pruned parquet read feeding MinHash on
+    exact-unique survivors.  Every stage after candidates is
+    cluster-grain.  Union of one-row aggregates at the end is
+    driver-trivial.
+    """
+    from waddleml_spark.llmops import rotate_persist
+
+    d = t(spark, sf_dir, "documents")
+    flags = [
+        "fail_word_count",
+        "fail_mean_word_len",
+        "fail_stopwords",
+        "fail_alpha_ratio",
+        "fail_ttr",
+    ]
+    base = textstats.gopher_flags(d).select(
+        "doc_id",
+        "source",
+        textstats.word_count(F.col("text")).alias("n_words"),
+        (sum(F.col(c) for c in flags) == 0).alias("ok"),
+        textstats.fingerprint(F.col("text")).alias("fp"),
+    )
+    base = rotate_persist("pipeline.base", base)
+
+    def stage(name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_words"), F.lit(0)).alias("n_tokens"),
+        )
+
+    q = base.filter("ok")
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    exact = (
+        q.withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    exact = rotate_persist("pipeline.exact", exact)
+    # near-dup clusters among exact-unique survivors: candidates need the
+    # text again — pruned re-scan joined to the keeper ids
+    docs2 = d.join(exact.select("doc_id"), "doc_id")
+    comps = dedup.connected_components(
+        dedup.minhash_lsh_candidates(docs2, num_hashes=32, bands=8)
+    )
+    labeled = exact.join(comps, exact.doc_id == comps.id, "left").select(
+        "doc_id",
+        "source",
+        "n_words",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+    )
+    w_cl = Window.partitionBy("cluster").orderBy(
+        F.col("n_words").desc(), F.col("doc_id")
+    )
+    final = (
+        labeled.withColumn("__rn", F.row_number().over(w_cl))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    final = rotate_persist("pipeline.final", final)
+    cut = F.substring(F.md5(F.col("cluster").cast("string")), 1, 2)
+    split = (
+        F.when(cut <= "e5", "train").when(cut <= "f2", "val").otherwise("test")
+    )
+    splits = (
+        final.select(F.concat(F.lit("4_"), split).alias("stage"), "n_words")
+        .groupBy("stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_words"), F.lit(0)).alias("n_tokens"),
+        )
+    )
+    funnel = (
+        stage("0_raw", base)
+        .unionByName(stage("1_quality_pass", q))
+        .unionByName(stage("2_exact_unique", exact))
+        .unionByName(stage("3_neardup_unique", final))
+        .unionByName(splits)
+    )
+    return funnel.orderBy("stage")
+
+
 @_register("media_frame_neardup_pairs", None)
 def media_frame_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal near-dup candidates on binary payloads (rows-only):
