@@ -44,16 +44,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # distinct_keys, sha256_docs, json_canonical_docs, set_ops_users.
 # Round-5 rotation: the 36 oracle-paired queries never yet driver-certified
 # (15 TPC-H shapes, CDC, variant, downsamplers, text-stat reports,
-# embedding reports) take the bulk of the window; 14 long-stable r4 rows
-# stay as regression anchors.  All 50 emulator-preverified this round
-# (36/36 + anchors, sf0.01, bare session, values + type families).
+# embedding reports) take the bulk of the window, plus the three
+# oracle-paired queries ADDED this round (minhash32_band_pairs,
+# gopher_quality_report, passage_dedup_report) — with those, a green
+# window makes cumulative driver-certification cover EVERY oracle-paired
+# query in the catalog (73 from r1-r4 + 39 here = all 112).  Eleven
+# long-stable r4 rows stay as regression anchors (exact_dedup_docs /
+# minhash32_docs / simhash32_docs yielded their slots: each certified
+# r4, and their machinery is re-exercised by the new band-pairs rows).
+# All 50 emulator-preverified this round (sf0.01, bare session, values +
+# type families).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # stable anchors (certified r1-r4; flagship stays slot 1 for smoke)
     "flagship_leaderboard", "runs_list_page", "stale_reclass",
     "dim_join_agg", "last_per_group_ties", "agg_minmax_count",
     "sessionize_users", "asof_purchase_click", "topn_orders",
-    "tpch_q1", "exact_dedup_docs", "minhash32_docs", "simhash32_docs",
-    "pii_scrub_report",
+    "tpch_q1", "pii_scrub_report",
+    # round-5 additions, certified here for the first time
+    "minhash32_band_pairs", "gopher_quality_report", "passage_dedup_report",
     # TPC-H shapes never driver-certified (q4, q6-q11, q13-q17, q19-q20, q22)
     "order_priority_check_q4", "forecast_revenue_q6", "volume_shipping_q7",
     "market_share_q8", "product_profit_q9", "returned_items_q10",
