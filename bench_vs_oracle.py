@@ -54,7 +54,10 @@ def main() -> None:
     # LSH-fed verifiers hydrate pairs through joins whose keys are
     # skewed (one doc -> many pairs), and AQE's skew-join splitting is
     # worth ~2x there (measured: jaccard_verify_lsh 10s -> 5s at sf0.1).
-    # SPARK_GRAFT_AQE=0 reproduces the old static-plan numbers.
+    # SPARK_GRAFT_AQE=0 reproduces the old static-plan numbers.  NOTE:
+    # bench.py defaults AQE OFF when the env is unset (its measured
+    # headline optimum); explicit =0/=1 means off/on in BOTH tools —
+    # set it when comparing numbers across the two benches.
     spark = get_spark(
         app_name="waddleml-bench-vs-oracle",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),

@@ -125,3 +125,21 @@ def test_top_token_run_matches_explode_groupby(spark):
         .agg(F.max("count").alias("m"))
     )
     assert fast.exceptAll(slow).count() == 0 and slow.exceptAll(fast).count() == 0
+
+
+def test_rotate_persist_keeps_previous_invocation_cached(spark):
+    # building a SECOND invocation must not unpersist the FIRST before the
+    # caller collects it (compose-two-then-collect pattern); only frames
+    # two rotations old are released
+    from waddleml_spark.llmops import _PERSIST_SLOTS, rotate_persist
+
+    a = rotate_persist("test.slot", spark.range(10))
+    b = rotate_persist("test.slot", spark.range(20))
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    c = rotate_persist("test.slot", spark.range(30))
+    assert not a.storageLevel.useMemory      # two rotations old: released
+    assert b.storageLevel.useMemory and c.storageLevel.useMemory
+    assert len(_PERSIST_SLOTS["test.slot"]) == 2
+    for df in (b, c):
+        df.unpersist(blocking=False)
+    del _PERSIST_SLOTS["test.slot"]

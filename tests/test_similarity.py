@@ -234,3 +234,27 @@ def test_semantic_dedup_report_cell_accounting(spark):
     assert sum(r.n_dup for r in rep) == n_drop
     again = catalog.QUERIES["semantic_dedup_report"](spark, SF_SMOKE).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rep]
+
+
+def test_blocked_cosine_pairs_carries_input_id_type(spark):
+    # the output id type must follow the INPUT id column (driver compare
+    # is type-sensitive and testdata physical types drift between rounds;
+    # generic callers may pass int32 or string ids) — never hardcoded long
+    from waddleml_spark.llmops.similarity import blocked_cosine_pairs
+
+    rows = [("a", "x", [1.0, 0.0]), ("b", "x", [1.0, 0.1])]
+    df = spark.createDataFrame(
+        rows, "vec_id string, label string, embedding array<float>"
+    )
+    out = blocked_cosine_pairs(df, "label", threshold=0.3)
+    assert out.schema["id_a"].dataType.simpleString() == "string"
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert got == {("a", "b")}
+
+    df32 = spark.createDataFrame(
+        [(1, "x", [1.0, 0.0]), (2, "x", [1.0, 0.1])],
+        "vec_id int, label string, embedding array<float>",
+    )
+    out32 = blocked_cosine_pairs(df32, "label", threshold=0.3)
+    assert out32.schema["id_a"].dataType.simpleString() == "int"
+    assert {(r.id_a, r.id_b) for r in out32.collect()} == {(1, 2)}

@@ -88,3 +88,24 @@ def test_cluster_canonical_keeper_rule(spark):
     )
     best = sorted(members, key=lambda r: (-r.n, r.id))[0]
     assert rows[0].keeper_id == best.id
+
+
+def test_ws_class_identical_across_java_and_re2_on_vertical_tab(spark):
+    # Java's `\s` includes \x0b, RE2's does not — the shared WS_RE class
+    # must tokenize identically in Spark (Java regex) and DuckDB (RE2),
+    # or chunk/passage hashes desync between a query and its oracle
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from waddleml_spark.llmops import WS_RE
+
+    text = "alpha\x0bbeta \tgamma"
+    spark_toks = (
+        spark.range(1)
+        .select(F.split(F.regexp_replace(F.lit(text), WS_RE, " "), " ").alias("t"))
+        .collect()[0]["t"]
+    )
+    duck_toks = duckdb.sql(
+        f"SELECT str_split_regex('{text}', '{WS_RE}') AS t"
+    ).fetchone()[0]
+    assert spark_toks == duck_toks == ["alpha", "beta", "gamma"]

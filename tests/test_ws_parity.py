@@ -285,3 +285,16 @@ def test_starlette_ws_dead_client_pruned_without_killing_bus(app_and_bus):
             bus.publish([row])
             assert json.loads(ws.receive_text())["type"] == "metric"
         bus.publish([row])
+
+
+def test_truncated_frame_is_protocol_failure_not_partial_message():
+    # a frame header declaring n bytes followed by EOF mid-payload must
+    # yield None (connection failure), never a garbage-suffixed "complete"
+    # message; same for EOF inside the 2/8-byte extended length
+    import io
+
+    full = _mask_frame(b"x" * 100)
+    assert ws_read_frame(io.BytesIO(full[: len(full) - 70])) is None
+    big = _mask_frame(b"y" * 300)  # 126-style 2-byte extended length
+    assert ws_read_frame(io.BytesIO(big[:3])) is None  # EOF inside length
+    assert ws_read_frame(io.BytesIO(big[:4])) is None  # EOF inside mask

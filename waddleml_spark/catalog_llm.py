@@ -13,14 +13,28 @@ from pyspark.sql import functions as F
 
 from waddleml_spark.catalog import _r, _r_sql, _register, t
 from waddleml_spark.llmops import dedup, multimodal, pii, similarity, textstats
+from waddleml_spark.llmops import WS_RE as _WS  # one whitespace class for Spark
+# (Java regex) and the DuckDB oracles (RE2): the engines' `\\s` differ on \\x0b.
+
+def _split_assign(key):
+    """Deterministic 90/5/5 split from the first md5 hex byte of ``key``
+    (<= 'e5' train, <= 'f2' val, else test) — the ONE definition of the
+    cut points, shared by dataset_split_report, leakage_safe_split and
+    corpus_pipeline_report so a retune can never desync them (their
+    docstrings promise the same cut)."""
+    cut = F.substring(F.md5(key.cast("string")), 1, 2)
+    return (
+        F.when(cut <= "e5", "train").when(cut <= "f2", "val").otherwise("test")
+    )
+
 
 # --- exact dedup -----------------------------------------------------------
 
 
 @_register(
     "exact_dedup_docs",
-    r"""
-    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+    rf"""
+    SELECT md5(regexp_replace(lower(trim(text)), '{_WS}', ' ', 'g')) AS fp,
            min(doc_id) AS keeper_id, count(*) AS n_dups
     FROM documents
     GROUP BY fp
@@ -32,9 +46,9 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "fingerprint_docs",
-    r"""
+    rf"""
     SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           md5(regexp_replace(lower(trim(text)), '{_WS}', ' ', 'g')) AS fp
     FROM documents
     """,
 )
@@ -192,10 +206,10 @@ def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "jaccard_word_pairs_src0",
-    r"""
+    rf"""
     WITH d AS (
         SELECT doc_id,
-               list_distinct(str_split_regex(lower(trim(text)), '\s+')) AS ws
+               list_distinct(str_split_regex(lower(trim(text)), '{_WS}')) AS ws
         FROM documents WHERE source = 'src0'
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -219,7 +233,7 @@ def jaccard_word_pairs_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.array_distinct(
-                F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+                F.split(F.lower(F.trim(F.col("text"))), _WS)
             ).alias("ws"),
         )
     )
@@ -499,9 +513,9 @@ def bpe_train_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "contamination_by_source",
-    r"""
+    rf"""
     WITH toks AS (
-        SELECT doc_id, source, str_split_regex(lower(trim(text)), '\s+') AS w
+        SELECT doc_id, source, str_split_regex(lower(trim(text)), '{_WS}') AS w
         FROM documents
     ),
     sh AS (
@@ -581,10 +595,10 @@ def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "passage_dedup_report",
-    r"""
+    rf"""
     WITH w AS (
         SELECT doc_id, source,
-               str_split_regex(lower(trim(text)), '\s+') AS ws
+               str_split_regex(lower(trim(text)), '{_WS}') AS ws
         FROM documents
     ), p AS (
         SELECT doc_id, source,
@@ -658,7 +672,7 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "type_token_ratio_by_lang",
     f"""
     WITH w AS (
-        SELECT lang, str_split_regex(lower(trim(text)), '\\s+') AS toks
+        SELECT lang, str_split_regex(lower(trim(text)), '{_WS}') AS toks
         FROM documents
     )
     SELECT lang, count(*) AS n_docs,
@@ -673,7 +687,7 @@ def type_token_ratio_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     text).  Pure per-row expressions + one aggregate; no shuffle beyond
     the groupBy."""
     d = t(spark, sf_dir, "documents")
-    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " "), " ")
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS, " "), " ")
     ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"), _r(F.avg(ttr), 6).alias("avg_ttr")
@@ -702,10 +716,7 @@ def dataset_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable id hash, never on sample().  Pure projection + one aggregate.
     """
     d = t(spark, sf_dir, "documents")
-    h2 = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
-    split = (
-        F.when(h2 <= "e5", "train").when(h2 <= "f2", "val").otherwise("test")
-    )
+    split = _split_assign(F.col("doc_id"))
     return d.groupBy("source", split.alias("split")).agg(F.count("*").alias("n"))
 
 
@@ -1011,10 +1022,10 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "incremental_dedup_report",
-    r"""
+    rf"""
     WITH fp AS (
         SELECT doc_id, source,
-               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+               md5(regexp_replace(lower(trim(text)), '{_WS}', ' ', 'g')) AS fp
         FROM documents),
     idx AS (SELECT DISTINCT fp FROM fp WHERE source <> 'src0'),
     new AS (SELECT * FROM fp WHERE source = 'src0'),
@@ -1101,10 +1112,10 @@ def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "corpus_snapshot_diff",
-    r"""
-    WITH a AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    rf"""
+    WITH a AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '{_WS}', ' ', 'g')) AS fp
                FROM documents WHERE source = 'src0'),
-         b AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         b AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '{_WS}', ' ', 'g')) AS fp
                FROM documents WHERE source = 'src1')
     SELECT (SELECT count(*) FROM b WHERE fp NOT IN (SELECT fp FROM a)) AS n_added,
            (SELECT count(*) FROM a WHERE fp NOT IN (SELECT fp FROM b)) AS n_removed,
@@ -1241,10 +1252,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         comps, d.doc_id == comps.id, "left"
     )
     cluster = F.coalesce(F.col("component"), F.col("doc_id"))
-    cut = F.substring(F.md5(cluster.cast("string")), 1, 2)
-    split = (
-        F.when(cut <= "e5", "train").when(cut <= "f2", "val").otherwise("test")
-    )
+    split = _split_assign(cluster)
     per_cluster = (
         docs.select(cluster.alias("cluster_id"), split.alias("split"))
         .groupBy("split", "cluster_id")
@@ -1371,10 +1379,7 @@ def corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__rn")
     )
     final = rotate_persist("pipeline.final", final)
-    cut = F.substring(F.md5(F.col("cluster").cast("string")), 1, 2)
-    split = (
-        F.when(cut <= "e5", "train").when(cut <= "f2", "val").otherwise("test")
-    )
+    split = _split_assign(F.col("cluster"))
     splits = (
         final.select(F.concat(F.lit("4_"), split).alias("stage"), "n_words")
         .groupBy("stage")
@@ -1598,7 +1603,7 @@ def _simhash32_oracle() -> str:
     return rf"""
     WITH d AS (
         SELECT doc_id,
-               list_distinct(str_split_regex(lower(trim(text)), '\s+')) AS ws
+               list_distinct(str_split_regex(lower(trim(text)), '{_WS}')) AS ws
         FROM documents
     ), t AS (
         SELECT doc_id, unnest(ws) AS tok FROM d
@@ -1645,7 +1650,7 @@ def _minhash32_ctes() -> str:
                ]) AS sh
         FROM (
             SELECT doc_id,
-                   str_split_regex(lower(trim(text)), '\s+') AS ws
+                   str_split_regex(lower(trim(text)), '{_WS}') AS ws
             FROM documents
         )
     ), t AS (
@@ -1772,14 +1777,14 @@ def simhash32_band_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingle_cte_sql() -> str:
     """DuckDB twin of dedup.shingles(k=3): distinct word 3-grams with the
     short-doc slice clamp (docs under 3 words shingle to the whole text)."""
-    return r"""
+    return rf"""
         SELECT doc_id,
                list_distinct([
                    array_to_string(ws[i:i+2], ' ')
                    for i in generate_series(1, greatest(len(ws) - 2, 1))
                ]) AS sh
         FROM (SELECT doc_id,
-                     str_split_regex(lower(trim(text)), '\s+') AS ws
+                     str_split_regex(lower(trim(text)), '{_WS}') AS ws
               FROM documents)
     """
 

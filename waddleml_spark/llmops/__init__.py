@@ -11,26 +11,45 @@ pipeline needs, designed Spark-first for 100 TB:
 
 from __future__ import annotations
 
+import threading
+
+# Whitespace class spelled EXPLICITLY and identically for Java regex
+# (Spark) and RE2 (DuckDB oracles).  The engines' `\s` shorthands differ:
+# Java's is [ \t\n\x0B\f\r] while RE2's is [ \t\n\f\r] (no vertical tab),
+# so a document containing \x0b would tokenize/chunk differently between
+# a query and its oracle — a latent driver-window red.  This set equals
+# Java's `\s`, so Spark-side behavior is unchanged; the oracle gains \x0b.
+WS_RE = r"[ \t\n\r\f\x0b]+"
+
 
 def rotate_persist(slot: str, df):
-    """persist() ``df`` and unpersist the frame the SAME slot cached on
-    the previous invocation.
+    """persist() ``df`` and release stale caches the SAME slot holds from
+    older invocations.
 
     For operators whose cached frame is consumed lazily by the caller
     (so they cannot unpersist before returning): without this, every
     invocation in a long-lived session leaves blocks behind until the
-    ContextCleaner happens to GC them (round-4 advice).  One live cache
-    per slot; the prior frame is released blocking=False so the swap
-    never stalls the hot path."""
-    prev = _PERSIST_SLOTS.get(slot)
-    if prev is not None:
+    ContextCleaner happens to GC them (round-4 advice).  The slot keeps
+    the TWO newest frames alive — unpersisting the immediately-previous
+    one would silently re-introduce N-times re-execution for a caller
+    that builds two invocations before collecting the first (e.g.
+    comparing two packings in one action); anything older is released
+    blocking=False so the swap never stalls the hot path.  Lock-guarded:
+    streaming foreachBatch and dashboard threads may race the same slot.
+    """
+    df = df.persist()
+    with _PERSIST_LOCK:
+        live = _PERSIST_SLOTS.setdefault(slot, [])
+        live.append(df)
+        stale = live[:-2]
+        del live[:-2]
+    for prev in stale:
         try:
             prev.unpersist(blocking=False)
         except Exception:  # session torn down between invocations
             pass
-    df = df.persist()
-    _PERSIST_SLOTS[slot] = df
     return df
 
 
-_PERSIST_SLOTS: dict = {}
+_PERSIST_LOCK = threading.Lock()
+_PERSIST_SLOTS: dict[str, list] = {}

@@ -220,13 +220,17 @@ def train_bpe(
       batch applies in ONE Arrow kernel pass, lineage cut with
       localCheckpoint every ``checkpoint_every`` merges.
 
-    The size probe is ``limit(cap+1)`` — if the vocab is under the cap
-    the limit returns ALL rows (no sampling bias) and doubles as the
-    collect; otherwise the distributed loop starts with no extra pass.
+    The size probe is ``limit(cap+1).count()`` — one tiny job shipping a
+    single long to the driver, NOT a cap+1-row collect: an over-cap vocab
+    must not pay a 2M-Row driver transfer (potential driver OOM) just to
+    learn it should take the distributed path.  Under the cap we pay one
+    extra small job before the real collect — the cheap side of the trade
+    (same probe shape as ``similarity.ivf_index``).
     """
     if driver_vocab_rows > 0:
-        head = freqs.select("word", "freq").limit(driver_vocab_rows + 1).collect()
-        if len(head) <= driver_vocab_rows:
+        slim = freqs.select("word", "freq")
+        if slim.limit(driver_vocab_rows + 1).count() <= driver_vocab_rows:
+            head = slim.collect()
             return _train_inmem([(r.word, r.freq) for r in head], n_merges)
     vocab = freqs.select(
         "word", "freq", F.split(F.col("word"), "").alias("syms")

@@ -76,10 +76,15 @@ def blocked_cosine_pairs(
     import numpy as np
     import pandas as pd
 
+    # id_a/id_b carry the INPUT id column's type: the driver compare is
+    # type-sensitive and testdata physical types drift between rounds
+    # (int64 today, could regen as int32), and generic callers may pass
+    # string ids — hardcoding LongType would red the window / crash Arrow.
+    id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
             T.StructField("cos_raw", T.DoubleType()),
         ]
     )

@@ -9,6 +9,8 @@ partitions.  Each has a DuckDB-expressible twin in catalog.py.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
+
+from . import WS_RE
 from pyspark.sql import functions as F
 
 # Word-ish tokens: runs of alphanumerics.  BPE-ish tokens additionally split
@@ -98,7 +100,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (lowercased, whitespace-collapsed).  Cross-engine stable (DuckDB md5)."""
-    norm = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(text)), WS_RE, " ")
     return F.md5(norm)
 
 
@@ -111,7 +113,7 @@ def winnowing_fingerprints(
     sharing any sufficiently long passage share fingerprints, unlike the
     whole-document md5.  Pure expressions; zero shuffle per row.
     """
-    toks = F.split(F.regexp_replace(F.lower(F.trim(text)), "\\s+", " "), " ")
+    toks = F.split(F.regexp_replace(F.lower(F.trim(text)), WS_RE, " "), " ")
     th = F.transform(toks, lambda t: F.xxhash64(t))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(th) - (k - 1), F.lit(1))),
@@ -126,7 +128,7 @@ def winnowing_fingerprints(
 
 def word_tokens(text: Column) -> Column:
     """Whitespace tokenization (lower, trim, collapse runs)."""
-    return F.split(F.regexp_replace(F.lower(F.trim(text)), "\\s+", " "), " ")
+    return F.split(F.regexp_replace(F.lower(F.trim(text)), WS_RE, " "), " ")
 
 
 def shingles_from_tokens(toks: Column, k: int = 3) -> Column:

@@ -165,25 +165,44 @@ class WsReader:
         self._data_op: int | None = None
         self._data_buf = b""
 
+    def _read_exact(self, n: int) -> bytes | None:
+        """n bytes or None — mid-frame EOF is a protocol failure, never a
+        truncated frame delivered as if complete (file-like read() may
+        short-read at EOF)."""
+        buf = self.rfile.read(n)
+        while len(buf) < n:
+            more = self.rfile.read(n - len(buf))
+            if not more:
+                return None
+            buf += more
+        return buf
+
     def read_message(self) -> tuple[int, bytes] | None:
         """Next complete message: (opcode, payload), or None on EOF /
         protocol error."""
         while True:
-            hdr = self.rfile.read(2)
-            if len(hdr) < 2:
+            hdr = self._read_exact(2)
+            if hdr is None:
                 return None
             fin = bool(hdr[0] & 0x80)
             op = hdr[0] & 0x0F
             masked = bool(hdr[1] & 0x80)
             n = hdr[1] & 0x7F
-            if n == 126:
-                n = int.from_bytes(self.rfile.read(2), "big")
-            elif n == 127:
-                n = int.from_bytes(self.rfile.read(8), "big")
+            if n in (126, 127):
+                ext = self._read_exact(2 if n == 126 else 8)
+                if ext is None:
+                    return None
+                n = int.from_bytes(ext, "big")
             if self.require_mask and not masked:
                 return None  # §5.1: client frames MUST be masked
-            mask = self.rfile.read(4) if masked else b""
-            payload = self.rfile.read(n)
+            mask = b""
+            if masked:
+                mask = self._read_exact(4)
+                if mask is None:
+                    return None
+            payload = self._read_exact(n)
+            if payload is None:
+                return None
             if masked:
                 payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
             if op >= 0x8:  # control frame — may interleave with fragments
