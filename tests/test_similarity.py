@@ -258,3 +258,81 @@ def test_blocked_cosine_pairs_carries_input_id_type(spark):
     out32 = blocked_cosine_pairs(df32, "label", threshold=0.3)
     assert out32.schema["id_a"].dataType.simpleString() == "int"
     assert {(r.id_a, r.id_b) for r in out32.collect()} == {(1, 2)}
+
+
+def _pq_fixture(spark):
+    from waddleml_spark.llmops import similarity
+    from waddleml_spark.session import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    cb = similarity.pq_train(emb, m_subspaces=8, n_codes=16, id_col="vec_id")
+    return emb, cb
+
+
+def test_pq_codes_deterministic_and_compact(spark):
+    # codes must be identical across partition layouts (deterministic fit
+    # sample + canonical sort before the k-means++ draws), values bounded
+    # by n_codes, and the id column's type carried from the input
+    from waddleml_spark.llmops import similarity
+
+    emb, cb = _pq_fixture(spark)
+    assert cb.shape == (8, 16, 8)  # d=64 -> 8 subspaces of 8 dims
+    a = similarity.pq_encode(emb, cb).collect()
+    b = similarity.pq_encode(emb.repartition(7), cb).collect()
+    amap = {r.vec_id: (list(r.pq_code), r.vec_norm) for r in a}
+    bmap = {r.vec_id: (list(r.pq_code), r.vec_norm) for r in b}
+    assert amap == bmap
+    assert all(len(c) == 8 and max(c) < 16 and min(c) >= 0
+               for c, _ in amap.values())
+    out = similarity.pq_encode(emb, cb)
+    assert out.schema["vec_id"].dataType.simpleString() == "bigint"
+
+    cb2 = similarity.pq_train(emb.repartition(13), m_subspaces=8,
+                              n_codes=16, id_col="vec_id")
+    import numpy as np
+    assert np.array_equal(cb, cb2)  # layout cannot leak into codebooks
+
+
+def test_pq_rerank_recall_monotone_and_exact_at_full_rerank(spark):
+    # recall(rerank=R) is monotone in R (ADC-top-k subset of ADC-top-R),
+    # and reranking the WHOLE corpus is exact recall 1.0 by construction
+    from pyspark.sql import functions as F
+
+    from waddleml_spark.llmops import similarity
+
+    emb, cb = _pq_fixture(spark)
+    codes = similarity.pq_encode(emb, cb)
+    n = emb.count()
+    for qid in (0, 1):
+        q = [float(x) for x in
+             emb.filter(F.col("vec_id") == qid).select("embedding").head()[0]]
+        cand_c = codes.filter(F.col("vec_id") != qid)
+        cand_e = emb.filter(F.col("vec_id") != qid)
+        exact = {r.vec_id
+                 for r in similarity.cosine_topk(cand_e, q, k=10).collect()}
+        plain = {r.vec_id
+                 for r in similarity.pq_topk(cand_c, cb, q, k=10).collect()}
+        r40 = {r.vec_id
+               for r in similarity.pq_topk(cand_c, cb, q, k=10, rerank=40,
+                                           corpus=cand_e).collect()}
+        rall = {r.vec_id
+                for r in similarity.pq_topk(cand_c, cb, q, k=10, rerank=n,
+                                            corpus=cand_e).collect()}
+        assert len(r40 & exact) >= len(plain & exact)
+        assert rall == exact
+
+
+def test_pq_guards(spark):
+    import pytest as _pytest
+
+    from waddleml_spark.llmops import similarity
+
+    emb, cb = _pq_fixture(spark)
+    with _pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_train(emb, m_subspaces=7, id_col="vec_id")
+    codes = similarity.pq_encode(emb, cb)
+    with _pytest.raises(ValueError, match="query dim"):
+        similarity.pq_topk(codes, cb, [1.0, 2.0], k=5)
+    with _pytest.raises(ValueError, match="rerank requires"):
+        similarity.pq_topk(codes, cb, [0.0] * 64, k=5, rerank=10)

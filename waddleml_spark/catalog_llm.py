@@ -1214,6 +1214,57 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("pq_ann_report", None)
+def pq_ann_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN quality (rows-only: k-means + Arrow
+    kernels are not SQL-expressible): recall@10 of raw ADC scoring and of
+    ADC + exact rerank (R = 4k) against brute-force cosine ground truth,
+    for three probe vectors, plus the index compression ratio (raw
+    float32 bytes per vector / PQ code bytes).  The PQ fit is
+    sample-bounded and layout-deterministic (similarity.pq_train); encode
+    and scoring are map-only full-corpus passes — the serving scan reads
+    the m-byte codes, ~32× less than raw vectors at d=64/m=8.  Like
+    ann_recall_report, the synthetic embeddings are near-uniform (hardest
+    ANN case): the report's job is the monotone plain→rerank recall gain
+    operators tune at scale, not absolute recall."""
+    emb = t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    m, n_codes = 8, 16
+    cb = similarity.pq_train(emb, m_subspaces=m, n_codes=n_codes, id_col="vec_id")
+    codes = similarity.pq_encode(emb, cb)
+    # 4 bytes/dim raw vs one small int per subspace + the 8-byte norm
+    compression = float(4 * dim) / float(m + 8)
+    rows = []
+    for qid in (0, 1, 2):
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).select("embedding").head()[0]
+        ]
+        cand_c = codes.filter(F.col("vec_id") != qid)
+        cand_e = emb.filter(F.col("vec_id") != qid)
+        exact = {
+            r.vec_id for r in similarity.cosine_topk(cand_e, qvec, k=10).collect()
+        }
+        adc = {
+            r.vec_id
+            for r in similarity.pq_topk(cand_c, cb, qvec, k=10).collect()
+        }
+        rr = {
+            r.vec_id
+            for r in similarity.pq_topk(
+                cand_c, cb, qvec, k=10, rerank=40, corpus=cand_e
+            ).collect()
+        }
+        rows.append(
+            (qid, 10, len(adc & exact) / 10.0, len(rr & exact) / 10.0, compression)
+        )
+    return spark.createDataFrame(
+        rows,
+        "query_id int, k int, recall_adc double, recall_rerank double, "
+        "compression_x double",
+    )
+
+
 @_register("neardup_cluster_report", None)
 def neardup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup dedup pipeline in one query (rows-only: the

@@ -412,6 +412,238 @@ def ivf_topk(
     return cosine_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
 
 
+def _lloyd_kmeans(X, n_codes: int, seed: int, iters: int = 15):
+    """Deterministic Lloyd's k-means (k-means++ init from a fixed
+    RandomState) — driver-side only, over the bounded PQ fit sample.
+    Input rows must already be in a canonical order (the caller sorts):
+    collect() order is partition-layout-dependent and would otherwise
+    leak into the init draws and thus every downstream code."""
+    import numpy as np
+
+    n = len(X)
+    k = min(n_codes, n)
+    rng = np.random.RandomState(seed)
+    centers = np.empty((k, X.shape[1]))
+    centers[0] = X[rng.randint(n)]
+    d2 = ((X - centers[0]) ** 2).sum(1)
+    for i in range(1, k):
+        tot = d2.sum()
+        if tot <= 0:  # all points identical / already covered
+            centers[i:] = centers[0]
+            break
+        centers[i] = X[rng.choice(n, p=d2 / tot)]
+        d2 = np.minimum(d2, ((X - centers[i]) ** 2).sum(1))
+    for _ in range(iters):
+        dist = -2 * X @ centers.T + (centers**2).sum(1)[None, :]
+        assign = dist.argmin(1)
+        new = centers.copy()
+        for i in range(k):
+            mask = assign == i
+            if mask.any():
+                new[i] = X[mask].mean(0)
+        if np.allclose(new, centers):
+            break
+        centers = new
+    if k < n_codes:  # pad so the codebook/LUT shape is fixed; argmin's
+        # first-occurrence rule keeps assignment deterministic over dupes
+        centers = np.vstack([centers, np.repeat(centers[-1:], n_codes - k, 0)])
+    return centers
+
+
+def pq_train(
+    corpus: DataFrame,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str | None = None,
+    seed: int = 42,
+    fit_sample_rows: int = 100_000,
+    iters: int = 15,
+):
+    """Product-quantization codebooks: split d dims into ``m_subspaces``
+    blocks, k-means each block to ``n_codes`` centroids.  Returns a
+    numpy array (m, n_codes, d/m) — a few KB, broadcastable anywhere.
+
+    The scale step BEYOND IVF: a PQ code is m bytes-ish per vector
+    (m small ints) vs 4·d for raw float32 — at d=64, m=8 the ANN scan
+    reads ~32× less, turning a memory-bandwidth-bound exact scan into a
+    table-lookup scan (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search").  Like :func:`ivf_index`, the FIT is
+    bounded: a deterministic Murmur3-hash Bernoulli sample capped at
+    ``fit_sample_rows`` (layout-independent, unlike df.sample), sorted
+    canonically before the k-means++ draws so collect order cannot leak
+    into the codebooks.  Encoding and scoring stay full-corpus map-only
+    passes (:func:`pq_encode`, :func:`pq_topk`).
+    """
+    import numpy as np
+
+    probe = corpus.limit(fit_sample_rows + 1).count()
+    fit_df = corpus
+    if probe > fit_sample_rows:
+        n = corpus.count()
+        levels = 1 << 20
+        thresh = int(min(1.0, 1.1 * fit_sample_rows / n) * levels)
+        key = F.col(id_col) if id_col is not None else as_double(F.col(vec_col))
+        fit_df = corpus.filter(
+            F.pmod(F.abs(F.hash(key, F.lit(seed))), levels) < thresh
+        )
+    rows = fit_df.select(as_double(F.col(vec_col)).alias("v")).collect()
+    X = np.stack([np.asarray(r.v, dtype="float64") for r in rows])
+    X = X[np.lexsort(X.T[::-1])]  # canonical row order (see _lloyd_kmeans)
+    d = X.shape[1]
+    if d % m_subspaces:
+        raise ValueError(f"dim {d} not divisible by m_subspaces={m_subspaces}")
+    dsub = d // m_subspaces
+    return np.stack(
+        [
+            _lloyd_kmeans(
+                X[:, j * dsub : (j + 1) * dsub], n_codes, seed + j, iters
+            )
+            for j in range(m_subspaces)
+        ]
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector to its PQ code: per subspace, the index of the
+    nearest codebook centroid.  Returns (<id_col>, pq_code array<int>,
+    vec_norm double) — the norm rides along so :func:`pq_topk` can serve
+    COSINE from codes alone.  One map-only Arrow pass (broadcast
+    codebooks, vectorized argmin per batch); zero shuffle.  Store this
+    frame as the serving index — it is ~32× smaller than the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from waddleml_spark.session import ensure_shipped, fan_out
+
+    spark = corpus.sparkSession
+    ensure_shipped(spark)
+    bcb = spark.sparkContext.broadcast(np.asarray(codebooks, dtype="float64"))
+    id_type = corpus.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("pq_code", T.ArrayType(T.IntegerType())),
+            T.StructField("vec_norm", T.DoubleType()),
+        ]
+    )
+
+    def encode(batches):
+        cb = bcb.value  # (m, n_codes, dsub)
+        m, _, dsub = cb.shape
+        cb2 = (cb**2).sum(2)  # (m, n_codes)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["__v"].to_numpy()).astype("float64")
+            codes = np.empty((len(X), m), dtype="int32")
+            for j in range(m):
+                Xs = X[:, j * dsub : (j + 1) * dsub]
+                # ||x-c||^2 argmin == (-2 x·c + ||c||^2) argmin
+                codes[:, j] = (-2 * Xs @ cb[j].T + cb2[j][None, :]).argmin(1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["__id"],
+                    "pq_code": list(codes),
+                    "vec_norm": np.linalg.norm(X, axis=1),
+                }
+            )
+
+    src = fan_out(
+        corpus.select(
+            F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+        )
+    )
+    return src.mapInPandas(encode, schema)
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    rerank: int = 0,
+    corpus: DataFrame | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k by asymmetric distance (ADC): the query is cut into
+    subvectors, a (m × n_codes) lookup table of dot-product contributions
+    is built DRIVER-side and broadcast, and each row's approximate dot is
+    m table lookups — never touching the raw vectors.  cos ≈ adc_dot /
+    (|q|·vec_norm).  Returns (<id_col>, cos_sim) desc, id tiebreak.
+
+    With ``rerank`` R > 0 (requires ``corpus``): take the top R by ADC,
+    then EXACT cosine on just those R rows — the production IVF-PQ
+    serving shape (codes pick candidates at 32× scan bandwidth, floats
+    only load for R rows).  The id set crossing the driver is O(R)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from waddleml_spark.session import ensure_shipped
+
+    spark = codes.sparkSession
+    ensure_shipped(spark)
+    cb = np.asarray(codebooks, dtype="float64")
+    m, _, dsub = cb.shape
+    q = np.asarray([float(x) for x in query_vec], dtype="float64")
+    if len(q) != m * dsub:
+        raise ValueError(f"query dim {len(q)} != codebook dim {m * dsub}")
+    lut = np.einsum("mkd,md->mk", cb, q.reshape(m, dsub))  # (m, n_codes)
+    qnorm = max(math.sqrt(float(q @ q)), 1e-300)
+    blut = spark.sparkContext.broadcast(lut)
+
+    def score(batches):
+        tbl = blut.value
+        rng = np.arange(tbl.shape[0])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.stack(pdf["pq_code"].to_numpy()).astype("int64")
+            adc = tbl[rng[None, :], cmat].sum(1)
+            nrm = np.maximum(pdf["vec_norm"].to_numpy(), 1e-300)
+            yield pd.DataFrame(
+                {"__id": pdf["__id"], "cos_sim": adc / (qnorm * nrm)}
+            )
+
+    id_type = codes.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("__id", id_type),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+    src = codes.select(
+        F.col(id_col).alias("__id"), "pq_code", "vec_norm"
+    )
+    scored = src.mapInPandas(score, schema)
+    take = max(k, rerank)
+    top = (
+        scored.orderBy(F.desc("cos_sim"), F.asc("__id"))
+        .limit(take)
+        .select(F.col("__id").alias(id_col), "cos_sim")
+    )
+    if rerank <= 0:
+        return top.limit(k)
+    if corpus is None:
+        raise ValueError("rerank requires the raw corpus for exact cosine")
+    cand_ids = [r[0] for r in top.select(id_col).collect()]  # O(rerank)
+    return cosine_topk(
+        corpus.filter(F.col(id_col).isin(cand_ids)),
+        list(query_vec),
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     query_vec: list[float],
