@@ -56,6 +56,7 @@ QUERIES = [
     "media_phash_neardup",
     "audio_fp_neardup",
     "learned_filter_report",
+    "pq_ann_report",
 ]
 
 

@@ -336,3 +336,31 @@ def test_pq_guards(spark):
         similarity.pq_topk(codes, cb, [1.0, 2.0], k=5)
     with _pytest.raises(ValueError, match="rerank requires"):
         similarity.pq_topk(codes, cb, [0.0] * 64, k=5, rerank=10)
+
+
+def test_ivfpq_topk_equals_pq_within_probed_cells(spark):
+    # IVF-PQ = PQ restricted to the probed cells: with n_probe = n_cells
+    # the two must return identical rows; keep_cols must pass ivf_cell
+    # through pq_encode untouched
+    from pyspark.sql import functions as F
+
+    from waddleml_spark.llmops import similarity
+
+    emb, cb = _pq_fixture(spark)
+    model, with_cells = similarity.ivf_index(emb, n_cells=4, id_col="vec_id")
+    codes = similarity.pq_encode(with_cells, cb, keep_cols=("ivf_cell",))
+    assert codes.schema["ivf_cell"].dataType.simpleString() == "int"
+    cells = {r.vec_id: r.ivf_cell for r in with_cells.select("vec_id", "ivf_cell").collect()}
+    assert {r.vec_id: r.ivf_cell for r in codes.select("vec_id", "ivf_cell").collect()} == cells
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    cand = codes.filter(F.col("vec_id") != 0)
+    full = similarity.pq_topk(cand, cb, q, k=10).collect()
+    allprobe = similarity.ivfpq_topk(cand, model, cb, q, k=10, n_probe=4).collect()
+    assert [(r.vec_id, r.cos_sim) for r in full] == [
+        (r.vec_id, r.cos_sim) for r in allprobe
+    ]
+    # with one probed cell every returned id lives in that single cell
+    one = similarity.ivfpq_topk(cand, model, cb, q, k=10, n_probe=1).collect()
+    got_cells = {cells[r.vec_id] for r in one}
+    assert len(got_cells) == 1

@@ -509,13 +509,16 @@ def pq_encode(
     codebooks,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector to its PQ code: per subspace, the index of the
     nearest codebook centroid.  Returns (<id_col>, pq_code array<int>,
     vec_norm double) — the norm rides along so :func:`pq_topk` can serve
-    COSINE from codes alone.  One map-only Arrow pass (broadcast
-    codebooks, vectorized argmin per batch); zero shuffle.  Store this
-    frame as the serving index — it is ~32× smaller than the corpus."""
+    COSINE from codes alone.  ``keep_cols`` pass through unchanged (e.g.
+    ``ivf_cell`` for :func:`ivfpq_topk`).  One map-only Arrow pass
+    (broadcast codebooks, vectorized argmin per batch); zero shuffle.
+    Store this frame as the serving index — ~32× smaller than the
+    corpus."""
     import numpy as np
     import pandas as pd
 
@@ -531,6 +534,7 @@ def pq_encode(
             T.StructField("pq_code", T.ArrayType(T.IntegerType())),
             T.StructField("vec_norm", T.DoubleType()),
         ]
+        + [T.StructField(c, corpus.schema[c].dataType) for c in keep_cols]
     )
 
     def encode(batches):
@@ -546,17 +550,20 @@ def pq_encode(
                 Xs = X[:, j * dsub : (j + 1) * dsub]
                 # ||x-c||^2 argmin == (-2 x·c + ||c||^2) argmin
                 codes[:, j] = (-2 * Xs @ cb[j].T + cb2[j][None, :]).argmin(1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf["__id"],
-                    "pq_code": list(codes),
-                    "vec_norm": np.linalg.norm(X, axis=1),
-                }
-            )
+            out = {
+                id_col: pdf["__id"],
+                "pq_code": list(codes),
+                "vec_norm": np.linalg.norm(X, axis=1),
+            }
+            for c in keep_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     src = fan_out(
         corpus.select(
-            F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+            F.col(id_col).alias("__id"),
+            as_double(F.col(vec_col)).alias("__v"),
+            *keep_cols,
         )
     )
     return src.mapInPandas(encode, schema)
@@ -641,6 +648,46 @@ def pq_topk(
         k=k,
         vec_col=vec_col,
         id_col=id_col,
+    )
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    model,
+    codebooks,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    rerank: int = 0,
+    corpus: DataFrame | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full IVF-PQ serving stack: probe the ``n_probe`` nearest IVF
+    cells (centroid distances driver-side), ADC-score only the PQ codes
+    inside them, optionally exact-rerank the top R.  ``codes`` is
+    :func:`pq_encode` output with ``keep_cols=("ivf_cell",)`` over an
+    :func:`ivf_index`-assigned corpus.  100 TB shape: the index is
+    partition-prunable on ``ivf_cell`` AND ~32× smaller than raw
+    vectors, so a probe touches n_probe/n_cells of a 32×-compressed
+    table; floats load only for the R rerank rows."""
+    import math
+
+    centers = model.clusterCenters()
+    dists = sorted(
+        (math.dist(query_vec, list(c)), i) for i, c in enumerate(centers)
+    )
+    probe = [i for _, i in dists[:n_probe]]
+    cand = codes.filter(F.col("ivf_cell").isin(probe))
+    return pq_topk(
+        cand,
+        codebooks,
+        query_vec,
+        k=k,
+        id_col=id_col,
+        rerank=rerank,
+        corpus=corpus,
+        vec_col=vec_col,
     )
 
 
