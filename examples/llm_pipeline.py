@@ -48,6 +48,17 @@ approx = similarity.ivf_topk(cells, model, q, k=5, n_probe=2).collect()
 print("exact top-5:", [(r.vec_id, round(r.cos_sim, 4)) for r in exact])
 print("ivf   top-5:", [(r.vec_id, round(r.cos_sim, 4)) for r in approx])
 
+# 5a. IVF-PQ: the compressed serving stack — codebooks fit on a bounded
+# sample, the index is m-byte codes (+norm) instead of raw floats, a
+# probe ADC-scans only the nearest cells, exact rerank touches R rows
+cb = similarity.pq_train(emb, m_subspaces=8, n_codes=16, id_col="vec_id")
+codes = similarity.pq_encode(cells, cb, keep_cols=("ivf_cell",))
+pq = similarity.ivfpq_topk(
+    codes, model, cb, q, k=5, n_probe=4, rerank=20,
+    corpus=emb.filter(F.col("vec_id") != 0),
+).collect()
+print("ivfpq top-5:", [(r.vec_id, round(r.cos_sim, 4)) for r in pq])
+
 # 5b. batched serving: many queries, ONE corpus scan (numpy matmul per
 # Arrow batch — 21.8x faster than a per-query loop at 100 queries)
 queries = [
