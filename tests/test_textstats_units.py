@@ -109,3 +109,24 @@ def test_ws_class_identical_across_java_and_re2_on_vertical_tab(spark):
         f"SELECT str_split_regex('{text}', '{WS_RE}') AS t"
     ).fetchone()[0]
     assert spark_toks == duck_toks == ["alpha", "beta", "gamma"]
+
+
+def test_bpe_token_class_identical_across_engines_on_vertical_tab(spark):
+    # the BPE pattern's NEGATED class ([^A-Za-z0-9<ws>]) hits the same
+    # Java-vs-RE2 `\s` divergence: \x0b must count as whitespace (never a
+    # symbol token) in BOTH engines
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from waddleml_spark.llmops.textstats import BPE_RE
+
+    text = "ab\x0b! cd"
+    n_spark = (
+        spark.range(1)
+        .select(F.size(F.regexp_extract_all(F.lit(text), F.lit(BPE_RE), F.lit(0))).alias("n"))
+        .collect()[0]["n"]
+    )
+    n_duck = duckdb.sql(
+        f"SELECT len(regexp_extract_all('{text}', '{BPE_RE}')) AS n"
+    ).fetchone()[0]
+    assert n_spark == n_duck == 3  # ab, !, cd — \x0b is whitespace

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from waddleml_spark.catalog import _r, _r_sql, _register, t
 from waddleml_spark.llmops import dedup, multimodal, pii, similarity, textstats
+from waddleml_spark.llmops import WS_CHARS as _WSC
 from waddleml_spark.llmops import WS_RE as _WS  # one whitespace class for Spark
 # (Java regex) and the DuckDB oracles (RE2): the engines' `\\s` differ on \\x0b.
 
@@ -61,7 +62,7 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WORDS_SQL = "avg(len(regexp_extract_all(text, '[A-Za-z0-9]+')))"
-_TOKENS_SQL = r"avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))"
+_TOKENS_SQL = f"avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9{_WSC}]')))"
 
 
 @_register(
@@ -86,9 +87,9 @@ def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "token_totals_by_source",
-    r"""
+    rf"""
     SELECT source,
-           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9{_WSC}]'))) AS BIGINT) AS total_tokens,
            CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS total_words
     FROM documents GROUP BY source
     """,
@@ -722,10 +723,10 @@ def dataset_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "sequence_packing_report",
-    r"""
+    rf"""
     WITH toks AS (
         SELECT doc_id,
-               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_tok,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9{_WSC}]')) AS n_tok,
                md5(CAST(doc_id AS VARCHAR)) AS h
         FROM documents),
     cum AS (

@@ -13,13 +13,16 @@ from __future__ import annotations
 
 import threading
 
-# Whitespace class spelled EXPLICITLY and identically for Java regex
-# (Spark) and RE2 (DuckDB oracles).  The engines' `\s` shorthands differ:
-# Java's is [ \t\n\x0B\f\r] while RE2's is [ \t\n\f\r] (no vertical tab),
-# so a document containing \x0b would tokenize/chunk differently between
-# a query and its oracle — a latent driver-window red.  This set equals
-# Java's `\s`, so Spark-side behavior is unchanged; the oracle gains \x0b.
-WS_RE = r"[ \t\n\r\f\x0b]+"
+# Whitespace spelled EXPLICITLY and identically for Java regex (Spark)
+# and RE2 (DuckDB oracles).  The engines' `\s` shorthands differ: Java's
+# is [ \t\n\x0B\f\r] while RE2's is [ \t\n\f\r] (no vertical tab), so a
+# document containing \x0b would tokenize/chunk differently between a
+# query and its oracle — a latent driver-window red.  The set equals
+# Java's `\s`, so Spark-side behavior is unchanged; the oracle gains
+# \x0b.  WS_CHARS is the raw member list for composing into OTHER
+# classes (e.g. the BPE token pattern's negated class) on both sides.
+WS_CHARS = r" \t\n\r\f\x0b"
+WS_RE = f"[{WS_CHARS}]+"
 
 
 def rotate_persist(slot: str, df):

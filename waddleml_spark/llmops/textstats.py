@@ -10,13 +10,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 
-from . import WS_RE
+from . import WS_CHARS, WS_RE
 from pyspark.sql import functions as F
 
 # Word-ish tokens: runs of alphanumerics.  BPE-ish tokens additionally split
 # out digits and punctuation (GPT-2-style pre-tokenizer, simplified).
 WORD_RE = "[A-Za-z0-9]+"
-BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+# \s spelled via WS_CHARS: Java and RE2 disagree on \x0b, and this
+# pattern has DuckDB oracle twins (token_totals_by_source et al.)
+BPE_RE = f"[A-Za-z]+|[0-9]|[^A-Za-z0-9{WS_CHARS}]"
 
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic
 # language-ID.  Deterministic, oracle-expressible.
@@ -42,7 +44,7 @@ def token_count_bpe(text: Column) -> Column:
 
 def punct_count(text: Column) -> Column:
     return F.size(
-        F.regexp_extract_all(text, F.lit("[^A-Za-z0-9\\s]"), F.lit(0))
+        F.regexp_extract_all(text, F.lit(f"[^A-Za-z0-9{WS_CHARS}]"), F.lit(0))
     )
 
 
