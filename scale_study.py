@@ -57,6 +57,7 @@ QUERIES = [
     "audio_fp_neardup",
     "learned_filter_report",
     "pq_ann_report",
+    "bloom_decontamination_report",
 ]
 
 

@@ -289,3 +289,55 @@ def test_passage_dup_report_detects_shared_block(spark):
     assert out["src0"].dup_passages == 1 and out["src0"].docs_affected == 1
     assert out["src1"].dup_passages == 1 and out["src1"].docs_affected == 1
     assert out["src1"].docs_affected == 1  # doc2 untouched
+
+
+def test_bloom_no_false_negatives_and_measured_fp(spark):
+    # every built value must be flagged (Bloom cannot false-negative);
+    # values never built flag only at the (small) false-positive rate
+    from pyspark.sql import functions as F
+
+    from waddleml_spark.llmops import bloom
+
+    members = spark.range(0, 2000).select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("v")
+    )
+    others = spark.range(0, 2000).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("v")
+    )
+    bits = bloom.bloom_build(members, "v", n_bits=1 << 16, k=5)
+    assert len(bits) == (1 << 16) // 8
+    flagged_m = bloom.bloom_flag(members, "v", bits).filter("in_bloom").count()
+    assert flagged_m == 2000  # no false negatives, ever
+    fp = bloom.bloom_flag(others, "v", bits).filter("in_bloom").count()
+    # m=65536 bits, n=2000, k=5 -> theoretical fp ~ 0.00025; allow 50x
+    assert fp <= 25
+    # determinism across partition layouts
+    bits2 = bloom.bloom_build(members.repartition(7), "v", n_bits=1 << 16, k=5)
+    assert bits == bits2
+
+
+def test_bloom_decontamination_bounds_exact(spark):
+    # the self-audit invariant: bloom-flagged doc count >= exact
+    # contaminated count per source, and both <= n_docs
+    from pyspark.sql import functions as F
+
+    from waddleml_spark.llmops import bloom
+    from waddleml_spark.session import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    rep = bloom.bloom_decontamination_report(
+        docs, bench_pred=F.col("source") == "src0"
+    ).collect()
+    assert len(rep) >= 1
+    for r in rep:
+        assert 0 <= r.n_contaminated <= r.n_flagged <= r.n_docs
+    # cross-check the exact column against the certified exact query
+    from waddleml_spark import catalog
+
+    exact = {
+        r.source: r.n_contaminated
+        for r in catalog.QUERIES["contamination_by_source"](spark, SF_SMOKE).collect()
+    }
+    got = {r.source: r.n_contaminated for r in rep}
+    assert got == exact

@@ -1215,6 +1215,24 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("bloom_decontamination_report", None)
+def bloom_decontamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (rows-only: the packed-bitset build/
+    probe kernels are not SQL-expressible), SELF-AUDITED: per corpus
+    source, docs flagged by the compact broadcast bitset vs truly
+    contaminated by the exact shingle semi-join on the same data.
+    n_flagged >= n_contaminated always (Bloom has no false negatives);
+    the gap IS the measured false-positive cost of replacing a
+    benchmark-sized broadcast join with an n_bits/8-byte bitset.  The
+    exact twin is `contamination_by_source`; this is its 100 TB shape
+    when the benchmark shingle set outgrows a broadcast hash set."""
+    from waddleml_spark.llmops import bloom
+
+    return bloom.bloom_decontamination_report(
+        t(spark, sf_dir, "documents"), bench_pred=F.col("source") == "src0"
+    )
+
+
 @_register("pq_ann_report", None)
 def pq_ann_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN quality (rows-only: k-means + Arrow
