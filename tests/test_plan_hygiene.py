@@ -47,6 +47,13 @@ _WIDE_SCAN_BUDGET = {
     # execution count 1
     "media_frame_neardup_pairs": 2,
     "sequence_packing_report": 2,
+    # the CMS audit persists the token explode; the sketch-build action
+    # materializes it, so the returned plan's single reference prints
+    # the cached subtree's text scan twice (cache-build + reference) —
+    # textual count 2, execution count 1.  The audit is intrinsically
+    # two logical passes (sketch pass + exact-count pass) like the
+    # bigram LM's train-then-score
+    "cms_heavy_hitters_report": 2,
     # the end-to-end funnel persists THREE doc-grain frames (base flags,
     # exact keepers, final keepers) and unions five aggregates over
     # them; the plan STRING prints the cached base subtree's text scan

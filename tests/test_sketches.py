@@ -43,3 +43,43 @@ def test_merged_sketch_matches_whole_range_estimate(spark):
         .collect()[0][0]
     )
     assert merged == whole
+
+
+def test_cms_one_sided_error_and_merge(spark):
+    # estimate >= exact for EVERY value; merging two halves by addition
+    # equals the sketch of the whole (count-min is a linear sketch);
+    # partition layout cannot change the matrix
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from waddleml_spark.operators import sketches
+
+    df = spark.range(0, 5000).select(
+        F.concat(F.lit("w"), (F.col("id") % 300).cast("string")).alias("v"),
+        (F.col("id") % 2 == 0).alias("half"),
+    )
+    cms = sketches.cms_build(df, "v", width=1 << 10, depth=4)
+    assert cms.shape == (4, 1 << 10) and cms.sum() == 5000 * 4
+    exact = df.groupBy("v").agg(F.count("*").alias("n"))
+    est = sketches.cms_estimates(exact, "v", cms).collect()
+    assert all(r.cms_est >= r.n for r in est)
+    # width 1024 >> 300 distinct: most estimates exact, overcount bounded
+    assert sum(r.cms_est - r.n for r in est) <= 2 * 5000 * 4 // (1 << 10) * 300
+
+    a = sketches.cms_build(df.filter("half"), "v", width=1 << 10, depth=4)
+    b = sketches.cms_build(df.filter("NOT half"), "v", width=1 << 10, depth=4)
+    assert np.array_equal(a + b, cms)
+    again = sketches.cms_build(df.repartition(7), "v", width=1 << 10, depth=4)
+    assert np.array_equal(again, cms)
+
+
+def test_cms_heavy_hitters_report_invariants(spark):
+    from waddleml_spark import catalog
+    from tests.conftest import SF_SMOKE
+
+    rows = catalog.QUERIES["cms_heavy_hitters_report"](spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    assert all(r.cms_est >= r.exact_n and r.overcount == r.cms_est - r.exact_n
+               for r in rows)
+    # top-20 ordered by exact count desc
+    assert [r.exact_n for r in rows] == sorted((r.exact_n for r in rows), reverse=True)

@@ -1215,6 +1215,41 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("cms_heavy_hitters_report", None)
+def cms_heavy_hitters_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency audit (rows-only: the packed-matrix
+    kernels are not SQL-expressible): the exact top-20 corpus tokens
+    with their count-min estimates side by side.  SELF-AUDITED:
+    cms_est >= exact always (one-sided error by construction); the
+    overcount column is the measured collision cost of replacing a
+    vocabulary-sized exact frequency table with a 512 KB mergeable
+    sketch.  The token explode feeds build AND exact counting — persisted
+    once (Catalyst no-CSE rule)."""
+    from waddleml_spark.llmops import rotate_persist
+    from waddleml_spark.llmops.textstats import word_tokens
+    from waddleml_spark.operators import sketches
+    from waddleml_spark.session import fan_out
+
+    toks = fan_out(
+        t(spark, sf_dir, "documents").select(
+            F.explode(word_tokens(F.col("text"))).alias("tok")
+        )
+    )
+    toks = rotate_persist("cms.tokens", toks)
+    cms = sketches.cms_build(toks, "tok")
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+        .limit(20)
+    )
+    return (
+        sketches.cms_estimates(top, "tok", cms)
+        .withColumn("overcount", F.col("cms_est") - F.col("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+    )
+
+
 @_register("bloom_decontamination_report", None)
 def bloom_decontamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination (rows-only: the packed-bitset build/

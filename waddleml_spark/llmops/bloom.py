@@ -144,15 +144,19 @@ def bloom_decontamination_report(
     contaminated, so the false-positive cost of the compact filter is a
     measured number, not a formula.  n_flagged >= n_contaminated always
     (no false negatives)."""
-    from waddleml_spark.llmops import rotate_persist
     from waddleml_spark.llmops.textstats import shingles_from_tokens, word_tokens
     from waddleml_spark.session import fan_out
 
-    # doc-grain shingle arrays, persisted: the frame feeds FOUR consumers
-    # (doc counting, bloom build action, probe branch, exact-audit semi
-    # join) and Catalyst does not dedupe common subtrees.  Tokenize below
-    # the fan_out barrier so the HOF shingle lambda reads materialized
-    # tokens (the measured 9x no-CSE trap, see ngram_collision_report).
+    # doc-grain shingle arrays, localCheckpoint'ed: the frame feeds FOUR
+    # consumers (doc counting, bloom build action, probe branch,
+    # exact-audit semi join) and Catalyst does not dedupe common
+    # subtrees — an eager checkpoint CUTS the lineage so the corpus text
+    # scan happens exactly once even in the uncached plan (persist keeps
+    # lineage: the plan-hygiene gate measured 8 wide scans that would
+    # each re-read the text at corpus scale if blocks were evicted).
+    # Tokenize below the fan_out barrier so the HOF shingle lambda reads
+    # materialized tokens (the measured 9x no-CSE trap, see
+    # ngram_collision_report).
     toks = fan_out(
         docs.select(
             "doc_id",
@@ -167,7 +171,7 @@ def bloom_decontamination_report(
         "__bench",
         shingles_from_tokens(F.col("__t"), k_shingle).alias("__g"),
     )
-    sh = rotate_persist("bloom.shingles", sh)
+    sh = sh.localCheckpoint()
     # explode_outer keeps shingle-less docs (< k words) as docs — the
     # exact twin (`contamination_by_source`) counts them, so must we
     bench_g = (
