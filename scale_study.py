@@ -58,6 +58,7 @@ QUERIES = [
     "learned_filter_report",
     "pq_ann_report",
     "bloom_decontamination_report",
+    "cms_heavy_hitters_report",
 ]
 
 

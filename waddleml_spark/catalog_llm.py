@@ -1277,15 +1277,21 @@ def pq_ann_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     float32 bytes per vector / PQ code bytes).  The PQ fit is
     sample-bounded and layout-deterministic (similarity.pq_train); encode
     and scoring are map-only full-corpus passes — the serving scan reads
-    the m-byte codes, ~32× less than raw vectors at d=64/m=8.  Like
+    the m-byte codes + norm, ~16× less than raw vectors at d=64/m=8
+    (exactly the compression_x column below).  Like
     ann_recall_report, the synthetic embeddings are near-uniform (hardest
     ANN case): the report's job is the monotone plain→rerank recall gain
     operators tune at scale, not absolute recall."""
     emb = t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").head()[0])
     m, n_codes = 8, 16
+    from waddleml_spark.llmops import rotate_persist
+
     cb = similarity.pq_train(emb, m_subspaces=m, n_codes=n_codes, id_col="vec_id")
-    codes = similarity.pq_encode(emb, cb)
+    # the encode pipeline feeds SIX actions across the 3-query loop
+    # (ADC + rerank's internal candidate collect per query) and Catalyst
+    # does not dedupe subtrees — persist so the Arrow encode runs once
+    codes = rotate_persist("pq.codes", similarity.pq_encode(emb, cb))
     # 4 bytes/dim raw vs one small int per subspace + the 8-byte norm
     compression = float(4 * dim) / float(m + 8)
     rows = []

@@ -65,3 +65,20 @@ def humanize_bytes(n: Column) -> Column:
         .when(n < gb, F.format_string("%.1f MB", n / mb))
         .otherwise(F.format_string("%.1f GB", n / gb))
     )
+
+
+def hash_positions(value: Column | str, n: int, k: int, seed: int) -> Column:
+    """k bucket positions in [0, n) for ``value``: pmod(xxhash64(v, seed+i), n).
+
+    The ONE definition shared by every build/probe sketch pair
+    (llmops.bloom bitsets, operators.sketches count-min): both sides of
+    a sketch must hash identically or membership/estimates silently
+    break, so the expression lives here and is imported, never copied.
+    """
+    col = F.col(value) if isinstance(value, str) else value
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col, F.lit(seed + i)), F.lit(n)).cast("long")
+            for i in range(k)
+        ]
+    )

@@ -33,14 +33,12 @@ from pyspark.sql import types as T
 
 
 def _bit_positions(value: Column, n_bits: int, k: int, seed: int) -> Column:
-    """k bit positions for ``value`` — one JVM expression, shared verbatim
-    by build and probe so the hash families can never drift apart."""
-    return F.array(
-        *[
-            F.pmod(F.xxhash64(value, F.lit(seed + i)), F.lit(n_bits)).cast("long")
-            for i in range(k)
-        ]
-    )
+    """k bit positions for ``value`` — the ONE shared build/probe hash
+    expression (functions.scalars.hash_positions; the count-min sketch
+    uses the same helper, so the pairing rule holds by construction)."""
+    from waddleml_spark.functions.scalars import hash_positions
+
+    return hash_positions(value, n_bits, k, seed)
 
 
 def bloom_build(

@@ -389,6 +389,19 @@ def ivf_index(
     return model, model.transform(df).drop("__vec")
 
 
+def _probe_cells(model, query_vec: list[float], n_probe: int) -> list[int]:
+    """The n_probe nearest IVF cells to the query (centroid distances
+    driver-side — centroids are tiny).  ONE definition shared by ivf_topk
+    and ivfpq_topk so their probe sets can never diverge."""
+    import math
+
+    centers = model.clusterCenters()
+    dists = sorted(
+        (math.dist(query_vec, list(c)), i) for i, c in enumerate(centers)
+    )
+    return [i for _, i in dists[:n_probe]]
+
+
 def ivf_topk(
     corpus_with_cells: DataFrame,
     model,
@@ -398,16 +411,9 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """ANN via IVF: probe the n_probe nearest cells to the query (centroid
-    distances computed driver-side — centroids are tiny), exact cosine
-    top-k inside the probed cells only."""
-    import math
-
-    centers = model.clusterCenters()
-    dists = sorted(
-        (math.dist(query_vec, list(c)), i) for i, c in enumerate(centers)
-    )
-    probe = [i for _, i in dists[:n_probe]]
+    """ANN via IVF: probe the n_probe nearest cells to the query, exact
+    cosine top-k inside the probed cells only."""
+    probe = _probe_cells(model, query_vec, n_probe)
     cand = corpus_with_cells.filter(F.col("ivf_cell").isin(probe))
     return cosine_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
 
@@ -466,7 +472,9 @@ def pq_train(
 
     The scale step BEYOND IVF: a PQ code is m bytes-ish per vector
     (m small ints) vs 4·d for raw float32 — at d=64, m=8 the ANN scan
-    reads ~32× less, turning a memory-bandwidth-bound exact scan into a
+    reads ~16× less (m code bytes + the 8-byte norm vs 4·d raw —
+    the figure pq_ann_report's compression_x column measures), turning
+    a memory-bandwidth-bound exact scan into a
     table-lookup scan (Jégou et al. 2011, "Product Quantization for
     Nearest Neighbor Search").  Like :func:`ivf_index`, the FIT is
     bounded: a deterministic Murmur3-hash Bernoulli sample capped at
@@ -477,6 +485,16 @@ def pq_train(
     """
     import numpy as np
 
+    # validate from ONE row before any corpus-scale action: a bad
+    # m_subspaces or an empty corpus must fail in milliseconds, not
+    # after a sample collect (and np.stack on [] raises an opaque
+    # 'need at least one array' — the cosine_topk_batch precedent)
+    head = corpus.select(as_double(F.col(vec_col)).alias("v")).head()
+    if head is None:
+        raise ValueError("pq_train: empty corpus")
+    d = len(head.v)
+    if d % m_subspaces:
+        raise ValueError(f"dim {d} not divisible by m_subspaces={m_subspaces}")
     probe = corpus.limit(fit_sample_rows + 1).count()
     fit_df = corpus
     if probe > fit_sample_rows:
@@ -484,15 +502,18 @@ def pq_train(
         levels = 1 << 20
         thresh = int(min(1.0, 1.1 * fit_sample_rows / n) * levels)
         key = F.col(id_col) if id_col is not None else as_double(F.col(vec_col))
-        fit_df = corpus.filter(
+        sampled = corpus.filter(
             F.pmod(F.abs(F.hash(key, F.lit(seed))), levels) < thresh
         )
+        # degenerate-draw guard (mirrors ivf_index): value-keyed trials
+        # give duplicate vectors ONE fate, so a template-heavy corpus can
+        # collapse the draw below the codebook size (or to zero rows);
+        # fall back to the full-corpus fit rather than crash or underfit
+        if id_col is not None or sampled.limit(n_codes).count() >= n_codes:
+            fit_df = sampled
     rows = fit_df.select(as_double(F.col(vec_col)).alias("v")).collect()
     X = np.stack([np.asarray(r.v, dtype="float64") for r in rows])
     X = X[np.lexsort(X.T[::-1])]  # canonical row order (see _lloyd_kmeans)
-    d = X.shape[1]
-    if d % m_subspaces:
-        raise ValueError(f"dim {d} not divisible by m_subspaces={m_subspaces}")
     dsub = d // m_subspaces
     return np.stack(
         [
@@ -517,8 +538,8 @@ def pq_encode(
     COSINE from codes alone.  ``keep_cols`` pass through unchanged (e.g.
     ``ivf_cell`` for :func:`ivfpq_topk`).  One map-only Arrow pass
     (broadcast codebooks, vectorized argmin per batch); zero shuffle.
-    Store this frame as the serving index — ~32× smaller than the
-    corpus."""
+    Store this frame as the serving index — ~16× smaller than the
+    raw vectors (m code bytes + the 8-byte norm vs 4·d)."""
     import numpy as np
     import pandas as pd
 
@@ -587,7 +608,7 @@ def pq_topk(
 
     With ``rerank`` R > 0 (requires ``corpus``): take the top R by ADC,
     then EXACT cosine on just those R rows — the production IVF-PQ
-    serving shape (codes pick candidates at 32× scan bandwidth, floats
+    serving shape (codes pick candidates at ~16× less scan bandwidth, floats
     only load for R rows).  The id set crossing the driver is O(R)."""
     import math
 
@@ -668,17 +689,11 @@ def ivfpq_topk(
     inside them, optionally exact-rerank the top R.  ``codes`` is
     :func:`pq_encode` output with ``keep_cols=("ivf_cell",)`` over an
     :func:`ivf_index`-assigned corpus.  100 TB shape: the index is
-    partition-prunable on ``ivf_cell`` AND ~32× smaller than raw
-    vectors, so a probe touches n_probe/n_cells of a 32×-compressed
-    table; floats load only for the R rerank rows."""
-    import math
-
-    centers = model.clusterCenters()
-    dists = sorted(
-        (math.dist(query_vec, list(c)), i) for i, c in enumerate(centers)
-    )
-    probe = [i for _, i in dists[:n_probe]]
-    cand = codes.filter(F.col("ivf_cell").isin(probe))
+    partition-prunable on ``ivf_cell`` AND ~16× smaller than raw
+    vectors (m code bytes + the 8-byte norm vs 4·d), so a probe touches
+    n_probe/n_cells of a compressed table; floats load only for the R
+    rerank rows."""
+    cand = codes.filter(F.col("ivf_cell").isin(_probe_cells(model, query_vec, n_probe)))
     return pq_topk(
         cand,
         codebooks,

@@ -58,16 +58,12 @@ def merge_sketches(sketches: DataFrame, group_cols=None) -> DataFrame:
 
 
 def _cms_positions(value, width: int, depth: int, seed: int):
-    """depth bucket positions for ``value`` — ONE JVM expression shared
-    verbatim by build and estimate, so the hash families can never
-    drift apart (same rule as llmops.bloom)."""
-    col = F.col(value) if isinstance(value, str) else value
-    return F.array(
-        *[
-            F.pmod(F.xxhash64(col, F.lit(seed + i)), F.lit(width)).cast("long")
-            for i in range(depth)
-        ]
-    )
+    """depth bucket positions for ``value`` — the ONE shared build/probe
+    hash expression (functions.scalars.hash_positions, also used by
+    llmops.bloom), so the pairing rule holds by construction."""
+    from waddleml_spark.functions.scalars import hash_positions
+
+    return hash_positions(value, width, depth, seed)
 
 
 def cms_build(
