@@ -4,7 +4,8 @@ Not in the reference — these are the operations a large-scale training-data
 pipeline needs, designed Spark-first for 100 TB:
 
     dedup        exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard
-    similarity   brute-force cosine top-k; random-hyperplane LSH ANN
+    similarity   brute-force cosine top-k; LSH / IVF / PQ / IVF-PQ ANN
+    bloom        Bloom-bitset decontamination (build/probe shared hashing)
     textstats    language-ID, quality scoring, token counts, fingerprinting
     multimodal   binary payload columns + mapInPandas decode plumbing
 """
