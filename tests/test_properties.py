@@ -300,3 +300,56 @@ def test_gopher_flags_match_bruteforce(spark, docs):
             0 if n and ttr >= 0.3 else 1,
         )
         assert got[i] == want, (i, text, got[i], want)
+
+
+# arbitrary text incl. the whitespace-adjacent control chars where Java
+# and RE2 shorthand classes historically diverge (\x0b was a real latent
+# driver red; \x85 NEL, \xa0 NBSP,   LS are the next candidates)
+text_st = st.lists(
+    st.text(
+        alphabet=(
+            "ab z09.,!?-_'\"\t\n\r\f\x0b\x1c\x1d\x1e\x1f\x85\xa0 　"
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SET
+@given(texts=text_st)
+def test_tokenizer_parity_spark_vs_duckdb_on_arbitrary_text(spark, texts):
+    # the EXACT expression pairing every text oracle uses: Spark
+    # split(regexp_replace(lower_trim(t), WS_RE, ' '), ' ') must equal
+    # DuckDB str_split_regex(regexp_replace(lower(t), WS_TRIM_RE, '', 'g'),
+    # WS_RE) for ANY input, and the BPE_RE extract-all must agree too.
+    # This fuzz found BOTH real divergences: \x0b in the `\s` class and
+    # NBSP in the engines' trim builtins (Spark strips only 0x20, DuckDB
+    # strips Unicode Zs) — hence the explicit-class lower_trim pairing
+    import duckdb
+
+    from waddleml_spark.llmops import WS_RE, WS_TRIM_RE
+    from waddleml_spark.llmops.textstats import BPE_RE, lower_trim
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r.i: (r.ws, r.bpe)
+        for r in df.select(
+            "i",
+            F.split(
+                F.regexp_replace(lower_trim(F.col("t")), WS_RE, " "), " "
+            ).alias("ws"),
+            F.regexp_extract_all(F.col("t"), F.lit(BPE_RE), F.lit(0)).alias("bpe"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        ws, bpe = con.execute(
+            f"SELECT str_split_regex(regexp_replace(lower(?), '{WS_TRIM_RE}', '', 'g'), '{WS_RE}'),"
+            f"       regexp_extract_all(?, '{BPE_RE}')",
+            [t, t],
+        ).fetchone()
+        assert got[i][0] == ws, (repr(t), got[i][0], ws)
+        assert got[i][1] == bpe, (repr(t), got[i][1], bpe)

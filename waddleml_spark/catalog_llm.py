@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 
 from waddleml_spark.catalog import _r, _r_sql, _register, t
 from waddleml_spark.llmops import dedup, multimodal, pii, similarity, textstats
+from waddleml_spark.llmops.textstats import lower_trim as _lt
 from waddleml_spark.llmops import WS_CHARS as _WSC
+from waddleml_spark.llmops import WS_TRIM_RE as _WST
 from waddleml_spark.llmops import WS_RE as _WS  # one whitespace class for Spark
 # (Java regex) and the DuckDB oracles (RE2): the engines' `\\s` differ on \\x0b.
 
@@ -35,7 +37,7 @@ def _split_assign(key):
 @_register(
     "exact_dedup_docs",
     rf"""
-    SELECT md5(regexp_replace(lower(trim(text)), '{_WS}', ' ', 'g')) AS fp,
+    SELECT md5(regexp_replace(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}', ' ', 'g')) AS fp,
            min(doc_id) AS keeper_id, count(*) AS n_dups
     FROM documents
     GROUP BY fp
@@ -49,7 +51,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fingerprint_docs",
     rf"""
     SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '{_WS}', ' ', 'g')) AS fp
+           md5(regexp_replace(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}', ' ', 'g')) AS fp
     FROM documents
     """,
 )
@@ -210,7 +212,7 @@ def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf"""
     WITH d AS (
         SELECT doc_id,
-               list_distinct(str_split_regex(lower(trim(text)), '{_WS}')) AS ws
+               list_distinct(str_split_regex(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}')) AS ws
         FROM documents WHERE source = 'src0'
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -234,7 +236,7 @@ def jaccard_word_pairs_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.array_distinct(
-                F.split(F.lower(F.trim(F.col("text"))), _WS)
+                F.split(_lt(F.col("text")), _WS)
             ).alias("ws"),
         )
     )
@@ -516,7 +518,7 @@ def bpe_train_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contamination_by_source",
     rf"""
     WITH toks AS (
-        SELECT doc_id, source, str_split_regex(lower(trim(text)), '{_WS}') AS w
+        SELECT doc_id, source, str_split_regex(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}') AS w
         FROM documents
     ),
     sh AS (
@@ -546,18 +548,18 @@ def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "gopher_quality_report",
-    r"""
+    rf"""
     WITH f AS (
         SELECT source,
-               len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+')) AS n,
+               len(regexp_extract_all(regexp_replace(lower(text), '{_WST}', '', 'g'), '[a-z0-9]+')) AS n,
                len(array_to_string(
-                   regexp_extract_all(lower(trim(text)), '[a-z0-9]+'), '')) AS wc,
-               len(regexp_extract_all(lower(trim(text)),
+                   regexp_extract_all(regexp_replace(lower(text), '{_WST}', '', 'g'), '[a-z0-9]+'), '')) AS wc,
+               len(regexp_extract_all(regexp_replace(lower(text), '{_WST}', '', 'g'),
                    '[0-9]*[a-z][a-z0-9]*')) AS na,
-               len(regexp_extract_all(lower(trim(text)),
+               len(regexp_extract_all(regexp_replace(lower(text), '{_WST}', '', 'g'),
                    '\b(the|a|of|to|and|in)\b')) AS ns,
                len(list_distinct(
-                   regexp_extract_all(lower(trim(text)), '[a-z0-9]+'))) AS nd
+                   regexp_extract_all(regexp_replace(lower(text), '{_WST}', '', 'g'), '[a-z0-9]+'))) AS nd
         FROM documents
     ), r AS (
         SELECT source,
@@ -599,7 +601,7 @@ def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf"""
     WITH w AS (
         SELECT doc_id, source,
-               str_split_regex(lower(trim(text)), '{_WS}') AS ws
+               str_split_regex(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}') AS ws
         FROM documents
     ), p AS (
         SELECT doc_id, source,
@@ -673,7 +675,7 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "type_token_ratio_by_lang",
     f"""
     WITH w AS (
-        SELECT lang, str_split_regex(lower(trim(text)), '{_WS}') AS toks
+        SELECT lang, str_split_regex(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}') AS toks
         FROM documents
     )
     SELECT lang, count(*) AS n_docs,
@@ -688,7 +690,7 @@ def type_token_ratio_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     text).  Pure per-row expressions + one aggregate; no shuffle beyond
     the groupBy."""
     d = t(spark, sf_dir, "documents")
-    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS, " "), " ")
+    toks = F.split(F.regexp_replace(_lt(F.col("text")), _WS, " "), " ")
     ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"), _r(F.avg(ttr), 6).alias("avg_ttr")
@@ -1026,7 +1028,7 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf"""
     WITH fp AS (
         SELECT doc_id, source,
-               md5(regexp_replace(lower(trim(text)), '{_WS}', ' ', 'g')) AS fp
+               md5(regexp_replace(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}', ' ', 'g')) AS fp
         FROM documents),
     idx AS (SELECT DISTINCT fp FROM fp WHERE source <> 'src0'),
     new AS (SELECT * FROM fp WHERE source = 'src0'),
@@ -1114,9 +1116,9 @@ def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "corpus_snapshot_diff",
     rf"""
-    WITH a AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '{_WS}', ' ', 'g')) AS fp
+    WITH a AS (SELECT DISTINCT md5(regexp_replace(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}', ' ', 'g')) AS fp
                FROM documents WHERE source = 'src0'),
-         b AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '{_WS}', ' ', 'g')) AS fp
+         b AS (SELECT DISTINCT md5(regexp_replace(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}', ' ', 'g')) AS fp
                FROM documents WHERE source = 'src1')
     SELECT (SELECT count(*) FROM b WHERE fp NOT IN (SELECT fp FROM a)) AS n_added,
            (SELECT count(*) FROM a WHERE fp NOT IN (SELECT fp FROM b)) AS n_removed,
@@ -1653,9 +1655,9 @@ def stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "levenshtein_pairs_src0",
-    """
+    f"""
     WITH d AS (
-        SELECT doc_id, lower(trim(text)) AS tx
+        SELECT doc_id, regexp_replace(lower(text), '{_WST}', '', 'g') AS tx
         FROM documents WHERE source = 'src0' AND n_chars < 220
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1679,7 +1681,7 @@ def levenshtein_pairs_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         t(spark, sf_dir, "documents")
         .filter((F.col("source") == "src0") & (F.col("n_chars") < 220))
-        .select("doc_id", F.lower(F.trim(F.col("text"))).alias("tx"))
+        .select("doc_id", _lt(F.col("text")).alias("tx"))
     )
     a, b = d.alias("a"), d.alias("b")
     dist = F.levenshtein(F.col("a.tx"), F.col("b.tx"))
@@ -1714,7 +1716,7 @@ def _simhash32_oracle() -> str:
     return rf"""
     WITH d AS (
         SELECT doc_id,
-               list_distinct(str_split_regex(lower(trim(text)), '{_WS}')) AS ws
+               list_distinct(str_split_regex(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}')) AS ws
         FROM documents
     ), t AS (
         SELECT doc_id, unnest(ws) AS tok FROM d
@@ -1761,7 +1763,7 @@ def _minhash32_ctes() -> str:
                ]) AS sh
         FROM (
             SELECT doc_id,
-                   str_split_regex(lower(trim(text)), '{_WS}') AS ws
+                   str_split_regex(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}') AS ws
             FROM documents
         )
     ), t AS (
@@ -1895,7 +1897,7 @@ def _shingle_cte_sql() -> str:
                    for i in generate_series(1, greatest(len(ws) - 2, 1))
                ]) AS sh
         FROM (SELECT doc_id,
-                     str_split_regex(lower(trim(text)), '{_WS}') AS ws
+                     str_split_regex(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}') AS ws
               FROM documents)
     """
 
@@ -1937,7 +1939,7 @@ def _levenshtein_verify_lsh_oracle() -> str:
     WITH cand AS (
         {_simhash32_pairs_oracle()}
     ), d AS (
-        SELECT doc_id, lower(trim(text)) AS tx
+        SELECT doc_id, regexp_replace(lower(text), '{_WST}', '', 'g') AS tx
         FROM documents WHERE n_chars < 220
     )
     SELECT c.id_a, c.id_b, levenshtein(a.tx, b.tx) AS edit_dist

@@ -24,6 +24,16 @@ import threading
 # classes (e.g. the BPE token pattern's negated class) on both sides.
 WS_CHARS = r" \t\n\r\f\x0b"
 WS_RE = f"[{WS_CHARS}]+"
+# Edge-trim twin: the engines' `trim` builtins ALSO disagree — Spark's
+# strips only ASCII space 0x20, DuckDB's strips the Unicode Zs category
+# (NBSP \xa0, ideographic space 　, ...), so `lower(trim(text))`
+# pairings are latently red on NBSP-edged documents (found by the
+# cross-engine tokenizer fuzz test).  Both sides trim THIS class via
+# regexp_replace instead of calling either builtin.  Anchors are \A/\z
+# (end of TEXT in both engines), never ^/$: Java's `$` also matches
+# before a final line terminator (\n, \r, NEL \x85,  ) while RE2's
+# does not — the fuzzer's second find ('0\r\x85' trimmed differently).
+WS_TRIM_RE = rf"\A[{WS_CHARS}]+|[{WS_CHARS}]+\z"
 
 
 def rotate_persist(slot: str, df):

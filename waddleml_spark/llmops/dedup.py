@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 
 from . import WS_RE
 
-from waddleml_spark.llmops.textstats import fingerprint
+from waddleml_spark.llmops.textstats import fingerprint, lower_trim
 
 
 def exact_dedup(
@@ -66,7 +66,7 @@ def shingles(text_col: str, k: int = 3) -> F.Column:
     element-access shape is fully codegen'd (measured 6x faster on the
     same corpus).  Both produce the identical distinct shingle SET.
     """
-    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_RE, " "), " ")
+    toks = F.split(F.regexp_replace(lower_trim(F.col(text_col)), WS_RE, " "), " ")
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
@@ -96,7 +96,7 @@ def shingle_rows(
     aggregates) — then nothing shuffles and the token array never
     leaves its scan partition.
     """
-    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_RE, " "), " ")
+    toks = F.split(F.regexp_replace(lower_trim(F.col(text_col)), WS_RE, " "), " ")
     base = df.select(
         F.col(id_col).alias("id"), toks.alias("__t"), F.size(toks).alias("__n")
     )
@@ -147,7 +147,7 @@ def minhash_lsh_candidates(
     # array_distinct: MIN is duplicate-insensitive.
     k = 3
     toks = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_RE, " "), " "
+        F.regexp_replace(lower_trim(F.col(text_col)), WS_RE, " "), " "
     )
     base = src.select("id", toks.alias("__t"), F.size(toks).alias("__n"))
     idx = base.select(
@@ -330,9 +330,9 @@ def levenshtein_pairs(
     # each re-execute once per reference (no common-subtree dedup)
     d = df.join(ids, F.col(id_col) == ids.id, "left_semi").select(
         F.col(id_col).alias("id"),
-        F.lower(F.trim(F.col(text_col))).alias("tx"),
+        lower_trim(F.col(text_col)).alias("tx"),
         *(
-            [F.length(F.trim(F.col(text_col))).alias("ln")]
+            [F.length(lower_trim(F.col(text_col))).alias("ln")]
             if max_chars is not None
             else []
         ),
@@ -565,7 +565,7 @@ def simhash32_jvm(
     at 100 TB that is KBs per million docs, noise next to the text scan.
     """
     toks = F.array_distinct(
-        F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_RE, " "), " ")
+        F.split(F.regexp_replace(lower_trim(F.col(text_col)), WS_RE, " "), " ")
     )
     tok_rows = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
     h = F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10).cast("long")
@@ -835,7 +835,7 @@ def passage_dup_report(
     """
     from pyspark.sql import Window
 
-    text = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_RE, " ")
+    text = F.regexp_replace(lower_trim(F.col(text_col)), WS_RE, " ")
     toks = F.split(text, " ")
     base = df.select(
         F.col(id_col).alias("id"),

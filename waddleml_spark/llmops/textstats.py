@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 
-from . import WS_CHARS, WS_RE
+from . import WS_CHARS, WS_RE, WS_TRIM_RE
 from pyspark.sql import functions as F
 
 # Word-ish tokens: runs of alphanumerics.  BPE-ish tokens additionally split
@@ -19,6 +19,16 @@ WORD_RE = "[A-Za-z0-9]+"
 # \s spelled via WS_CHARS: Java and RE2 disagree on \x0b, and this
 # pattern has DuckDB oracle twins (token_totals_by_source et al.)
 BPE_RE = f"[A-Za-z]+|[0-9]|[^A-Za-z0-9{WS_CHARS}]"
+
+def lower_trim(text: Column) -> Column:
+    """lowercase + explicit-class edge trim (WS_TRIM_RE) — NEVER the
+    engine trim builtins: Spark's strips only ASCII space 0x20, DuckDB's
+    strips the Unicode Zs category (NBSP, ideographic space), so a
+    `lower(trim(...))` pairing is latently red on NBSP-edged text
+    (found by the cross-engine tokenizer fuzz test).  SQL twin:
+    regexp_replace(lower(text), WS_TRIM_RE, '', 'g')."""
+    return F.regexp_replace(F.lower(text), WS_TRIM_RE, "")
+
 
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic
 # language-ID.  Deterministic, oracle-expressible.
@@ -102,7 +112,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (lowercased, whitespace-collapsed).  Cross-engine stable (DuckDB md5)."""
-    norm = F.regexp_replace(F.lower(F.trim(text)), WS_RE, " ")
+    norm = F.regexp_replace(lower_trim(text), WS_RE, " ")
     return F.md5(norm)
 
 
@@ -115,7 +125,7 @@ def winnowing_fingerprints(
     sharing any sufficiently long passage share fingerprints, unlike the
     whole-document md5.  Pure expressions; zero shuffle per row.
     """
-    toks = F.split(F.regexp_replace(F.lower(F.trim(text)), WS_RE, " "), " ")
+    toks = F.split(F.regexp_replace(lower_trim(text), WS_RE, " "), " ")
     th = F.transform(toks, lambda t: F.xxhash64(t))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(th) - (k - 1), F.lit(1))),
@@ -130,7 +140,7 @@ def winnowing_fingerprints(
 
 def word_tokens(text: Column) -> Column:
     """Whitespace tokenization (lower, trim, collapse runs)."""
-    return F.split(F.regexp_replace(F.lower(F.trim(text)), WS_RE, " "), " ")
+    return F.split(F.regexp_replace(lower_trim(text), WS_RE, " "), " ")
 
 
 def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
@@ -382,7 +392,7 @@ def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     bit-identical across engines (same IEEE operands) — no rounding
     helper needed.
     """
-    text = F.lower(F.trim(F.col(text_col)))
+    text = lower_trim(F.col(text_col))
     words = F.regexp_extract_all(text, F.lit("[a-z0-9]+"), F.lit(0))
     n = F.size(words)
     # try_divide: an EMPTY doc must fail the ratio rules, not raise the
