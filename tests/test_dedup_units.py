@@ -341,3 +341,25 @@ def test_bloom_decontamination_bounds_exact(spark):
     }
     got = {r.source: r.n_contaminated for r in rep}
     assert got == exact
+
+
+def test_corpus_text_is_ascii_levenshtein_parity_canary(spark):
+    # two oracle pairings are sound ONLY on ASCII text (fuzz-found):
+    # DuckDB's levenshtein counts UTF-8 bytes vs Spark's characters
+    # (lev('', 'é') = 2 vs 1), and Java's \b is Unicode-aware vs RE2's
+    # ASCII one (the gopher/lang-ID stopword counts).  The synthetic
+    # corpus is pure ASCII today; if a testdata regen ever emits
+    # non-ASCII text this canary explains the resulting levenshtein_*/
+    # gopher/lang driver reds instead of leaving a mystery hash mismatch
+    from pyspark.sql import functions as F
+
+    from waddleml_spark.session import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    non_ascii = docs.filter(~F.col("text").rlike(r"\A[\x00-\x7F]*\z")).count()
+    assert non_ascii == 0, (
+        f"{non_ascii} documents contain non-ASCII text: the "
+        "levenshtein_verify_lsh / levenshtein_pairs_src0 oracle pairing "
+        "(byte-based DuckDB vs char-based Spark) is no longer sound"
+    )

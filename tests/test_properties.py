@@ -353,3 +353,63 @@ def test_tokenizer_parity_spark_vs_duckdb_on_arbitrary_text(spark, texts):
         ).fetchone()
         assert got[i][0] == ws, (repr(t), got[i][0], ws)
         assert got[i][1] == bpe, (repr(t), got[i][1], bpe)
+
+
+@SET
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.text(alphabet="ab cde-0.!\t\n\xe9\xfc", max_size=25),
+            st.text(alphabet="ab cde-0.!\t\n\xe9\xfc", max_size=25),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_scalar_expression_parity_spark_vs_duckdb(spark, pairs):
+    # the other oracle-paired scalar families: levenshtein (claimed
+    # 'identical classic DP semantics'), the Gopher stopword
+    # word-boundary count (Java \b vs RE2 \b), and the hash functions —
+    # fuzzed the same way the tokenizer pairing was
+    import duckdb
+
+    # levenshtein and the \b stopword count are compared on ASCII
+    # projections of the inputs — BOTH pairings are sound only on ASCII
+    # (fuzz-found): DuckDB's levenshtein counts UTF-8 BYTES while
+    # Spark's counts characters (lev('', 'é') = 2 vs 1), and Java's \b
+    # is Unicode-aware while RE2's is ASCII ('aé' has a boundary after
+    # 'a' for RE2 but not Java).  The synthetic corpus is pure ASCII and
+    # test_dedup_units pins that assumption as a canary
+    rows = [
+        (
+            i,
+            a,
+            b,
+            a.encode("ascii", "replace").decode(),
+            b.encode("ascii", "replace").decode(),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(rows, "i int, a string, b string, aa string, ba string")
+    sw = r"\b(the|a|of|to|and|in)\b"
+    got = {
+        r.i: (r.lev, r.sw, r.md5, r.sha)
+        for r in df.select(
+            "i",
+            F.levenshtein("aa", "ba").alias("lev"),
+            F.size(
+                F.regexp_extract_all(F.lower("aa"), F.lit(sw), F.lit(0))
+            ).alias("sw"),
+            F.md5(F.col("a").cast("binary")).alias("md5"),
+            F.sha2(F.col("a").cast("binary"), 256).alias("sha"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, a, b, aa, ba in rows:
+        lev, swn, m5, sha = con.execute(
+            "SELECT levenshtein(?, ?),"
+            f"      len(regexp_extract_all(lower(?), '{sw}')),"
+            "       md5(?), sha256(?)",
+            [aa, ba, aa, a, a],
+        ).fetchone()
+        assert got[i] == (lev, swn, m5, sha), (repr(a), repr(b), got[i], (lev, swn, m5, sha))
