@@ -413,3 +413,53 @@ def test_scalar_expression_parity_spark_vs_duckdb(spark, pairs):
             [aa, ba, aa, a, a],
         ).fetchone()
         assert got[i] == (lev, swn, m5, sha), (repr(a), repr(b), got[i], (lev, swn, m5, sha))
+
+
+json_st = st.lists(
+    st.one_of(
+        # well-formed objects with int/str/nested k
+        st.integers(-5, 5).map(lambda v: f'{{"k": {v}}}'),
+        st.integers(0, 9).map(lambda v: f'{{"k": "{v}"}}'),
+        st.just('{"k": {"x": 1}}'),
+        st.just('{"other": 3}'),
+        # the tolerant-parse surface: malformed / edge inputs
+        st.just(""), st.just("null"), st.just("{"), st.just("not json"),
+        st.just('{"k": }'), st.just('{"k": null}'), st.just("[1,2]"),
+        st.just('{"k": 007}'), st.just('{"k": 1e2}'), st.just('{"k": true}'),
+        st.text(alphabet='{}[]":k123, ', max_size=12),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SET
+@given(docs=json_st)
+def test_tolerant_json_parity_spark_vs_duckdb(spark, docs):
+    # the F2 pairing: Spark get_json_object(s,'$.k').cast('int') vs
+    # DuckDB CAST(json_extract_string(s,'$.k') AS INTEGER) — F2 is the
+    # reference's TOLERANT parse, so malformed inputs are exactly the
+    # surface that must agree (both sides must yield NULL, never error)
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "i int, t string"
+    )
+    got = {
+        r.i: r.k
+        for r in df.select(
+            "i",
+            F.floor(F.get_json_object("t", "$.k").try_cast("double"))
+            .try_cast("int")
+            .alias("k"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(docs):
+        (k,) = con.execute(
+            "SELECT CASE WHEN json_valid(?::VARCHAR) THEN TRY_CAST("
+            "  floor(TRY_CAST(json_extract_string(?::VARCHAR, '$.k') AS DOUBLE))"
+            "  AS INTEGER) END",
+            [t, t],
+        ).fetchone()
+        assert got[i] == k, (repr(t), got[i], k)

@@ -434,18 +434,32 @@ def topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # F2 — tolerant JSON extraction (ref parse-on-read,
 # waddle/_dashboard_api.py:86-108) — JVM-side json path, no UDF.
+# GENUINELY tolerant on both sides (fuzz-found, test_properties): plain
+# CAST errors under Spark-4 ANSI on a non-numeric k, and DuckDB's
+# json_extract_string hard-errors on malformed JSON — so malformed
+# documents/garbage values yield NULL, never a job failure.  The
+# numeric route is extract → TRY double → floor → TRY int on BOTH
+# engines: string→int casts disagree on '100.0' (DuckDB goes via
+# double, Spark rejects) and double→int disagrees on rounding (DuckDB
+# rounds half-even, Spark truncates) — floor pins one semantics.
 @_register(
     "json_extract_props",
     """
-    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    SELECT event_id,
+           CASE WHEN json_valid(props) THEN TRY_CAST(
+               floor(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
+               AS INTEGER) END AS k_val
     FROM events
     """,
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k_val")
+    k = (
+        F.floor(F.get_json_object("props", "$.k").try_cast("double"))
+        .try_cast("int")
+        .alias("k_val")
     )
+    return ev.select("event_id", k)
 
 
 # F3 — sha256 content hashing (ref artifact hashing, waddle/_run.py:177).
