@@ -463,3 +463,49 @@ def test_tolerant_json_parity_spark_vs_duckdb(spark, docs):
             [t, t],
         ).fetchone()
         assert got[i] == k, (repr(t), got[i], k)
+
+
+@SET
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(-1e12, 1e12),
+            st.floats(-1e6, 1e6),
+            st.sampled_from([0.0, -0.0, 0.5, -0.5, 0.1234565, 2.675, 1e-300]),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    digits=st.integers(0, 6),
+)
+def test_floor_round_formula_parity_spark_vs_duckdb(spark, vals, digits):
+    # the _r/_r_sql pairing every float oracle leans on: identical IEEE
+    # op sequence floor(x*10^d + 0.5)/10^d must produce bit-identical
+    # doubles in both engines within the documented soundness domain
+    # |x*10^d| < 2^63 (the fuzz found the boundary: Spark's floor
+    # returns BIGINT and clamps beyond long range, DuckDB's stays
+    # double — see _r's docstring; 1e12 * 10^6 stays inside)
+    import math
+
+    import duckdb
+
+    from waddleml_spark.catalog import _r, _r_sql
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i int, v double"
+    )
+    got = {r.i: r.rv for r in df.select("i", _r(F.col("v"), digits).alias("rv")).collect()}
+    con = duckdb.connect()
+    for i, v in enumerate(vals):
+        (rv,) = con.execute(
+            f"SELECT {_r_sql('?::DOUBLE', digits)}", [float(v)]
+        ).fetchone()
+        a, b = got[i], rv
+        same = (a == b) or (a is None and b is None) or (
+            a is not None and b is not None
+            and math.isnan(a) and math.isnan(b)
+        ) or (
+            a is not None and b is not None
+            and math.isinf(a) and math.isinf(b) and (a > 0) == (b > 0)
+        )
+        assert same, (v, digits, a, b)

@@ -56,6 +56,11 @@ def _r(c, digits: int):
     Library round() differs between engines (Spark rounds the shortest
     decimal repr, DuckDB the binary value); this explicit formula is the
     same IEEE op sequence in both.  SQL twin: _r_sql().
+
+    Sound for |x·10^d| < 2^63 (fuzz-pinned): Spark's floor returns
+    BIGINT and CLAMPS beyond long range while DuckDB's stays double —
+    far beyond any real aggregate, but never apply _r to values that
+    can exceed ~9.2e18 after scaling.
     """
     p = 10 ** digits
     return F.floor(c * p + F.lit(0.5)) / p
