@@ -509,3 +509,44 @@ def test_floor_round_formula_parity_spark_vs_duckdb(spark, vals, digits):
             and math.isinf(a) and math.isinf(b) and (a > 0) == (b > 0)
         )
         assert same, (v, digits, a, b)
+
+
+@SET
+@given(
+    epochs=st.lists(
+        st.integers(0, 4_102_444_800),  # 1970..2100, second grain
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_temporal_truncation_parity_spark_vs_duckdb(spark, epochs):
+    # the pairing the events/orders calendar oracles use: date_trunc +
+    # strftime/date_format + year/hour extraction must agree for any
+    # UTC timestamp (read_table pins UTC; both sessions run UTC)
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(i, e) for i, e in enumerate(epochs)], "i int, e long"
+    )
+    ts = F.timestamp_seconds(F.col("e"))
+    got = {
+        r.i: (r.day, r.month, r.yr, r.hr)
+        for r in df.select(
+            "i",
+            F.date_format(F.date_trunc("day", ts), "yyyy-MM-dd").alias("day"),
+            F.date_format(F.date_trunc("month", ts), "yyyy-MM").alias("month"),
+            F.year(ts).alias("yr"),
+            F.hour(ts).alias("hr"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for i, e in enumerate(epochs):
+        row = con.execute(
+            "SELECT strftime(date_trunc('day', to_timestamp(?)), '%Y-%m-%d'),"
+            "       strftime(date_trunc('month', to_timestamp(?)), '%Y-%m'),"
+            "       CAST(year(to_timestamp(?)) AS INTEGER),"
+            "       CAST(hour(to_timestamp(?)) AS INTEGER)",
+            [e, e, e, e],
+        ).fetchone()
+        assert got[i] == row, (e, got[i], row)
