@@ -550,3 +550,38 @@ def test_temporal_truncation_parity_spark_vs_duckdb(spark, epochs):
             [e, e, e, e],
         ).fetchone()
         assert got[i] == row, (e, got[i], row)
+
+
+@SET
+@given(
+    toks=st.lists(
+        st.text(alphabet="abcdef tuvxyz0189-_.é", min_size=0, max_size=20),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_md5_hash32_parity_spark_vs_duckdb(spark, toks):
+    # the MinHash/SimHash oracle core: Spark conv(substring(md5,1,8),16,10)
+    # must equal DuckDB's md5_number_upper byte swizzle for ANY token
+    # (md5 is byte-identical across engines — UTF-8 in, hex out — so
+    # this pins the base-16 conv and the endianness reassembly)
+    import duckdb
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(toks)], "i int, t string")
+    got = {
+        r.i: r.h
+        for r in df.select(
+            "i",
+            F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long").alias("h"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(toks):
+        (h,) = con.execute(
+            "SELECT CAST(((md5_number_upper(?) & 255) * 16777216)"
+            "     + (((md5_number_upper(?) >> 8) & 255) * 65536)"
+            "     + (((md5_number_upper(?) >> 16) & 255) * 256)"
+            "     + ((md5_number_upper(?) >> 24) & 255) AS BIGINT)",
+            [t, t, t, t],
+        ).fetchone()
+        assert got[i] == h, (repr(t), got[i], h)

@@ -269,3 +269,30 @@ def test_stream_dedup_drops_repeats_within_watermark(spark, tmp_path):
     kept = sorted(r.doc_id for r in rows)
     assert kept == [1, 2, 5]  # 3 (in-batch dup) and 4 (cross-batch dup) dropped
     assert {r.text.split()[0] for r in rows} == {"alpha", "beta", "gamma"}
+
+
+def test_streaming_cms_accumulates_to_whole_corpus_sketch(spark, tmp_path):
+    # count-min is a LINEAR sketch: summing per-micro-batch partial
+    # matrices equals the batch sketch of the whole stream — the
+    # streaming frequency-monitoring shape (one constant-size matrix per
+    # trigger, merged driver-side; never a vocabulary-sized state store)
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from waddleml_spark.operators import sketches
+
+    df = spark.range(0, 3000).select(
+        F.concat(F.lit("tok"), (F.col("id") % 97).cast("string")).alias("v"),
+        (F.col("id") % 5).alias("part"),
+    )
+    whole = sketches.cms_build(df, "v", width=1 << 10, depth=4)
+    acc = np.zeros_like(whole)
+    for b in range(5):  # five "micro-batches" arriving over time
+        acc += sketches.cms_build(
+            df.filter(F.col("part") == b), "v", width=1 << 10, depth=4
+        )
+    assert np.array_equal(acc, whole)
+    # and the merged sketch serves estimates identical to the whole-corpus one
+    exact = df.groupBy("v").agg(F.count("*").alias("n"))
+    est = sketches.cms_estimates(exact, "v", acc).collect()
+    assert all(r.cms_est >= r.n for r in est)
