@@ -344,13 +344,16 @@ def test_bloom_decontamination_bounds_exact(spark):
 
 
 def test_corpus_text_is_ascii_levenshtein_parity_canary(spark):
-    # two oracle pairings are sound ONLY on ASCII text (fuzz-found):
-    # DuckDB's levenshtein counts UTF-8 bytes vs Spark's characters
-    # (lev('', 'é') = 2 vs 1), and Java's \b is Unicode-aware vs RE2's
-    # ASCII one (the gopher/lang-ID stopword counts).  The synthetic
-    # corpus is pure ASCII today; if a testdata regen ever emits
-    # non-ASCII text this canary explains the resulting levenshtein_*/
-    # gopher/lang driver reds instead of leaving a mystery hash mismatch
+    # THREE oracle-pairing families are sound ONLY on ASCII text
+    # (fuzz-/review-found): DuckDB's levenshtein counts UTF-8 bytes vs
+    # Spark's characters (lev('', 'é') = 2 vs 1); Java's \b is
+    # Unicode-aware vs RE2's ASCII one (the gopher/lang-ID stopword
+    # counts); and lower() itself diverges beyond ASCII (Java full case
+    # mapping: lower('İ') = 'i' + combining dot vs DuckDB utf8proc's
+    # simple 'i') — which touches EVERY fingerprint/tokenizer/dedup
+    # pairing.  The synthetic corpus is pure ASCII today; if a testdata
+    # regen ever emits non-ASCII text this canary explains the
+    # resulting driver reds instead of leaving a mystery hash mismatch
     from pyspark.sql import functions as F
 
     from waddleml_spark.session import read_table

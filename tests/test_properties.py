@@ -426,6 +426,15 @@ json_st = st.lists(
         st.just(""), st.just("null"), st.just("{"), st.just("not json"),
         st.just('{"k": }'), st.just('{"k": null}'), st.just("[1,2]"),
         st.just('{"k": 007}'), st.just('{"k": 1e2}'), st.just('{"k": true}'),
+        # Java-only numeric literals — the strict _NUM_RE gate must NULL
+        # them on BOTH sides (Spark's cast would accept them; floor(NaN)
+        # even yields 0, not NULL)
+        st.just('{"k": "nan"}'), st.just('{"k": "5d"}'),
+        st.just('{"k": "0x1p3"}'), st.just('{"k": "1.5D"}'),
+        st.just('{"k": "Infinity"}'),
+        # lenient-prefix shapes: Spark's Jackson extracts, DuckDB's
+        # json_valid rejects — the KNOWN residual divergence
+        st.just('{"k": 1} x'), st.just('{"k": 1}}'), st.just("{'k':4}"),
         st.text(alphabet='{}[]":k123, ', max_size=12),
     ),
     min_size=1,
@@ -436,33 +445,45 @@ json_st = st.lists(
 @SET
 @given(docs=json_st)
 def test_tolerant_json_parity_spark_vs_duckdb(spark, docs):
-    # the F2 pairing: Spark get_json_object(s,'$.k').cast('int') vs
-    # DuckDB CAST(json_extract_string(s,'$.k') AS INTEGER) — F2 is the
-    # reference's TOLERANT parse, so malformed inputs are exactly the
-    # surface that must agree (both sides must yield NULL, never error)
+    # the F2 pairing (the EXACT production expressions): tolerant on
+    # both sides, strict-numeric-gated, with ONE documented residual
+    # divergence — Spark's Jackson accepts a valid JSON PREFIX plus
+    # trailing garbage where DuckDB's json_valid rejects the document.
+    # Contract asserted here: engines AGREE whenever the document is
+    # valid JSON; on invalid documents DuckDB is NULL and Spark may
+    # leniently extract (never the reverse)
     import duckdb
+
+    from waddleml_spark.catalog import _NUM_RE
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(docs)], "i int, t string"
     )
+    raw = F.get_json_object("t", "$.k")
     got = {
         r.i: r.k
         for r in df.select(
             "i",
-            F.floor(F.get_json_object("t", "$.k").try_cast("double"))
+            F.floor(F.when(raw.rlike(_NUM_RE), raw).try_cast("double"))
             .try_cast("int")
             .alias("k"),
         ).collect()
     }
     con = duckdb.connect()
     for i, t in enumerate(docs):
-        (k,) = con.execute(
-            "SELECT CASE WHEN json_valid(?::VARCHAR) THEN TRY_CAST("
-            "  floor(TRY_CAST(json_extract_string(?::VARCHAR, '$.k') AS DOUBLE))"
-            "  AS INTEGER) END",
-            [t, t],
+        valid, k = con.execute(
+            "SELECT json_valid(?::VARCHAR),"
+            "       CASE WHEN json_valid(?::VARCHAR)"
+            f"            AND regexp_matches(json_extract_string(?::VARCHAR, '$.k'), '{_NUM_RE}')"
+            "       THEN TRY_CAST("
+            "         floor(TRY_CAST(json_extract_string(?::VARCHAR, '$.k') AS DOUBLE))"
+            "         AS INTEGER) END",
+            [t, t, t, t],
         ).fetchone()
-        assert got[i] == k, (repr(t), got[i], k)
+        if valid:
+            assert got[i] == k, (repr(t), got[i], k)
+        else:
+            assert k is None, (repr(t), k)  # never the reverse
 
 
 @SET
@@ -481,15 +502,16 @@ def test_tolerant_json_parity_spark_vs_duckdb(spark, docs):
 def test_floor_round_formula_parity_spark_vs_duckdb(spark, vals, digits):
     # the _r/_r_sql pairing every float oracle leans on: identical IEEE
     # op sequence floor(x*10^d + 0.5)/10^d must produce bit-identical
-    # doubles in both engines within the documented soundness domain
-    # |x*10^d| < 2^63 (the fuzz found the boundary: Spark's floor
-    # returns BIGINT and clamps beyond long range, DuckDB's stays
-    # double — see _r's docstring; 1e12 * 10^6 stays inside)
+    # doubles in both engines within the documented soundness domain —
+    # FINITE and |x*10^d| < 2^63 (the fuzz found both boundaries:
+    # Spark's floor returns BIGINT so it clamps beyond long range AND
+    # maps NaN to 0, DuckDB's stays double — see _r's docstring;
+    # 1e12 * 10^6 stays inside)
     import math
 
     import duckdb
 
-    from waddleml_spark.catalog import _r, _r_sql
+    from waddleml_spark.catalog import _r, _r_nan, _r_sql
 
     df = spark.createDataFrame(
         [(i, float(v)) for i, v in enumerate(vals)], "i int, v double"
@@ -500,15 +522,32 @@ def test_floor_round_formula_parity_spark_vs_duckdb(spark, vals, digits):
         (rv,) = con.execute(
             f"SELECT {_r_sql('?::DOUBLE', digits)}", [float(v)]
         ).fetchone()
-        a, b = got[i], rv
-        same = (a == b) or (a is None and b is None) or (
-            a is not None and b is not None
-            and math.isnan(a) and math.isnan(b)
-        ) or (
-            a is not None and b is not None
-            and math.isinf(a) and math.isinf(b) and (a > 0) == (b > 0)
-        )
-        assert same, (v, digits, a, b)
+        assert got[i] == rv, (v, digits, got[i], rv)
+
+
+def test_r_nan_divergence_pinned_and_r_nan_agrees(spark):
+    # OUTSIDE the soundness domain the plain pairing is KNOWN-divergent:
+    # Spark _r(NaN) = 0.0 (floor's BIGINT path) vs DuckDB nan.  Pin that
+    # reality, and verify _r_nan/_r_nan_sql restore agreement (NaN out
+    # on both engines) — the variant embedding_neardup_pairs uses
+    import math
+
+    import duckdb
+
+    from waddleml_spark.catalog import _r, _r_nan, _r_nan_sql, _r_sql
+
+    nan = float("nan")
+    df = spark.createDataFrame([(nan,)], "v double")
+    plain, safe = df.select(
+        _r(F.col("v"), 6).alias("p"), _r_nan(F.col("v"), 6).alias("s")
+    ).collect()[0]
+    assert plain == 0.0  # the divergence (documented in _r's docstring)
+    assert math.isnan(safe)
+    nan_expr = "'nan'::DOUBLE"
+    dp, ds = duckdb.sql(
+        f"SELECT {_r_sql(nan_expr, 6)}, {_r_nan_sql(nan_expr, 6)}"
+    ).fetchone()
+    assert math.isnan(dp) and math.isnan(ds)  # duck keeps NaN either way
 
 
 @SET

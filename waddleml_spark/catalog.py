@@ -57,10 +57,12 @@ def _r(c, digits: int):
     decimal repr, DuckDB the binary value); this explicit formula is the
     same IEEE op sequence in both.  SQL twin: _r_sql().
 
-    Sound for |x·10^d| < 2^63 (fuzz-pinned): Spark's floor returns
-    BIGINT and CLAMPS beyond long range while DuckDB's stays double —
-    far beyond any real aggregate, but never apply _r to values that
-    can exceed ~9.2e18 after scaling.
+    Sound for |x·10^d| < 2^63 FINITE inputs (fuzz-pinned): Spark's
+    floor returns BIGINT, so it CLAMPS beyond long range and maps
+    NaN→0 / ±inf→±Long.MAX while DuckDB's floor stays double (NaN→NaN,
+    inf→inf).  Never apply _r where NaN/inf can reach it — use
+    _r_nan/_r_nan_sql for columns that legitimately carry NaN (e.g. a
+    cosine over a zero-norm vector).
     """
     p = 10 ** digits
     return F.floor(c * p + F.lit(0.5)) / p
@@ -69,6 +71,16 @@ def _r(c, digits: int):
 def _r_sql(expr: str, digits: int) -> str:
     p = 10 ** digits
     return f"floor(({expr}) * {p} + 0.5) / {p}"
+
+
+def _r_nan(c, digits: int):
+    """NaN-preserving _r: Spark's floor maps NaN to BIGINT 0 while
+    DuckDB's keeps NaN — pass NaN through so both engines emit NaN."""
+    return F.when(F.isnan(c), c).otherwise(_r(c, digits))
+
+
+def _r_nan_sql(expr: str, digits: int) -> str:
+    return f"CASE WHEN isnan({expr}) THEN ({expr}) ELSE {_r_sql(expr, digits)} END"
 
 
 # =====================================================================
@@ -443,15 +455,29 @@ def topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CAST errors under Spark-4 ANSI on a non-numeric k, and DuckDB's
 # json_extract_string hard-errors on malformed JSON — so malformed
 # documents/garbage values yield NULL, never a job failure.  The
-# numeric route is extract → TRY double → floor → TRY int on BOTH
-# engines: string→int casts disagree on '100.0' (DuckDB goes via
-# double, Spark rejects) and double→int disagrees on rounding (DuckDB
-# rounds half-even, Spark truncates) — floor pins one semantics.
+# extracted string passes a strict shared numeric regex BEFORE any
+# cast: the engines' string→double casts disagree on Java-only
+# literals ('nan', '5d', '0x1p3' — Spark accepts, and floor maps NaN
+# to 0), and string→int disagrees on '100.0'; the regex admits only
+# [+-]?digits[.digits][eE exp] so both TRY-cast identical inputs, then
+# floor pins double→int (DuckDB rounds half-even, Spark truncates).
+# KNOWN residual divergence (pinned by the fuzz test, not fixable with
+# builtins): Spark's Jackson parsers — get_json_object, from_json,
+# try_parse_json alike — accept a valid JSON PREFIX with trailing
+# garbage ('{"k":1} x' → 1) where DuckDB's json_valid rejects the
+# document; the generator emits whole-document JSON, so the pairing is
+# exact on real props.
+_NUM_RE = r"\A[+-]?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?\z"
+
+
 @_register(
     "json_extract_props",
-    """
+    f"""
     SELECT event_id,
-           CASE WHEN json_valid(props) THEN TRY_CAST(
+           CASE WHEN json_valid(props)
+                 AND regexp_matches(json_extract_string(props, '$.k'),
+                                    '{_NUM_RE}')
+           THEN TRY_CAST(
                floor(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
                AS INTEGER) END AS k_val
     FROM events
@@ -459,8 +485,11 @@ def topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
+    raw = F.get_json_object("props", "$.k")
     k = (
-        F.floor(F.get_json_object("props", "$.k").try_cast("double"))
+        F.floor(
+            F.when(raw.rlike(_NUM_RE), raw).try_cast("double")
+        )
         .try_cast("int")
         .alias("k_val")
     )

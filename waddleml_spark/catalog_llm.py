@@ -11,7 +11,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from waddleml_spark.catalog import _r, _r_sql, _register, t
+from waddleml_spark.catalog import _r, _r_nan, _r_nan_sql, _r_sql, _register, t
 from waddleml_spark.llmops import dedup, multimodal, pii, similarity, textstats
 from waddleml_spark.llmops.textstats import lower_trim as _lt
 from waddleml_spark.llmops import WS_CHARS as _WSC
@@ -265,7 +265,7 @@ _COS_PAIR_SQL = (
     f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_r_sql(_COS_PAIR_SQL, 6)} AS cos_sim
+           {_r_nan_sql(_COS_PAIR_SQL, 6)} AS cos_sim
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {_COS_PAIR_SQL} >= 0.3
     """,
@@ -288,8 +288,12 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity.blocked_cosine_pairs(
         e, "label", id_col="vec_id", vec_col="embedding", threshold=0.3
     )
+    # _r_nan, not _r: the kernel deliberately passes zero-norm NaN pairs
+    # through the threshold (both engines order NaN above every value),
+    # and Spark's plain _r would collapse NaN to 0.0 while DuckDB keeps
+    # NaN — a latent red the rounding-formula fuzz exposed
     return pairs.select(
-        "id_a", "id_b", _r(F.col("cos_raw"), 6).alias("cos_sim")
+        "id_a", "id_b", _r_nan(F.col("cos_raw"), 6).alias("cos_sim")
     )
 
 
@@ -551,15 +555,15 @@ def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf"""
     WITH f AS (
         SELECT source,
-               len(regexp_extract_all(regexp_replace(lower(text), '{_WST}', '', 'g'), '[a-z0-9]+')) AS n,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n,
                len(array_to_string(
-                   regexp_extract_all(regexp_replace(lower(text), '{_WST}', '', 'g'), '[a-z0-9]+'), '')) AS wc,
-               len(regexp_extract_all(regexp_replace(lower(text), '{_WST}', '', 'g'),
+                   regexp_extract_all(lower(text), '[a-z0-9]+'), '')) AS wc,
+               len(regexp_extract_all(lower(text),
                    '[0-9]*[a-z][a-z0-9]*')) AS na,
-               len(regexp_extract_all(regexp_replace(lower(text), '{_WST}', '', 'g'),
+               len(regexp_extract_all(lower(text),
                    '\b(the|a|of|to|and|in)\b')) AS ns,
                len(list_distinct(
-                   regexp_extract_all(regexp_replace(lower(text), '{_WST}', '', 'g'), '[a-z0-9]+'))) AS nd
+                   regexp_extract_all(lower(text), '[a-z0-9]+'))) AS nd
         FROM documents
     ), r AS (
         SELECT source,

@@ -392,7 +392,11 @@ def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     bit-identical across engines (same IEEE operands) — no rounding
     helper needed.
     """
-    text = lower_trim(F.col(text_col))
+    # plain lower, NOT lower_trim: every Gopher count is a
+    # regexp_extract_all token/boundary count, insensitive to edge
+    # whitespace on either engine — the trim would be a dead full-text
+    # regex pass in the hot map stage (and five more in the oracle)
+    text = F.lower(F.col(text_col))
     words = F.regexp_extract_all(text, F.lit("[a-z0-9]+"), F.lit(0))
     n = F.size(words)
     # try_divide: an EMPTY doc must fail the ratio rules, not raise the
