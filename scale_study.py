@@ -59,6 +59,7 @@ QUERIES = [
     "pq_ann_report",
     "bloom_decontamination_report",
     "cms_heavy_hitters_report",
+    "weighted_sample_report",
 ]
 
 

@@ -143,3 +143,40 @@ def test_rotate_persist_keeps_previous_invocation_cached(spark):
     for df in (b, c):
         df.unpersist(blocking=False)
     del _PERSIST_SLOTS["test.slot"]
+
+
+def test_weighted_sample_exact_k_deterministic_and_weight_proportional(spark):
+    # A-ES invariants: exactly k rows, identical sample across partition
+    # layouts, and inclusion frequency proportional to weight — a
+    # weight-9 item must be drawn ~9x as often as a weight-1 item across
+    # independent salts (binomial bounds keep this test stable)
+    from pyspark.sql import functions as F
+
+    from waddleml_spark.llmops.packing import weighted_sample
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 10, 9.0).otherwise(1.0).alias("w"),
+    )
+    s1 = weighted_sample(df, "w", 20, salt=":a").collect()
+    s2 = weighted_sample(df.repartition(7), "w", 20, salt=":a").collect()
+    assert len(s1) == 20
+    assert sorted(r.doc_id for r in s1) == sorted(r.doc_id for r in s2)
+    assert [r.doc_id for r in s1] == [r.doc_id for r in s2]  # same order too
+
+    heavy_hits = light_hits = 0
+    for t in range(24):
+        s = weighted_sample(df, "w", 10, salt=f":t{t}").collect()
+        heavy_hits += sum(1 for r in s if r.doc_id < 10)
+        light_hits += sum(1 for r in s if r.doc_id >= 10)
+    # heavy items are 10 of 100 ids but carry half the total weight
+    # (10*9 = 90 vs 90*1); in a k=10 draw they should take roughly half
+    # the slots — far more than their 10% count share
+    assert heavy_hits > light_hits * 0.55, (heavy_hits, light_hits)
+
+    # zero/negative weights never sampled
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, 5.0)], "doc_id long, w double"
+    )
+    got = weighted_sample(df2, "w", 3).collect()
+    assert [r.doc_id for r in got] == [3]

