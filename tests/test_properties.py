@@ -624,3 +624,41 @@ def test_md5_hash32_parity_spark_vs_duckdb(spark, toks):
             [t, t, t, t],
         ).fetchone()
         assert got[i] == h, (repr(t), got[i], h)
+
+
+@SET
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(0, 1e6),
+            st.sampled_from([0.125, 0.25, 59.995, 59.994, 0.005, 12.345, 2.675]),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_duration_format_parity_spark_vs_duckdb(spark, vals):
+    # the F6 humanize pairing: %.2f formatting after the _r2 floor
+    # pre-round.  Java's format rounds HALF_UP while C printf rounds
+    # half-even — the pre-round makes the formatted digit unambiguous
+    # (n/100's nearest double is never an exact half at the cut), which
+    # this fuzz pins including the classic 2.675/0.125 trap values
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i int, v double"
+    )
+    r2 = F.floor(F.col("v") * 100 + F.lit(0.5)) / 100
+    expr = F.when(F.col("v") < 60, F.format_string("%.2fs", r2)).otherwise(
+        F.format_string("%.2fm", F.floor(F.col("v") / 60 * 100 + F.lit(0.5)) / 100)
+    )
+    got = {r.i: r.d for r in df.select("i", expr.alias("d")).collect()}
+    con = duckdb.connect()
+    for i, v in enumerate(vals):
+        (d,) = con.execute(
+            "SELECT CASE WHEN ? < 60"
+            "  THEN printf('%.2fs', floor(? * 100 + 0.5) / 100)"
+            "  ELSE printf('%.2fm', floor(? / 60 * 100 + 0.5) / 100) END",
+            [float(v)] * 3,
+        ).fetchone()
+        assert got[i] == d, (v, got[i], d)
