@@ -28,6 +28,8 @@ _PY_MARKERS = ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "FlatMapGrou
 # localCheckpoint).
 _WIDE_SCAN_BUDGET = {
     "bigram_lm_quality_by_lang": 2,   # train the LM, then score (two passes by definition)
+    "perplexity_buckets_by_lang": 2,  # same bigram-LM train-then-score core; the bucketing
+                                      # join reads only doc_id/lang/n_chars (pruned, no text)
     "contamination_by_source": 2,     # corpus shingles vs eval-set shingles (different filters)
     "incremental_dedup_report": 2,    # stored-index role vs incoming-batch role of the same table
     "jaccard_verify_lsh": 3,          # candidates + two hydration sides; persisting shingle sets

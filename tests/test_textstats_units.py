@@ -130,3 +130,61 @@ def test_bpe_token_class_identical_across_engines_on_vertical_tab(spark):
         f"SELECT len(regexp_extract_all('{text}', '{BPE_RE}')) AS n"
     ).fetchone()[0]
     assert n_spark == n_duck == 3  # ab, !, cd — \x0b is whitespace
+
+
+def test_shingle_novelty_report_hand_checked(spark):
+    from pyspark.sql import functions as F
+
+    from waddleml_spark.llmops.textstats import shingle_novelty_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "a b c d"),  # trigrams: "a b c", "b c d"
+            (2, "s2", "a b c"),  #  trigram:  "a b c" (dup of doc 1's)
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        r.source: r
+        for r in shingle_novelty_report(df).collect()
+    }
+    s1, s2 = rows["s1"], rows["s2"]
+    assert (s1.shingle_slots, s1.distinct_shingles) == (2, 2)
+    assert (s1.dup_slots, s1.owned_shingles) == (1, 2)  # doc 1 saw both first
+    assert s1.dup_ratio == 0.5
+    assert (s2.shingle_slots, s2.distinct_shingles) == (1, 1)
+    assert (s2.dup_slots, s2.owned_shingles) == (1, 0)
+    assert s2.dup_ratio == 1.0
+
+
+def test_perplexity_buckets_balanced_and_ordered(spark):
+    from waddleml_spark import catalog
+    from tests.conftest import SF_SMOKE
+
+    rows = catalog.QUERIES["perplexity_buckets_by_lang"](
+        spark, SF_SMOKE
+    ).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, b in by_lang.items():
+        # ntile(3): bucket sizes within a language differ by <= 1
+        sizes = [r.n_docs for r in b.values()]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        # head = most corpus-like (ordered by score DESC)
+        if "head" in b and "tail" in b:
+            assert b["head"].mean_lm_score >= b["tail"].mean_lm_score
+
+
+def test_bpe_encode_report_token_economics(spark):
+    from waddleml_spark import catalog
+    from tests.conftest import SF_SMOKE
+
+    rows = catalog.QUERIES["bpe_encode_report"](spark, SF_SMOKE).collect()
+    assert rows, "corpus has documents in every lang"
+    for r in rows:
+        # BPE never splits below one token per word, and 24 merges must
+        # compress below the char-per-word ceiling (merges only shrink)
+        assert r.total_bpe_tokens >= r.total_words
+        assert r.tokens_per_word >= 1.0
+        assert r.n_docs > 0

@@ -1991,3 +1991,127 @@ def levenshtein_verify_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.levenshtein_pairs(
         docs.filter(F.col("n_chars") < 220), cand
     )
+
+
+@_register(
+    "trigram_novelty_by_source",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               str_split_regex(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}') AS w
+        FROM documents
+    ), shr AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                   range(1, CASE WHEN len(w) >= 3 THEN len(w) - 1 ELSE 1 END),
+                   i -> array_to_string(w[i:i+2], ' ')))) AS g
+        FROM toks
+    ), g2 AS (
+        SELECT g, source, count(*) AS c, min(doc_id) AS mind
+        FROM shr GROUP BY g, source
+    ), g3 AS (
+        SELECT source, c,
+               sum(c) OVER (PARTITION BY g) AS nd,
+               row_number() OVER (PARTITION BY g ORDER BY mind) AS rn
+        FROM g2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS shingle_slots,
+           count(*) AS distinct_shingles,
+           CAST(coalesce(sum(CASE WHEN nd >= 2 THEN c END), 0) AS BIGINT)
+               AS dup_slots,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS owned_shingles,
+           CAST(CAST(coalesce(sum(CASE WHEN nd >= 2 THEN c END), 0) AS BIGINT)
+                AS DOUBLE) / CAST(sum(c) AS BIGINT) AS dup_ratio
+    FROM g3 GROUP BY source ORDER BY source
+    """,
+)
+def trigram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-redundancy attribution by source
+    (textstats.shingle_novelty_report): per-doc-distinct word trigram
+    slots, how many are corpus-duplicated (held by >= 2 docs anywhere),
+    and how many trigrams each source saw FIRST (min doc_id) — the
+    contribute-vs-recrawl signal a data-mixing stage weighs sources by.
+    Integer-exact; the ratio divides the same two BIGINTs on both
+    engines, so no rounding helper."""
+    return textstats.shingle_novelty_report(t(spark, sf_dir, "documents"))
+
+
+@_register("perplexity_buckets_by_lang", None)
+def perplexity_buckets_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per-doc
+    corpus-trained bigram-LM scores (textstats.bigram_lm_scores) cut
+    into per-language head/middle/tail tertiles — ntile(3) ordered by
+    score DESC with a doc-id tie-break, head = most corpus-like — the
+    stage CCNet uses to keep head+middle and drop tail.  Rows-only BY
+    DESIGN: the tertile boundaries sit directly on a transcendental
+    (ln) score, where a last-ulp engine difference moves whole docs
+    across buckets and flips integer counts — exactly the trap the
+    no-new-transcendental-pairings rule exists for; the bucket-balance
+    and ordering properties are pinned in tests instead.
+
+    Scale shape: bigram_lm_scores is the three-exchange occurrence
+    pipeline documented on the function; the bucketing adds one
+    doc-grain join + one window over (lang) — doc-grain, never
+    occurrence-grain."""
+    docs = t(spark, sf_dir, "documents")
+    scores = textstats.bigram_lm_scores(docs)
+    d = (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(scores, F.col("doc_id") == F.col("id"))
+        .drop("id")
+    )
+    tile = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(
+            F.desc("lm_score"), F.asc("doc_id")
+        )
+    )
+    label = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tile
+    )
+    return (
+        d.withColumn("bucket", label)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            _r(F.avg("lm_score"), 6).alias("mean_lm_score"),
+            _r(F.avg("n_chars"), 2).alias("mean_chars"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+@_register("bpe_encode_report", None)
+def bpe_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with the corpus-trained BPE (rows-only: the
+    trainer is iterative, not SQL): learn 24 merges from the word-
+    frequency table (vocab-bounded in-memory path — one corpus pass,
+    one Spark job), then encode EVERY document through bpe.apply_bpe's
+    vocab-first broadcast join (tokenize each distinct word once, never
+    each occurrence) and report per-language corpus token economics —
+    the numbers a packing/context-budget stage consumes.  Two corpus
+    passes total (frequency pass + encode pass); everything between is
+    vocabulary-scale."""
+    from waddleml_spark.llmops import bpe
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(bpe.word_freqs(docs), n_merges=24)
+    enc = bpe.apply_bpe(docs, merges)
+    d = (
+        docs.select("doc_id", "lang")
+        .join(enc, F.col("doc_id") == F.col("id"))
+        .drop("id")
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_tokens").alias("total_bpe_tokens"),
+            _r(F.sum("n_tokens") / F.sum("n_words"), 4).alias(
+                "tokens_per_word"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -450,3 +450,73 @@ def gopher_report(df: DataFrame, group_col: str = "source") -> DataFrame:
         *[F.sum(c).alias(c) for c in flags],
         F.sum(F.when(all_pass, 1).otherwise(0)).alias("n_pass"),
     )
+
+
+def shingle_novelty_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 3,
+) -> DataFrame:
+    """Corpus-redundancy attribution: which groups CONTRIBUTE new
+    content vs repeat content that already exists elsewhere?  Per
+    group, over per-doc-distinct word k-grams ("slots"):
+
+    - ``shingle_slots``      — (doc, shingle) pairs held by the group
+    - ``distinct_shingles``  — distinct shingles appearing in the group
+    - ``dup_slots``          — slots whose shingle is held by >= 2 docs
+                               anywhere in the corpus
+    - ``owned_shingles``     — shingles whose globally FIRST holder
+                               (min ``id_col``) lives in this group
+    - ``dup_ratio``          — dup_slots / shingle_slots
+
+    A group with high dup_ratio and low ownership is re-crawling what
+    the corpus already has — the signal data-mixing uses to downweight
+    a source before training.  Integer-exact (the ratio divides the
+    same two BIGINTs on any engine), so it oracle-pairs exactly.
+
+    Scale shape: tokens materialize BEFORE the fan_out exchange (the
+    interpreted-HOF rule: shingling must read a materialized column),
+    occurrence rows cross ONE shuffle into (shingle, group) grain with
+    map-side partial aggregation, the corpus-wide holder count and
+    first-holder rank are two window functions over the same
+    vocabulary-grain partition key (one more vocab-scale exchange, one
+    sort), and the final group rollup is tiny.  Nothing is ever
+    pairwise and nothing returns to occurrence grain.
+    """
+    from waddleml_spark.session import fan_out
+
+    toks = fan_out(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(group_col).alias("grp"),
+            word_tokens(F.col(text_col)).alias("tk"),
+        )
+    )
+    sh = toks.select(
+        "id",
+        "grp",
+        F.explode(shingles_from_tokens(F.col("tk"), k)).alias("g"),
+    )
+    g2 = sh.groupBy("g", "grp").agg(
+        F.count("*").alias("c"), F.min("id").alias("mind")
+    )
+    # corpus-wide doc-holder count + first-holder rank: mind values are
+    # distinct within a shingle (doc ids are globally unique, so two
+    # groups can never share one), making the rank deterministic.
+    nd = F.sum("c").over(Window.partitionBy("g"))
+    rn = F.row_number().over(Window.partitionBy("g").orderBy("mind"))
+    g3 = g2.select("grp", "c", nd.alias("nd"), rn.alias("rn"))
+    dup = F.coalesce(F.sum(F.when(F.col("nd") >= 2, F.col("c"))), F.lit(0))
+    out = g3.groupBy(F.col("grp").alias(group_col)).agg(
+        F.sum("c").alias("shingle_slots"),
+        F.count("*").alias("distinct_shingles"),
+        dup.alias("dup_slots"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias(
+            "owned_shingles"
+        ),
+    )
+    return out.withColumn(
+        "dup_ratio", F.col("dup_slots") / F.col("shingle_slots")
+    ).orderBy(group_col)
