@@ -188,3 +188,42 @@ def test_bpe_encode_report_token_economics(spark):
         assert r.total_bpe_tokens >= r.total_words
         assert r.tokens_per_word >= 1.0
         assert r.n_docs > 0
+
+
+def test_temperature_mix_flattens_shares(spark):
+    from waddleml_spark import catalog
+    from tests.conftest import SF_SMOKE
+
+    rows = catalog.QUERIES["temperature_mix_report"](
+        spark, SF_SMOKE
+    ).collect()
+    assert len(rows) >= 2
+    raw = [r.raw_share for r in rows]
+    temp = [r.temp_share for r in rows]
+    # shares are distributions (floor-rounding eats <= 1e-6 per row)
+    assert abs(sum(raw) - 1.0) < 1e-4 and abs(sum(temp) - 1.0) < 1e-4
+    # tau < 1 flattens: the dominant source sheds, the smallest gains
+    assert max(temp) <= max(raw) + 1e-9
+    assert min(temp) >= min(raw) - 1e-9
+    hi = max(rows, key=lambda r: r.raw_share)
+    lo = min(rows, key=lambda r: r.raw_share)
+    assert hi.upsample_factor <= 1.0 + 1e-9
+    assert lo.upsample_factor >= 1.0 - 1e-9
+
+
+def test_temperature_one_is_identity(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    # tau = 1 must reduce to the raw shares exactly (q ∝ p^1 = p)
+    df = spark.createDataFrame(
+        [("a", 10.0), ("b", 30.0), ("c", 60.0)], "src string, n double"
+    )
+    w = Window.partitionBy()
+    p = F.col("n") / F.sum("n").over(w)
+    q = F.pow(p, F.lit(1.0))
+    out = df.select(
+        (q / F.sum(q).over(w)).alias("temp"), p.alias("raw")
+    ).collect()
+    for r in out:
+        assert abs(r.temp - r.raw) < 1e-12

@@ -2115,3 +2115,38 @@ def bpe_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@_register("temperature_mix_report", None)
+def temperature_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling mixture (the multilingual-LM rebalance
+    of Conneau/XLM-R and mT5): per source, raw token share p_i and the
+    tau=0.7-adjusted sampling share q_i ∝ p_i^tau, plus the resulting
+    upsample factor q_i/p_i — >1 means the schedule oversamples the
+    source relative to its natural share (small sources gain, dominant
+    ones shed).  Rows-only BY DESIGN: pow/exp are transcendental, the
+    no-new-transcendental-pairings rule applies; flattening invariants
+    (shares sum to 1, tau<1 shrinks the max share and lifts the min,
+    tau=1 reduces to raw shares) are pinned in tests.
+
+    Scale shape: one token-count pass to source grain (map-side
+    partials), then all mixture math on the ~|sources|-row aggregate —
+    the unpartitioned window is a one-task pass over tens of rows."""
+    d = t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(textstats.word_count(F.col("text"))).alias("total_tokens")
+    )
+    w = Window.partitionBy()
+    p = F.col("total_tokens") / F.sum("total_tokens").over(w)
+    per = per.withColumn("raw_share", p)
+    q = F.pow(F.col("raw_share"), F.lit(0.7))
+    per = per.withColumn("temp_share", q / F.sum(q).over(w))
+    return per.select(
+        "source",
+        "total_tokens",
+        _r(F.col("raw_share"), 6).alias("raw_share"),
+        _r(F.col("temp_share"), 6).alias("temp_share"),
+        _r(F.col("temp_share") / F.col("raw_share"), 4).alias(
+            "upsample_factor"
+        ),
+    ).orderBy("source")
