@@ -133,8 +133,6 @@ def test_bpe_token_class_identical_across_engines_on_vertical_tab(spark):
 
 
 def test_shingle_novelty_report_hand_checked(spark):
-    from pyspark.sql import functions as F
-
     from waddleml_spark.llmops.textstats import shingle_novelty_report
 
     df = spark.createDataFrame(
@@ -227,3 +225,21 @@ def test_temperature_one_is_identity(spark):
     ).collect()
     for r in out:
         assert abs(r.temp - r.raw) < 1e-12
+
+
+def test_smoothed_shares_zero_weight_is_null_not_crash(spark):
+    # ANSI mode is ON in this repo's Spark: 0/0 in the upsample rate
+    # must surface as NULL via try_divide, never DIVIDE_BY_ZERO or a
+    # NaN silently floored to 0
+    from waddleml_spark.llmops.mixing import smoothed_shares
+
+    df = spark.createDataFrame(
+        [("a", 90.0), ("b", 10.0), ("z", 0.0)], "k string, w double"
+    )
+    rows = {r.k: r for r in smoothed_shares(df, "w", 0.7).collect()}
+    assert rows["z"].natural_share == 0.0
+    assert rows["z"].smoothed_share == 0.0
+    assert rows["z"].sample_rate is None
+    assert abs(sum(r.natural_share for r in rows.values()) - 1.0) < 1e-4
+    assert abs(sum(r.smoothed_share for r in rows.values()) - 1.0) < 1e-4
+    assert rows["b"].sample_rate > 1.0 > rows["a"].sample_rate

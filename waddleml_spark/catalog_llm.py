@@ -2051,6 +2051,12 @@ def perplexity_buckets_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-new-transcendental-pairings rule exists for; the bucket-balance
     and ordering properties are pinned in tests instead.
 
+    Buckets cover the SCORABLE corpus: documents with fewer than two LM
+    tokens have no bigrams, get no score, and are dropped by the inner
+    join — per-lang n_docs sums to the scorable count, not the raw
+    corpus count (pair with gopher_quality_report's word-count gate for
+    the docs a real pipeline would have already removed).
+
     Scale shape: bigram_lm_scores is the three-exchange occurrence
     pipeline documented on the function; the bucketing adds one
     doc-grain join + one window over (lang) — doc-grain, never
@@ -2130,23 +2136,31 @@ def temperature_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tau=1 reduces to raw shares) are pinned in tests.
 
     Scale shape: one token-count pass to source grain (map-side
-    partials), then all mixture math on the ~|sources|-row aggregate —
-    the unpartitioned window is a one-task pass over tens of rows."""
+    partials), then all mixture math on the ~|sources|-row aggregate via
+    the shared mixing.smoothed_shares helper (one definition with
+    domain_mix_report's alpha-smoothing) — a one-task window pass over
+    tens of rows.  A zero-token source keeps its row with a NULL
+    upsample factor (try_divide) instead of crashing under ANSI 0/0."""
+    from waddleml_spark.llmops.mixing import smoothed_shares
+
     d = t(spark, sf_dir, "documents")
     per = d.groupBy("source").agg(
         F.sum(textstats.word_count(F.col("text"))).alias("total_tokens")
     )
-    w = Window.partitionBy()
-    p = F.col("total_tokens") / F.sum("total_tokens").over(w)
-    per = per.withColumn("raw_share", p)
-    q = F.pow(F.col("raw_share"), F.lit(0.7))
-    per = per.withColumn("temp_share", q / F.sum(q).over(w))
-    return per.select(
-        "source",
-        "total_tokens",
-        _r(F.col("raw_share"), 6).alias("raw_share"),
-        _r(F.col("temp_share"), 6).alias("temp_share"),
-        _r(F.col("temp_share") / F.col("raw_share"), 4).alias(
-            "upsample_factor"
-        ),
-    ).orderBy("source")
+    return (
+        smoothed_shares(
+            per,
+            "total_tokens",
+            alpha=0.7,
+            share_names=("raw_share", "temp_share", "upsample_factor"),
+            digits=(6, 6, 4),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "raw_share",
+            "temp_share",
+            "upsample_factor",
+        )
+        .orderBy("source")
+    )

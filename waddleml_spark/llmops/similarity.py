@@ -825,33 +825,22 @@ def domain_mix_report(
     resample_to_mix consumes downstream).
 
     Plan shape: the only corpus-scale work is the KMeans assignment
-    projection + one count shuffle at domain grain; shares are computed
-    over the n_domains-row aggregate via a 1-row broadcast cross join.
-    Values floor-rounded to 6 digits (rows-only determinism)."""
+    projection + one count shuffle at domain grain; the share math is
+    the shared mixing.smoothed_shares helper — one unpartitioned window
+    pass over the n_domains-row aggregate, values floor-rounded to 6
+    digits (rows-only determinism)."""
+    from waddleml_spark.llmops.mixing import smoothed_shares
+
     _model, with_cells = ivf_index(corpus, n_cells=n_domains, vec_col=vec_col)
     counts = with_cells.groupBy("ivf_cell").agg(F.count("*").alias("n_docs"))
-    tot = counts.agg(
-        F.sum("n_docs").alias("__t"),
-        F.sum(F.pow(F.col("n_docs"), F.lit(alpha))).alias("__tw"),
-    )
-    p6 = 10**6
-
-    def _r6(c):
-        return F.floor(c * p6 + F.lit(0.5)) / p6
-
     return (
-        counts.crossJoin(F.broadcast(tot))
+        smoothed_shares(counts, "n_docs", alpha)
         .select(
             F.col("ivf_cell").alias("domain"),
             "n_docs",
-            _r6(F.col("n_docs") / F.col("__t")).alias("natural_share"),
-            _r6(F.pow(F.col("n_docs"), F.lit(alpha)) / F.col("__tw")).alias(
-                "smoothed_share"
-            ),
-            _r6(
-                (F.pow(F.col("n_docs"), F.lit(alpha)) / F.col("__tw"))
-                / (F.col("n_docs") / F.col("__t"))
-            ).alias("sample_rate"),
+            "natural_share",
+            "smoothed_share",
+            "sample_rate",
         )
         .orderBy("domain")
     )
