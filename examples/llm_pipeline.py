@@ -80,8 +80,19 @@ probs = quality_model.score_quality(feats, scorer)
 print("learned filter: mean P(keep) =",
       round(probs.agg(F.avg("quality_prob")).first()[0], 3))
 
-# 7. domain mix: semantic clusters with alpha-smoothed sampling rates
+# 7. domain mix: semantic clusters with alpha-smoothed sampling rates,
+# and the source-grain temperature rebalance (same shared mixing math)
 similarity.domain_mix_report(emb, n_domains=4).show(truncate=False)
+
+from waddleml_spark.llmops.mixing import smoothed_shares
+from waddleml_spark.llmops import textstats
+
+per_src = final.groupBy("source").agg(
+    F.sum(textstats.word_count(F.col("text"))).alias("total_tokens"))
+smoothed_shares(per_src, "total_tokens", alpha=0.7).show(truncate=False)
+
+# 7b. redundancy attribution: which sources contribute vs re-crawl
+textstats.shingle_novelty_report(final).show(truncate=False)
 
 # 8. tokenizer training: learn 8 BPE merges from the final corpus
 from waddleml_spark.llmops import bpe

@@ -769,6 +769,8 @@ def covariance_matrix(
         partials, schema="n double, s array<double>, ss array<double>"
     )
     rows = part.collect()  # one row per Arrow batch — tiny
+    if not rows:
+        raise ValueError("covariance over an empty corpus")
     n = sum(r.n for r in rows)
     s = np.sum([np.array(r.s) for r in rows], axis=0)
     ss = np.sum([np.array(r.ss) for r in rows], axis=0)
