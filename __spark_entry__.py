@@ -44,11 +44,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # distinct_keys, sha256_docs, json_canonical_docs, set_ops_users.
 # Round-5 rotation: the 36 oracle-paired queries never yet driver-certified
 # (15 TPC-H shapes, CDC, variant, downsamplers, text-stat reports,
-# embedding reports) take the bulk of the window, plus the three
-# oracle-paired queries ADDED this round (minhash32_band_pairs,
-# gopher_quality_report, passage_dedup_report) — with those, a green
-# window makes cumulative driver-certification cover EVERY oracle-paired
-# query in the catalog (73 from r1-r4 + 39 here = all 112).  Eleven
+# embedding reports) take the bulk of the window, plus the four
+# oracle-paired queries ADDED this round (trigram_novelty_by_source,
+# minhash32_band_pairs, gopher_quality_report, passage_dedup_report) —
+# with those, a green window makes cumulative driver-certification cover
+# EVERY oracle-paired query in the catalog (73 from r1-r4 + 40 here =
+# all 113).  Ten
 # long-stable r4 rows stay as regression anchors (exact_dedup_docs /
 # minhash32_docs / simhash32_docs yielded their slots: each certified
 # r4, and their machinery is re-exercised by the new band-pairs rows).
@@ -59,8 +60,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_leaderboard", "runs_list_page", "stale_reclass",
     "dim_join_agg", "last_per_group_ties", "agg_minmax_count",
     "sessionize_users", "asof_purchase_click", "topn_orders",
-    "tpch_q1", "pii_scrub_report",
-    # round-5 additions, certified here for the first time
+    "pii_scrub_report",
+    # round-5 additions, certified here for the first time (tpch_q1 —
+    # certified r1 AND r4 — yielded its anchor slot to the late-round
+    # trigram_novelty_by_source; q1's partial-agg-over-lineitem shape is
+    # re-exercised by the six lineitem TPC-H rows below)
+    "trigram_novelty_by_source",
     "minhash32_band_pairs", "gopher_quality_report", "passage_dedup_report",
     # TPC-H shapes never driver-certified (q4, q6-q11, q13-q17, q19-q20, q22)
     "order_priority_check_q4", "forecast_revenue_q6", "volume_shipping_q7",
