@@ -605,7 +605,14 @@ def top3_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical rollup with subtotals + grand total (§2.4 extension)."""
+    """Hierarchical rollup with subtotals + grand total (§2.4 extension).
+
+    Known engine divergence AT ZERO ROWS, pinned by
+    tests/test_empty_input.py: standard SQL (DuckDB, Postgres) emits
+    the () grand-total row even over an empty input, but Spark's
+    Expand-based implementation replicates input rows per grouping set
+    — no rows in, no rows out.  Identical on any non-empty input.
+    """
     return (
         t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")

@@ -146,6 +146,9 @@ def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations with subtotals (§2.4 extension).  Same
+    zero-rows engine divergence as rollup_lineitem (see its docstring;
+    pinned by tests/test_empty_input.py)."""
     return (
         t(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
@@ -168,7 +171,9 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit grouping sets (finer control than rollup/cube) via SQL —
     the DataFrame API exposes only cube/rollup, so this entry shows the
-    engine's SQL surface over a registered temp view."""
+    engine's SQL surface over a registered temp view.  Same zero-rows
+    engine divergence as rollup_lineitem (its () set vanishes on empty
+    input; pinned by tests/test_empty_input.py)."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
     return spark.sql(
         f"""

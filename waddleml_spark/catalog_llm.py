@@ -19,6 +19,24 @@ from waddleml_spark.llmops import WS_TRIM_RE as _WST
 from waddleml_spark.llmops import WS_RE as _WS  # one whitespace class for Spark
 # (Java regex) and the DuckDB oracles (RE2): the engines' `\\s` differ on \\x0b.
 
+def _qvec(emb, vec_id: int) -> list:
+    """Driver-side query-vector lookup (a parameter fetch, not a data
+    loop) with a crisp error: .head() returns None on a missing id /
+    empty corpus, which otherwise surfaces as an opaque TypeError."""
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
+    if row is None:
+        raise ValueError(f"query vector vec_id={vec_id} not found in embeddings")
+    return [float(x) for x in row[0]]
+
+
+def _emb_dim(emb) -> int:
+    """Embedding dimensionality probe with the same crisp empty guard."""
+    row = emb.select("embedding").head()
+    if row is None:
+        raise ValueError("embeddings table is empty")
+    return len(row[0])
+
+
 def _split_assign(key):
     """Deterministic 90/5/5 split from the first md5 hex byte of ``key``
     (<= 'e5' train, <= 'f2' val, else test) — the ONE definition of the
@@ -168,8 +186,7 @@ def cosine_topk_q0(spark: SparkSession, sf_dir: str) -> DataFrame:
     The query vector is fetched driver-side (a parameter lookup, not a data
     loop) and inlined as a literal array — broadcast by construction."""
     emb = t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    out = similarity.cosine_topk(emb, [float(x) for x in qvec], k=10, exclude_id=0)
+    out = similarity.cosine_topk(emb, _qvec(emb, 0), k=10, exclude_id=0)
     return out.select("vec_id", _r(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
@@ -303,11 +320,12 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "media_payload_stats",
     """
-    SELECT 'image' AS modality, count(*) AS n,
-           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-           min(octet_length(encode(text))) AS min_bytes,
-           max(octet_length(encode(text))) AS max_bytes
-    FROM documents
+    SELECT modality, count(*) AS n,
+           CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+           min(octet_length(payload)) AS min_bytes,
+           max(octet_length(payload)) AS max_bytes
+    FROM (SELECT 'image' AS modality, encode(text) AS payload FROM documents)
+    GROUP BY modality
     """,
 )
 def media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,7 +351,7 @@ def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("ann_lsh_topk_q0", None)
 def ann_lsh_topk_q0(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    qvec = _qvec(emb, 0)
     # 4 planes → 16 buckets: sized so buckets hold tens of vectors at the
     # test SFs; at corpus scale raise planes with corpus size (bucket ≈ n/2^p)
     planes = np.random.RandomState(42).randn(4, len(qvec)).tolist()
@@ -373,7 +391,7 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_ann_topk_q0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells (deterministic seed), probe nearest 3 of 8."""
     emb = t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    qvec = _qvec(emb, 0)
     model, with_cells = similarity.ivf_index(
         emb.filter(F.col("vec_id") != 0), n_cells=8, id_col="vec_id"
     )
@@ -1185,15 +1203,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale.
     """
     emb = t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").head()[0])
+    dim = _emb_dim(emb)
     planes = np.random.RandomState(42).randn(4, dim).tolist()
     model, with_cells = similarity.ivf_index(emb, id_col="vec_id")
     rows = []
     for qid in (0, 1, 2):
-        qvec = [
-            float(x)
-            for x in emb.filter(F.col("vec_id") == qid).select("embedding").head()[0]
-        ]
+        qvec = _qvec(emb, qid)
         cand = emb.filter(F.col("vec_id") != qid)
         exact = {
             r.vec_id
@@ -1315,7 +1330,7 @@ def pq_ann_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN case): the report's job is the monotone plain→rerank recall gain
     operators tune at scale, not absolute recall."""
     emb = t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").head()[0])
+    dim = _emb_dim(emb)
     m, n_codes = 8, 16
     from waddleml_spark.llmops import rotate_persist
 
@@ -1328,10 +1343,7 @@ def pq_ann_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression = float(4 * dim) / float(m + 8)
     rows = []
     for qid in (0, 1, 2):
-        qvec = [
-            float(x)
-            for x in emb.filter(F.col("vec_id") == qid).select("embedding").head()[0]
-        ]
+        qvec = _qvec(emb, qid)
         cand_c = codes.filter(F.col("vec_id") != qid)
         cand_e = emb.filter(F.col("vec_id") != qid)
         exact = {
