@@ -49,6 +49,11 @@ _WIDE_SCAN_BUDGET = {
     # execution count 1
     "media_frame_neardup_pairs": 2,
     "sequence_packing_report": 2,
+    # two passes by definition (train the merges from word frequencies,
+    # then encode every doc); the encode side's persisted word explode
+    # prints its text scan once per plan reference (textual 2, execution
+    # 2 — the frequency pass + the cache build)
+    "bpe_encode_report": 2,
     # the CMS audit persists the token explode; the sketch-build action
     # materializes it, so the returned plan's single reference prints
     # the cached subtree's text scan twice (cache-build + reference) —

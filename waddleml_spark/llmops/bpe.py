@@ -293,25 +293,34 @@ def apply_bpe(
     """(id, n_words, n_tokens): tokenize documents with the learned
     merges — vocab-first: the doc side explodes to (id, word), the
     token counts come from a BROADCAST join against the word→tokens map
-    built from the docs' own distinct words (any corpus's distinct-word
-    table is small relative to the corpus; at true web scale swap the
-    broadcast for a shuffle join, same plan otherwise)."""
-    # lazy checkpoint: the exploded (id, word) frame feeds BOTH the
-    # mapping aggregate and the join probe side — materialize on first
-    # use so the corpus-scale regexp explode runs once, not twice
-    words = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
-            )
-        ).alias("word"),
-    ).localCheckpoint(eager=False)
+    built from the docs' own distinct words.  The mapping join carries
+    NO broadcast hint: the mapping materializes behind a shuffle, so AQE
+    sees its true size at runtime and broadcasts exactly when it fits —
+    a million-word web vocabulary falls back to a shuffle join instead
+    of OOMing the driver."""
+    from . import rotate_persist
+
+    # the exploded (id, word) frame feeds BOTH the mapping aggregate and
+    # the join probe side — persist (NOT localCheckpoint: checkpoint
+    # blocks are pinned and unevictable, and this frame is CORPUS-scale;
+    # a 100x scale run measured the pinned blocks starving the JVM) so
+    # the regexp explode runs once yet stays evictable + lineage-safe
+    words = rotate_persist(
+        "bpe.words",
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+                )
+            ).alias("word"),
+        ),
+    )
     mapping = tokenize_words(
         words.groupBy("word").agg(F.count("*").alias("freq")), merges
     ).select("word", F.size("tokens").alias("n_tok"))
     return (
-        words.join(F.broadcast(mapping), "word")
+        words.join(mapping, "word")
         .groupBy("id")
         .agg(
             F.count("*").alias("n_words"),
