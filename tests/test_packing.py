@@ -145,6 +145,27 @@ def test_rotate_persist_keeps_previous_invocation_cached(spark):
     del _PERSIST_SLOTS["test.slot"]
 
 
+def test_rotate_persist_never_evicts_a_shared_same_plan_cache(spark):
+    # Spark's CacheManager dedupes persist() by CANONICAL plan: two
+    # invocations of the same catalog query share ONE InMemoryRelation.
+    # Rotating on the re-invocation would unpersist that shared entry
+    # two calls later — destroying the cache each repeat is about to
+    # read (measured 2-3x steady-state slowdown before the fix).  Same
+    # plan => slot untouched, cache stays live through many repeats.
+    from waddleml_spark.llmops import _PERSIST_SLOTS, rotate_persist
+
+    frames = [
+        rotate_persist("test.same", spark.range(40).selectExpr("id * 2 AS x"))
+        for _ in range(4)
+    ]
+    assert len(_PERSIST_SLOTS["test.same"]) == 1
+    for f in frames:
+        f.count()
+        assert f.storageLevel.useMemory  # the shared entry never dropped
+    frames[0].unpersist(blocking=False)
+    del _PERSIST_SLOTS["test.same"]
+
+
 def test_weighted_sample_exact_k_deterministic_and_weight_proportional(spark):
     # A-ES invariants: exactly k rows, identical sample across partition
     # layouts, and inclusion frequency proportional to weight — a

