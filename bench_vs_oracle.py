@@ -134,7 +134,11 @@ def main() -> None:
             "single-node throughput on identical parquet.  Spark runs one local\n"
             "JVM and pays per-stage scheduling overhead a cluster amortizes —\n"
             "compare ratios, not absolutes; the design target is the 100 TB\n"
-            "plan shape (see PLANS.md), which DuckDB cannot scale to.\n\n"
+            "plan shape (see PLANS.md), which DuckDB cannot scale to.\n"
+            "Queries that persist a shared sub-frame serve repeat passes\n"
+            "from that cache (Spark dedupes persist() by canonical plan),\n"
+            "so their number is the steady-state serving cost; the\n"
+            "first-invocation build cost is what SCALING.md measures.\n\n"
             f"**Totals: spark {total_s}s, duckdb {total_d}s, "
             f"{len(rows)} oracle-paired queries.**\n\n"
             "| query | spark s | duckdb s | spark/duckdb |\n|---|---|---|---|\n"
