@@ -4,9 +4,10 @@ A production pipeline hits empty inputs constantly (an empty partition,
 a date with no data, a source that produced nothing); the SQL-standard
 answer on an empty table is what DuckDB computes, so running the whole
 oracle-paired catalog against schema-identical EMPTY parquet is a free
-spec check for the edge the sf fixtures never exercise.  Round-5 state:
-108/113 pairings agree bit-exactly at zero rows with no special-casing;
-the named exceptions below are each pinned individually.
+spec check for the edge the sf fixtures never exercise.  The round-5
+sweep found 108/113 agreeing bit-exactly with no special-casing; after
+fixing the media_payload_stats oracle the agreeing set is 109, and the
+named exceptions below are each pinned individually.
 
 - The rollup family (rollup/cube/grouping sets) is a REAL engine
   divergence: standard SQL emits the () grand-total row over an empty
@@ -23,11 +24,11 @@ from __future__ import annotations
 
 import os
 
-import duckdb
 import pytest
 
 from tests.conftest import SF_SMOKE
 from waddleml_spark import catalog
+from waddleml_spark.testing import DRIVER_TABLES as TABLES
 
 # Spark emits no grand-total row on empty input; standard SQL emits one.
 GRAND_TOTAL_DIVERGENT = {
@@ -38,11 +39,6 @@ GRAND_TOTAL_DIVERGENT = {
 
 # parameter-lookup queries: empty corpus -> crisp error, not a result
 NEEDS_QUERY_VECTOR = {"cosine_topk_q0"}
-
-TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
 
 
 @pytest.fixture(scope="session")
@@ -67,13 +63,11 @@ def empty_dir(tmp_path_factory):
 
 @pytest.fixture(scope="session")
 def duck_empty(empty_dir):
-    con = duckdb.connect()
-    for n in TABLES:
-        con.execute(
-            f"CREATE VIEW {n} AS SELECT * FROM "
-            f"read_parquet('{empty_dir}/{n}.parquet')"
-        )
-    return con
+    from waddleml_spark.testing import duckdb_conn
+
+    con = duckdb_conn(empty_dir)
+    yield con
+    con.close()
 
 
 @pytest.mark.parametrize(

@@ -166,6 +166,25 @@ def test_rotate_persist_never_evicts_a_shared_same_plan_cache(spark):
     del _PERSIST_SLOTS["test.same"]
 
 
+def test_rotate_persist_dedup_hit_refreshes_recency(spark):
+    # interleaved A, B, A, C: the dedup hit on A must move it to the
+    # recent end, so C's rotation evicts the older-used B — not the
+    # just-re-served A
+    from waddleml_spark.llmops import _PERSIST_SLOTS, rotate_persist
+
+    plan_a = lambda: spark.range(50).selectExpr("id + 1 AS x")  # noqa: E731
+    a1 = rotate_persist("test.lru", plan_a())
+    b = rotate_persist("test.lru", spark.range(60).selectExpr("id + 2 AS y"))
+    a2 = rotate_persist("test.lru", plan_a())  # dedup hit, refreshes A
+    c = rotate_persist("test.lru", spark.range(70).selectExpr("id + 3 AS z"))
+    assert a1.storageLevel.useMemory and a2.storageLevel.useMemory
+    assert not b.storageLevel.useMemory  # B was the least recently served
+    assert c.storageLevel.useMemory
+    for df in (a1, c):
+        df.unpersist(blocking=False)
+    del _PERSIST_SLOTS["test.lru"]
+
+
 def test_weighted_sample_exact_k_deterministic_and_weight_proportional(spark):
     # A-ES invariants: exactly k rows, identical sample across partition
     # layouts, and inclusion frequency proportional to weight — a

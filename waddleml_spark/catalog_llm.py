@@ -2106,8 +2106,8 @@ def bpe_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer is iterative, not SQL): learn 24 merges from the word-
     frequency table (vocab-bounded in-memory path — one corpus pass,
     one Spark job), then encode EVERY document through bpe.apply_bpe's
-    vocab-first broadcast join (tokenize each distinct word once, never
-    each occurrence) and report per-language corpus token economics —
+    vocab-first join (tokenize each distinct word once, never each
+    occurrence; AQE broadcasts the mapping exactly when it fits) and report per-language corpus token economics —
     the numbers a packing/context-budget stage consumes.  Two corpus
     passes total (frequency pass + encode pass); everything between is
     vocabulary-scale."""

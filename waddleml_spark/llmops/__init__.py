@@ -68,6 +68,12 @@ def rotate_persist(slot: str, df):
                 # silently destroying the cache each re-invocation is
                 # about to read (measured: steady-state repeats of the
                 # same catalog query ran 2-3x slower than the first).
+                # The hit DOES refresh recency: without the move-to-end,
+                # an interleaved A,B,A,C sequence would evict the
+                # just-re-served A (live[:-2]) while the older-used B
+                # survives.
+                live.remove(prev)
+                live.append(prev)
                 return df
         live.append(df)
         stale = live[:-2]

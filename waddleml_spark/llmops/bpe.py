@@ -21,8 +21,9 @@ at 100 TB — still cluster-cheap, never corpus-scale):
 classic iterative-algorithm discipline on Spark.
 
 Applying the learned tokenizer (``apply_bpe``) is again vocab-first:
-distinct words join (broadcast) against the trained word→tokens map;
-unseen words replay the merge list in the same pandas kernel.
+distinct words join against the trained word→tokens map (AQE sizes the
+join at runtime — broadcast when the vocabulary fits, shuffle when it
+doesn't); unseen words replay the merge list in the same pandas kernel.
 
 No counterpart in the reference; this is the tokenizer-training stage
 of the data pipeline the §2.12 operators feed.
@@ -292,7 +293,7 @@ def apply_bpe(
 ) -> DataFrame:
     """(id, n_words, n_tokens): tokenize documents with the learned
     merges — vocab-first: the doc side explodes to (id, word), the
-    token counts come from a BROADCAST join against the word→tokens map
+    token counts come from a join against the word→tokens map
     built from the docs' own distinct words.  The mapping join carries
     NO broadcast hint: the mapping materializes behind a shuffle, so AQE
     sees its true size at runtime and broadcasts exactly when it fits —
