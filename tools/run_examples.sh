@@ -1,0 +1,18 @@
+#!/bin/sh
+# Execute every example end-to-end (doc-rot insurance; ~3-4 min total).
+# Not part of the pytest suite on purpose: the examples are narratives,
+# not assertions — this script only checks they still RUN.
+#   sh tools/run_examples.sh [sf_dir]    (default /root/testdata/sf0.001)
+set -e
+cd "$(dirname "$0")/.."
+SF="${1:-/root/testdata/sf0.001}"
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+for f in examples/quickstart.py examples/linear_regression.py \
+         examples/hyperparameter_sweep.py examples/training_data_pipeline.py \
+         examples/snapshot_lakehouse.py; do
+  echo "== $f"
+  python "$f" >/dev/null
+done
+echo "== examples/llm_pipeline.py $SF"
+python examples/llm_pipeline.py "$SF" >/dev/null
+echo "all examples ran clean"
