@@ -37,6 +37,47 @@ def _emb_dim(emb) -> int:
     return len(row[0])
 
 
+def _word_pos_sql(cols: str = "") -> str:
+    """One row per (doc, token, 1-based position) — the LINEAR building
+    block every shingle oracle sits on.  The naive list-comprehension
+    form (``list_transform(range(...), i -> ws[i:i+2])``) is QUADRATIC
+    in document width: DuckDB evaluates the slice against the full
+    captured list per element (measured 0.9/12.6/202 s at 5k/20k/80k
+    words — a single 1 MB web document hangs it).  Zipped unnest +
+    window lead is O(n) and value-identical."""
+    return rf"""SELECT doc_id{cols}, unnest(ws) AS wd,
+               unnest(range(1, len(ws) + 1)) AS i
+        FROM (SELECT doc_id{cols},
+                     str_split_regex(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}') AS ws
+              FROM documents)"""
+
+
+def _trigram_rows_sql(cols: str = "") -> str:
+    """(doc_id[, cols], g): word trigrams, NO partial shingles (docs
+    under 3 tokens emit nothing) — g is NULL past position len-2, so
+    consumers filter ``g IS NOT NULL``.  Linear (see _word_pos_sql)."""
+    return rf"""SELECT doc_id{cols},
+           wd || ' ' || lead(wd, 1) OVER (PARTITION BY doc_id ORDER BY i)
+              || ' ' || lead(wd, 2) OVER (PARTITION BY doc_id ORDER BY i)
+               AS g
+        FROM ({_word_pos_sql(cols)})"""
+
+
+def _trigram_rows_clamped_sql() -> str:
+    """(doc_id, i, g): the slice-CLAMPED shingle semantics of
+    dedup.shingles — docs under 3 tokens shingle to their whole text
+    (position 1 emits the 1- or 2-token join).  Linear."""
+    return rf"""SELECT doc_id, i,
+           CASE WHEN w2 IS NOT NULL THEN wd || ' ' || w1 || ' ' || w2
+                WHEN i = 1 THEN
+                    CASE WHEN w1 IS NULL THEN wd ELSE wd || ' ' || w1 END
+           END AS g
+        FROM (SELECT doc_id, i, wd,
+                     lead(wd, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w1,
+                     lead(wd, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+              FROM ({_word_pos_sql()}))"""
+
+
 def _split_assign(key):
     """Deterministic 90/5/5 split from the first md5 hex byte of ``key``
     (<= 'e5' train, <= 'f2' val, else test) — the ONE definition of the
@@ -539,22 +580,16 @@ def bpe_train_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "contamination_by_source",
     rf"""
-    WITH toks AS (
-        SELECT doc_id, source, str_split_regex(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}') AS w
-        FROM documents
+    WITH tri AS (
+        {_trigram_rows_sql(", source")}
     ),
-    sh AS (
-        SELECT doc_id, source,
-               list_distinct(list_transform(
-                   range(1, CASE WHEN len(w) >= 3 THEN len(w) - 1 ELSE 1 END),
-                   i -> array_to_string(w[i:i+2], ' '))) AS shingles
-        FROM toks
-    ),
-    bench AS (SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE source = 'src0'),
-    corpus AS (SELECT doc_id, source, unnest(shingles) AS g FROM sh WHERE source <> 'src0'),
+    bench AS (SELECT DISTINCT g FROM tri
+              WHERE source = 'src0' AND g IS NOT NULL),
+    corpus AS (SELECT DISTINCT doc_id, source, g FROM tri
+               WHERE source <> 'src0' AND g IS NOT NULL),
     hits AS (SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b ON c.g = b.g)
     SELECT s.source, count(*) AS n_docs, count(h.doc_id) AS n_contaminated
-    FROM (SELECT DISTINCT doc_id, source FROM sh WHERE source <> 'src0') s
+    FROM (SELECT DISTINCT doc_id, source FROM documents WHERE source <> 'src0') s
     LEFT JOIN hits h ON h.doc_id = s.doc_id
     GROUP BY s.source
     """,
@@ -621,18 +656,11 @@ def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "passage_dedup_report",
     rf"""
-    WITH w AS (
+    WITH p AS (
         SELECT doc_id, source,
-               str_split_regex(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}') AS ws
-        FROM documents
-    ), p AS (
-        SELECT doc_id, source,
-               unnest([
-                   md5(array_to_string(ws[(i-1)*20+1:(i-1)*20+20], ' '))
-                   for i in generate_series(
-                       1, greatest(CAST(ceil(len(ws) / 20.0) AS BIGINT), 1))
-               ]) AS ph
-        FROM w
+               md5(string_agg(wd, ' ' ORDER BY i)) AS ph
+        FROM ({_word_pos_sql(", source")})
+        GROUP BY doc_id, source, CAST(floor((i - 1) / 20) AS BIGINT)
     ), g AS (
         SELECT ph, source, doc_id, count(*) AS inst
         FROM p GROUP BY ph, source, doc_id
@@ -1797,19 +1825,9 @@ def _minhash32_ctes() -> str:
         f"min(({a} * h32 + {b}) % {p}) AS m{i}"
         for i, (a, b) in enumerate(dedup._MH_AB)
     )
-    return rf"""d AS (
-        SELECT doc_id,
-               list_distinct([
-                   array_to_string(ws[i:i+2], ' ')
-                   for i in generate_series(1, greatest(len(ws) - 2, 1))
-               ]) AS sh
-        FROM (
-            SELECT doc_id,
-                   str_split_regex(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}') AS ws
-            FROM documents
-        )
-    ), t AS (
-        SELECT doc_id, unnest(sh) AS s FROM d
+    return rf"""t AS (
+        SELECT DISTINCT doc_id, g AS s
+        FROM ({_trigram_rows_clamped_sql()}) WHERE g IS NOT NULL
     ), h AS (
         SELECT doc_id,
                CAST(((md5_number_upper(s) & 255) * 16777216)
@@ -1933,14 +1951,9 @@ def _shingle_cte_sql() -> str:
     """DuckDB twin of dedup.shingles(k=3): distinct word 3-grams with the
     short-doc slice clamp (docs under 3 words shingle to the whole text)."""
     return rf"""
-        SELECT doc_id,
-               list_distinct([
-                   array_to_string(ws[i:i+2], ' ')
-                   for i in generate_series(1, greatest(len(ws) - 2, 1))
-               ]) AS sh
-        FROM (SELECT doc_id,
-                     str_split_regex(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}') AS ws
-              FROM documents)
+        SELECT doc_id, list(DISTINCT g) AS sh
+        FROM ({_trigram_rows_clamped_sql()}) WHERE g IS NOT NULL
+        GROUP BY doc_id
     """
 
 
@@ -2008,16 +2021,9 @@ def levenshtein_verify_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "trigram_novelty_by_source",
     rf"""
-    WITH toks AS (
-        SELECT doc_id, source,
-               str_split_regex(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}') AS w
-        FROM documents
-    ), shr AS (
-        SELECT doc_id, source,
-               unnest(list_distinct(list_transform(
-                   range(1, CASE WHEN len(w) >= 3 THEN len(w) - 1 ELSE 1 END),
-                   i -> array_to_string(w[i:i+2], ' ')))) AS g
-        FROM toks
+    WITH shr AS (
+        SELECT DISTINCT doc_id, source, g
+        FROM ({_trigram_rows_sql(", source")}) WHERE g IS NOT NULL
     ), g2 AS (
         SELECT g, source, count(*) AS c, min(doc_id) AS mind
         FROM shr GROUP BY g, source
