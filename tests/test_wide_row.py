@@ -36,6 +36,9 @@ WIDE_ROW_QUERIES = (
     "token_totals_by_source",
     "type_token_ratio_by_lang",
     "corpus_mix_report",
+    "minhash32_docs",
+    "simhash32_docs",
+    "sha256_docs",
 )
 
 
