@@ -61,19 +61,23 @@ def wide_dir(tmp_path_factory):
                 "Sphinx of black quartz, judge my vow! "
             )
             big = unit * (1_000_000 // len(unit))
+            # doc 4 has NULL text: the other row-shape edge a crawler
+            # emits (a fetch that produced metadata but no body)
             texts = [
                 ("a small document. " + unit, "en", "src_small"),
                 (big, "en", "src_wide"),
                 (unit * 3, "de", "src_small"),
+                (None, "en", "src_null"),
             ]
             tbl = pa.table(
                 {
-                    "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                    "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
                     "text": pa.array([t for t, _, _ in texts]),
                     "lang": pa.array([l for _, l, _ in texts]),
                     "source": pa.array([s for _, _, s in texts]),
                     "n_chars": pa.array(
-                        [len(t) for t, _, _ in texts], type=pa.int64()
+                        [len(t) if t is not None else 0 for t, _, _ in texts],
+                        type=pa.int64(),
                     ),
                 },
             ).cast(sch)

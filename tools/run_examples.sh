@@ -7,12 +7,11 @@ set -e
 cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.001}"
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
-for f in examples/quickstart.py examples/linear_regression.py \
-         examples/hyperparameter_sweep.py examples/training_data_pipeline.py \
-         examples/snapshot_lakehouse.py; do
+for f in examples/*.py; do
   echo "== $f"
-  python "$f" >/dev/null
+  case "$f" in
+    *llm_pipeline.py) python "$f" "$SF" >/dev/null ;;
+    *) python "$f" >/dev/null ;;
+  esac
 done
-echo "== examples/llm_pipeline.py $SF"
-python examples/llm_pipeline.py "$SF" >/dev/null
 echo "all examples ran clean"

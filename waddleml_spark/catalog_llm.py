@@ -44,11 +44,18 @@ def _word_pos_sql(cols: str = "") -> str:
     in document width: DuckDB evaluates the slice against the full
     captured list per element (measured 0.9/12.6/202 s at 5k/20k/80k
     words — a single 1 MB web document hangs it).  Zipped unnest +
-    window lead is O(n) and value-identical."""
+    window lead is O(n) and value-identical.
+
+    NULL text coalesces to '' BECAUSE SPARK DOES: every Spark tokenizer
+    here coerces a NULL body to the ['']-token shape (probed:
+    dedup.shingles(NULL) == shingles('') == ['']), while unnesting a
+    NULL list would emit zero rows and silently drop the document from
+    passage/signature grains (test_wide_row.py pins a NULL-text doc
+    through every text pairing)."""
     return rf"""SELECT doc_id{cols}, unnest(ws) AS wd,
                unnest(range(1, len(ws) + 1)) AS i
         FROM (SELECT doc_id{cols},
-                     str_split_regex(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}') AS ws
+                     str_split_regex(regexp_replace(lower(coalesce(text, '')), '{_WST}', '', 'g'), '{_WS}') AS ws
               FROM documents)"""
 
 
