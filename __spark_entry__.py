@@ -42,51 +42,44 @@ def entry(spark: SparkSession) -> DataFrame:
 # Rotated out after r3 certification: point_lookup, fk_scan,
 # in_list_filter, prefix_exclusion, search_ci, derived_duration,
 # distinct_keys, sha256_docs, json_canonical_docs, set_ops_users.
-# Round-5 rotation: the 36 oracle-paired queries never yet driver-certified
-# (15 TPC-H shapes, CDC, variant, downsamplers, text-stat reports,
-# embedding reports) take the bulk of the window, plus the four
-# oracle-paired queries ADDED this round (trigram_novelty_by_source,
-# minhash32_band_pairs, gopher_quality_report, passage_dedup_report) —
-# with those, a green window makes cumulative driver-certification cover
-# EVERY oracle-paired query in the catalog (73 from r1-r4 + 40 here =
-# all 113).  Ten
-# long-stable r4 rows stay as regression anchors (exact_dedup_docs /
-# minhash32_docs / simhash32_docs yielded their slots: each certified
-# r4, and their machinery is re-exercised by the new band-pairs rows).
+# Round-5 rotation covered the last never-certified rows: cumulative
+# driver certification now spans ALL 113 oracle-paired queries.
+# Round-6 rotation (certification-AGE bound, per the r5 verdict): with
+# everything certified at least once, the window now re-verifies the
+# rows certified LONGEST ago so max age stays <= 3 rounds — all 13
+# r2-vintage rows, all 10 r3-vintage rows, and the 23 oldest r4 rows
+# (the remaining 17 r4 rows are age 2 after this round and take the r7
+# window).  Anchors: flagship (slot 1, the smoke query) and
+# minhash32_band_pairs (the full oracle-exact LSH chain).  The two
+# verifier demos REWROTE this round (all-pairs -> minhash-block
+# candidates, the r5 verdict's top item) and must re-certify.
 # All 50 emulator-preverified this round (sf0.01, bare session, values +
 # type families).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # stable anchors (certified r1-r4; flagship stays slot 1 for smoke)
-    "flagship_leaderboard", "runs_list_page", "stale_reclass",
-    "dim_join_agg", "last_per_group_ties", "agg_minmax_count",
-    "sessionize_users", "asof_purchase_click", "topn_orders",
-    "pii_scrub_report",
-    # round-5 additions, certified here for the first time (tpch_q1 —
-    # certified r1 AND r4 — yielded its anchor slot to the late-round
-    # trigram_novelty_by_source; q1's partial-agg-over-lineitem shape is
-    # re-exercised by the six lineitem TPC-H rows below)
-    "trigram_novelty_by_source",
-    "minhash32_band_pairs", "gopher_quality_report", "passage_dedup_report",
-    # TPC-H shapes never driver-certified (q4, q6-q11, q13-q17, q19-q20, q22)
-    "order_priority_check_q4", "forecast_revenue_q6", "volume_shipping_q7",
-    "market_share_q8", "product_profit_q9", "returned_items_q10",
-    "important_stock_q11", "customer_distribution_q13", "promo_revenue_q14",
-    "top_supplier_q15", "supplier_part_counts_q16",
-    "small_quantity_revenue_q17", "disjunctive_revenue_q19",
-    "potential_promotion_q20", "idle_rich_customers_q22",
-    # CDC / variant / downsampling / temporal fill
-    "cdc_changes_since", "variant_props_stats", "series_downsample_50",
-    "series_lttb_50", "locf_gap_fill", "distribution_ranks_orders",
-    # text / fingerprint / language reports
-    "fingerprint_docs", "text_quality_by_lang", "lang_pred_matrix",
-    "type_token_ratio_by_lang", "repetition_filter_report",
-    "top_words_by_lang", "corpus_snapshot_diff",
-    # embeddings / media / pairwise demos
-    "embedding_norm_by_label", "embedding_dim_stats",
-    "embedding_neardup_pairs", "media_payload_stats",
+    # anchors (flagship stays slot 1 for smoke)
+    "flagship_leaderboard", "minhash32_band_pairs",
+    # rewritten this round (de-quadratic demos) — must re-certify
     "jaccard_word_pairs_src0", "levenshtein_pairs_src0",
-    # splits / sampling
-    "dataset_split_report", "stratified_eval_sample",
+    # r2 vintage (certified longest ago)
+    "corr_price_qty", "distinct_users_by_type", "json_extract_props",
+    "names_by_segment", "orders_per_month", "quantiles_by_type",
+    "revenue_by_priority", "running_sum_per_user", "size_class_counts",
+    "source_numeric_ids", "substr_format", "top3_orders_per_cust",
+    "value_histogram",
+    # r3 vintage
+    "derived_duration", "distinct_keys", "fk_scan", "in_list_filter",
+    "json_canonical_docs", "point_lookup", "prefix_exclusion",
+    "search_ci", "set_ops_users", "sha256_docs",
+    # r4 vintage (23 of 40; the rest rotate in r7)
+    "jaccard_verify_lsh", "levenshtein_verify_lsh", "minhash32_docs",
+    "simhash32_docs", "simhash32_band_pairs", "exact_dedup_docs",
+    "incremental_dedup_report", "contamination_by_source",
+    "bigram_lm_quality_by_lang", "sequence_packing_report",
+    "chunking_report", "corpus_mix_report", "corpus_resample_report",
+    "filter_funnel_report", "token_totals_by_source",
+    "metric_summary_stats", "metric_anomaly_report", "cosine_topk_q0",
+    "hypertable_rollup_day", "range_pairs_60s", "resample_purchase_1h",
+    "ema_smooth_5", "lead_lag_delta",
 )
 
 

@@ -41,8 +41,11 @@ _WIDE_SCAN_BUDGET = {
     # scans text exactly TWICE (one cache build each), down from 3 in
     # the uncached shape (measured 1.99 -> 1.71 s at sf0.1)
     "levenshtein_verify_lsh": 7,
-    "jaccard_word_pairs_src0": 2,     # coarse-block self-join demo (the LSH-fed shape is the prod path)
-    "levenshtein_pairs_src0": 7,      # same demo shape, same persisted hydration
+    # the two verifier demos are minhash-block-candidate-fed (round-6
+    # de-quadratic): blocking chain + two hydration sides, same trade as
+    # jaccard_verify_lsh (persisting corpus-scale ws/tx arrays loses)
+    "jaccard_word_pairs_src0": 3,
+    "levenshtein_pairs_src0": 3,
     # these two persist() a digest/doc-grain frame: the plan STRING
     # embeds the cached subtree's FileScan once per reference, but the
     # InMemoryRelation executes the scan once — textual count 2,

@@ -85,6 +85,39 @@ def _trigram_rows_clamped_sql() -> str:
               FROM ({_word_pos_sql()}))"""
 
 
+def _md5_be32_sql(col: str) -> str:
+    """DuckDB twin of Spark's ``conv(substring(md5(x),1,8),16,10)`` —
+    the big-endian first 4 md5 bytes.  ``md5_number_upper`` is the
+    LITTLE-endian uint64 of the first 8 bytes, so the swizzle
+    reassembles bytes 0..3 big-endianly (same trick as the simhash /
+    minhash oracles)."""
+    return (
+        f"CAST(((md5_number_upper({col}) & 255) * 16777216)"
+        f" + (((md5_number_upper({col}) >> 8) & 255) * 65536)"
+        f" + (((md5_number_upper({col}) >> 16) & 255) * 256)"
+        f" + ((md5_number_upper({col}) >> 24) & 255) AS BIGINT)"
+    )
+
+
+def _minhash_block_sql(d_cte: str, max_bucket: int = 64) -> str:
+    """Shared CTE chain for the single-permutation-MinHash-blocked pair
+    demos — the SQL twin of dedup.minhash_block_candidates.  Expects a
+    CTE named ``d`` with (doc_id, ws [, ...]) and emits ``kept``
+    (doc_id, bkey) with the mega-bucket HAVING guard applied."""
+    return f"""d AS (
+        {d_cte}
+    ), k AS (
+        SELECT doc_id, min({_md5_be32_sql('tok')}) AS bkey
+        FROM (SELECT doc_id, unnest(ws) AS tok FROM d)
+        GROUP BY doc_id
+    ), ok AS (
+        SELECT bkey FROM k GROUP BY bkey
+        HAVING COUNT(*) BETWEEN 2 AND {max_bucket}
+    ), kept AS (
+        SELECT k.doc_id, k.bkey FROM k JOIN ok USING (bkey)
+    )"""
+
+
 def _split_assign(key):
     """Deterministic 90/5/5 split from the first md5 hex byte of ``key``
     (<= 'e5' train, <= 'f2' val, else test) — the ONE definition of the
@@ -272,29 +305,36 @@ def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JACCARD_SRC0_D = rf"""SELECT doc_id,
+               list_distinct(str_split_regex(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}')) AS ws
+        FROM documents WHERE source = 'src0'"""
+
+
 @_register(
     "jaccard_word_pairs_src0",
     rf"""
-    WITH d AS (
-        SELECT doc_id,
-               list_distinct(str_split_regex(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}')) AS ws
-        FROM documents WHERE source = 'src0'
-    )
+    WITH {_minhash_block_sql(_JACCARD_SRC0_D)}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           floor((CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
-                  / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))))
+           floor((CAST(len(list_intersect(da.ws, db.ws)) AS DOUBLE)
+                  / (len(da.ws) + len(db.ws) - len(list_intersect(da.ws, db.ws))))
                  * 1000000 + 0.5)
                / 1000000 AS jac
-    FROM d a, d b
-    WHERE a.doc_id < b.doc_id
-      AND len(list_intersect(a.ws, b.ws)) * 2
-          >= len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))
+    FROM kept a JOIN kept b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    JOIN d da ON da.doc_id = a.doc_id
+    JOIN d db ON db.doc_id = b.doc_id
+    WHERE len(list_intersect(da.ws, db.ws)) * 2
+          >= len(da.ws) + len(db.ws) - len(list_intersect(da.ws, db.ws))
     """,
 )
 def jaccard_word_pairs_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-set Jaccard over one source bucket (≥0.5 threshold) —
-    the n-gram Jaccard verifier shape, bounded to a candidate bucket the
-    way production feeds LSH candidates (never a global cross join)."""
+    """Exact word-set Jaccard (≥0.5 threshold) over single-permutation-
+    MinHash candidate blocks: the n-gram Jaccard verifier fed by the
+    cheapest real LSH (dedup.minhash_block_candidates — min md5-BE32
+    word hash, 64-cap mega-bucket guard mirrored in the oracle HAVING).
+    The round-5 all-pairs-within-src0 shape was a certified quadratic
+    plan (BroadcastNestedLoopJoin); this is the same verify arithmetic
+    bucket-bounded the way production feeds LSH candidates — candidate
+    count O(n·bucket), two equi-join hydrations, no cross join."""
     d = (
         t(spark, sf_dir, "documents")
         .filter(F.col("source") == "src0")
@@ -305,11 +345,13 @@ def jaccard_word_pairs_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ws"),
         )
     )
+    cand = dedup.minhash_block_candidates(d, "ws", "doc_id")
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
     union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        cand.join(a, cand.id_a == F.col("a.doc_id"))
+        .join(b, cand.id_b == F.col("b.doc_id"))
         .filter(inter * 2 >= union)
         .select(
             F.col("a.doc_id").alias("id_a"),
@@ -1730,40 +1772,52 @@ def stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LEV_SRC0_D = rf"""SELECT doc_id, regexp_replace(lower(text), '{_WST}', '', 'g') AS tx,
+               list_distinct(str_split_regex(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}')) AS ws
+        FROM documents WHERE source = 'src0' AND n_chars < 220"""
+
+
 @_register(
     "levenshtein_pairs_src0",
     f"""
-    WITH d AS (
-        SELECT doc_id, regexp_replace(lower(text), '{_WST}', '', 'g') AS tx
-        FROM documents WHERE source = 'src0' AND n_chars < 220
-    )
+    WITH {_minhash_block_sql(_LEV_SRC0_D)}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           levenshtein(a.tx, b.tx) AS edit_dist
-    FROM d a, d b
-    WHERE a.doc_id < b.doc_id
-      AND levenshtein(a.tx, b.tx) * 10 <= 4 * (len(a.tx) + len(b.tx))
+           levenshtein(da.tx, db.tx) AS edit_dist
+    FROM kept a JOIN kept b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    JOIN d da ON da.doc_id = a.doc_id
+    JOIN d db ON db.doc_id = b.doc_id
+    WHERE levenshtein(da.tx, db.tx) * 10 <= 4 * (len(da.tx) + len(db.tx))
     """,
 )
 def levenshtein_pairs_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup verifier over one candidate bucket (short
-    docs of src0): pairs whose Levenshtein distance ≤ 80% of their mean
-    length (the synthetic corpus has no true char-level near-dups, so the
-    floor demonstrates the primitive).  The character-level complement of
-    the token-level Jaccard verifier — catches single-character edits
-    Jaccard's word sets miss.
+    """Edit-distance near-dup verifier over single-permutation-MinHash
+    candidate blocks (short docs of src0): pairs whose Levenshtein
+    distance ≤ 80% of their mean length (the synthetic corpus has no
+    true char-level near-dups, so the floor demonstrates the primitive).
+    The character-level complement of the token-level Jaccard verifier —
+    catches single-character edits Jaccard's word sets miss.
     O(len²) DP per pair ⇒ production feeds it LSH candidate pairs, never
-    a global cross join; the bucket bound here mirrors that.  JVM
-    built-in levenshtein on both engines (identical classic DP
-    semantics), whole-stage codegen, no UDF."""
+    a global cross join; the round-5 all-pairs-within-src0 demo was a
+    certified BroadcastNestedLoopJoin, replaced here by the same
+    dedup.minhash_block_candidates blocking the Jaccard demo uses
+    (64-cap guard mirrored in the oracle HAVING).  JVM built-in
+    levenshtein on both engines (identical classic DP semantics),
+    whole-stage codegen, no UDF."""
     d = (
         t(spark, sf_dir, "documents")
         .filter((F.col("source") == "src0") & (F.col("n_chars") < 220))
-        .select("doc_id", _lt(F.col("text")).alias("tx"))
+        .select(
+            "doc_id",
+            _lt(F.col("text")).alias("tx"),
+            F.array_distinct(F.split(_lt(F.col("text")), _WS)).alias("ws"),
+        )
     )
+    cand = dedup.minhash_block_candidates(d, "ws", "doc_id")
     a, b = d.alias("a"), d.alias("b")
     dist = F.levenshtein(F.col("a.tx"), F.col("b.tx"))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        cand.join(a, cand.id_a == F.col("a.doc_id"))
+        .join(b, cand.id_b == F.col("b.doc_id"))
         .filter(
             dist * 10 <= 4 * (F.length(F.col("a.tx")) + F.length(F.col("b.tx")))
         )

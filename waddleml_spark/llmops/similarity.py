@@ -507,10 +507,21 @@ def pq_train(
         )
         # degenerate-draw guard (mirrors ivf_index): value-keyed trials
         # give duplicate vectors ONE fate, so a template-heavy corpus can
-        # collapse the draw below the codebook size (or to zero rows);
-        # fall back to the full-corpus fit rather than crash or underfit
+        # collapse the draw below the codebook size (or to zero rows).
+        # The fallback must stay BOUNDED (round-5 advice: the earlier
+        # full-corpus fallback collect()ed the whole over-cap corpus —
+        # the exact driver-OOM the size probe exists to prevent):
+        # deterministic hash-order top-N caps it at fit_sample_rows,
+        # layout-independent (TakeOrderedAndProject — O(n log k) per
+        # partition + a k-row merge, no full sort shuffle), and keeps
+        # duplicate rows so the fit never drops below n_codes the way a
+        # distinct-vector cap could
         if id_col is not None or sampled.limit(n_codes).count() >= n_codes:
             fit_df = sampled
+        else:
+            fit_df = corpus.orderBy(
+                F.abs(F.hash(key, F.lit(seed))), key
+            ).limit(fit_sample_rows)
     rows = fit_df.select(as_double(F.col(vec_col)).alias("v")).collect()
     X = np.stack([np.asarray(r.v, dtype="float64") for r in rows])
     X = X[np.lexsort(X.T[::-1])]  # canonical row order (see _lloyd_kmeans)
