@@ -110,6 +110,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # self-describing config (round-5 advice): the meaning of
+                # an UNSET SPARK_GRAFT_AQE differs between the two benches,
+                # so every recorded line carries the effective settings
+                "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+                "shuffle_partitions": spark.conf.get(
+                    "spark.sql.shuffle.partitions"
+                ),
             }
         )
     )

@@ -52,6 +52,13 @@ _WIDE_SCAN_BUDGET = {
     # execution count 1
     "media_frame_neardup_pairs": 2,
     "sequence_packing_report": 2,
+    # the bloom report rotate_persists ONE exploded shingle-row frame
+    # (round-6: the former localCheckpoint pinned corpus-scale
+    # unevictable blocks); three consumers reference it (probe branch,
+    # exact-audit pair) and the plan STRING prints the cached subtree's
+    # text scan per nested reference — textual 6, execution 1 (the
+    # bloom_build action builds the cache; everything after reads it)
+    "bloom_decontamination_report": 6,
     # two passes by definition (train the merges from word frequencies,
     # then encode every doc); the encode side's persisted word explode
     # prints its text scan once per plan reference (textual 2, execution

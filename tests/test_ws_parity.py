@@ -287,6 +287,32 @@ def test_starlette_ws_dead_client_pruned_without_killing_bus(app_and_bus):
         bus.publish([row])
 
 
+def test_oversize_frame_and_fragment_flood_fail_connection():
+    # round-5 advice: the 64-bit length field lets one frame CLAIM any
+    # size, and endless FIN=0 continuations would grow the reassembly
+    # buffer unboundedly — both must fail the connection (None) BEFORE
+    # the oversize allocation, not after
+    import io
+
+    from waddleml_spark.server import WsReader
+
+    # declared length over the cap, no payload actually sent: must fail
+    # on the declaration alone (never try to read/allocate 2^40 bytes)
+    hdr = bytes([0x81, 0x80 | 127]) + (1 << 40).to_bytes(8, "big") + b"\0" * 4
+    assert WsReader(io.BytesIO(hdr)).read_message() is None
+
+    # a fragment stream whose ACCUMULATED size crosses the cap must fail
+    # at the crossing fragment even though each individual frame is small
+    chunk = _mask_frame(b"z" * (1 << 20), opcode=0x1, fin=False)
+    cont = _mask_frame(b"z" * (1 << 20), opcode=0x0, fin=False)
+    ws = WsReader(io.BytesIO(chunk + cont * 8))
+    assert ws.read_message() is None
+
+    # and a legitimate message under the cap still round-trips
+    ok = _mask_frame(b"k" * 1024, opcode=0x1, fin=True)
+    assert WsReader(io.BytesIO(ok)).read_message() == (0x1, b"k" * 1024)
+
+
 def test_truncated_frame_is_protocol_failure_not_partial_message():
     # a frame header declaring n bytes followed by EOF mid-payload must
     # yield None (connection failure), never a garbage-suffixed "complete"

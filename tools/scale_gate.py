@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""One-command 100× memory/scale smoke — the round checklist gate.
+
+A 100× run is a MEMORY test as much as a throughput test: the round-5
+apply_bpe OOM (pinned localCheckpoint blocks + an unconditional
+broadcast hint) passed every per-query isolation test and only fell
+over in a SEQUENCED warm session, where unevictable blocks accumulate
+across queries.  This gate reproduces that failure mode on demand: one
+warm session, a bounded driver heap, the worst-scaling queries from
+SCALING.md run back-to-back TWICE (the second pass is the one that
+meets the first pass's leftover cache blocks), failing non-zero on any
+error — so regressions of the pinned-block / unbounded-collect class
+are caught by command, not by accident.
+
+Usage:
+    python tools/scale_gate.py                      # defaults below
+    python tools/scale_gate.py --factor 100 --budget-gb 100
+    python tools/scale_gate.py --queries a,b,c      # override the set
+
+The replica at --out is built once (scale_study.build_replica,
+deterministic — bit-stable rebuilds) and reused afterwards.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# the standing worst-ratio set (SCALING.md 100× table): a deliberate
+# fact-fact shuffle, the heaviest text pipeline, and the two-pass BPE
+# encode whose checkpoint OOM motivated this gate
+DEFAULT_QUERIES = [
+    "revenue_by_priority",
+    "bloom_decontamination_report",
+    "bpe_encode_report",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/scale100")
+    ap.add_argument("--factor", type=int, default=100)
+    ap.add_argument(
+        "--budget-gb",
+        type=int,
+        default=100,
+        help="driver heap bound (local mode: driver IS the executor)",
+    )
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    args = ap.parse_args()
+
+    # memory bound must be set BEFORE the JVM starts — so configure it
+    # here instead of reusing a session something else may have built
+    from pyspark.sql import SparkSession
+
+    if SparkSession.getActiveSession() is not None:
+        print("scale_gate: refusing to run in a pre-built session "
+              "(the heap bound would not apply)", file=sys.stderr)
+        return 2
+
+    from waddleml_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale-gate",
+        shuffle_partitions=32,
+        extra_conf={"spark.driver.memory": f"{args.budget_gb}g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from waddleml_spark import catalog
+    from scale_study import build_replica
+
+    names = args.queries.split(",")
+    unknown = set(names) - set(catalog.QUERIES)
+    if unknown:
+        print(f"scale_gate: unknown queries {sorted(unknown)}", file=sys.stderr)
+        return 2
+
+    if not (Path(args.out) / "documents.parquet").exists():
+        print(f"scale_gate: building {args.factor}x replica at {args.out} "
+              "(one-time; deterministic)", file=sys.stderr)
+        build_replica(spark, args.base, args.out, args.factor)
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    results: dict[str, list[float]] = {n: [] for n in names}
+    ok = True
+    for pass_i in (1, 2):  # pass 2 runs against pass 1's leftover caches
+        for n in names:
+            t0 = time.perf_counter()
+            try:
+                force(catalog.QUERIES[n](spark, args.out))
+                results[n].append(round(time.perf_counter() - t0, 2))
+            except Exception as e:  # OOM class surfaces here
+                ok = False
+                results[n].append(float("nan"))
+                print(f"scale_gate FAIL pass {pass_i} {n}: {e}",
+                      file=sys.stderr)
+    print(json.dumps({
+        "gate": "scale100",
+        "factor": args.factor,
+        "budget_gb": args.budget_gb,
+        "passes": results,
+        "ok": ok,
+    }))
+    spark.stop()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -142,48 +142,47 @@ def bloom_decontamination_report(
     contaminated, so the false-positive cost of the compact filter is a
     measured number, not a formula.  n_flagged >= n_contaminated always
     (no false negatives)."""
+    from waddleml_spark.llmops import rotate_persist
     from waddleml_spark.llmops.textstats import shingles_from_tokens, word_tokens
     from waddleml_spark.session import fan_out
 
-    # doc-grain shingle arrays, localCheckpoint'ed: the frame feeds FOUR
-    # consumers (doc counting, bloom build action, probe branch,
-    # exact-audit semi join) and Catalyst does not dedupe common
-    # subtrees — an eager checkpoint CUTS the lineage so the corpus text
-    # scan happens exactly once even in the uncached plan (persist keeps
-    # lineage: the plan-hygiene gate measured 8 wide scans that would
-    # each re-read the text at corpus scale if blocks were evicted).
-    # Tokenize below the fan_out barrier so the HOF shingle lambda reads
+    # ONE exploded shingle-row frame at (doc_id, __bench, g) grain,
+    # shared by all three shingle consumers (bloom build action, probe
+    # branch, exact-audit semi join).  Two round-5/6 findings drive the
+    # shape: (a) the previous doc-grain shingle-ARRAY localCheckpoint
+    # pinned corpus-scale UNEVICTABLE blocks (checkpoint truncates
+    # lineage, so Spark can never drop them — the apply_bpe 100x OOM
+    # class); rotate_persist is evictable, worst case an eviction
+    # re-runs the tokenize pass.  (b) the array frame was exploded once
+    # PER consumer — the 'two shingle passes' cost center SCALING.md
+    # measured at 100x; exploding once before the persist makes the
+    # build/probe/audit all read the same materialized rows.  Tokenize
+    # below the fan_out barrier so the HOF shingle lambda reads
     # materialized tokens (the measured 9x no-CSE trap, see
     # ngram_collision_report).
     toks = fan_out(
         docs.select(
             "doc_id",
-            "source",
             bench_pred.alias("__bench"),
             word_tokens(F.col("text")).alias("__t"),
         )
     )
-    sh = toks.select(
-        "doc_id",
-        "source",
-        "__bench",
-        shingles_from_tokens(F.col("__t"), k_shingle).alias("__g"),
+    g_rows = rotate_persist(
+        "bloom.shingle_rows",
+        toks.select(
+            "doc_id",
+            "__bench",
+            F.explode(shingles_from_tokens(F.col("__t"), k_shingle)).alias("g"),
+        ),
     )
-    sh = sh.localCheckpoint()
-    # explode_outer keeps shingle-less docs (< k words) as docs — the
-    # exact twin (`contamination_by_source`) counts them, so must we
-    bench_g = (
-        sh.filter(F.col("__bench"))
-        .select(F.explode_outer("__g").alias("g"))
-        .filter(F.col("g").isNotNull())
-        .distinct()
-    )
-    corpus_docs = sh.filter(~F.col("__bench")).select("doc_id", "source")
-    corpus_g = (
-        sh.filter(~F.col("__bench"))
-        .select("doc_id", F.explode_outer("__g").alias("g"))
-        .filter(F.col("g").isNotNull())
-    )
+    bench_g = g_rows.filter(F.col("__bench")).select("g").distinct()
+    # the doc universe comes straight off the pruned docs scan (doc_id,
+    # source + bench_pred's columns only — no text): shingle-less docs
+    # (< k words) stay counted as docs, exactly as the exact twin
+    # (`contamination_by_source`) counts them, without carrying them
+    # through the explode
+    corpus_docs = docs.filter(~bench_pred).select("doc_id", "source")
+    corpus_g = g_rows.filter(~F.col("__bench")).select("doc_id", "g")
     bits = bloom_build(bench_g, "g", n_bits=n_bits, k=k_hashes, seed=seed)
     by_doc_flag = (
         bloom_flag(corpus_g, "g", bits, k=k_hashes, seed=seed)

@@ -66,7 +66,7 @@ def shingles(text_col: str, k: int = 3) -> F.Column:
     element-access shape is fully codegen'd (measured 6x faster on the
     same corpus).  Both produce the identical distinct shingle SET.
     """
-    toks = F.split(F.regexp_replace(lower_trim(F.col(text_col)), WS_RE, " "), " ")
+    toks = F.split(lower_trim(F.col(text_col)), WS_RE)
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
@@ -96,7 +96,7 @@ def shingle_rows(
     aggregates) — then nothing shuffles and the token array never
     leaves its scan partition.
     """
-    toks = F.split(F.regexp_replace(lower_trim(F.col(text_col)), WS_RE, " "), " ")
+    toks = F.split(lower_trim(F.col(text_col)), WS_RE)
     base = df.select(
         F.col(id_col).alias("id"), toks.alias("__t"), F.size(toks).alias("__n")
     )
@@ -146,9 +146,7 @@ def minhash_lsh_candidates(
     # map-side, so ~num_hashes longs per doc per partition move.  No
     # array_distinct: MIN is duplicate-insensitive.
     k = 3
-    toks = F.split(
-        F.regexp_replace(lower_trim(F.col(text_col)), WS_RE, " "), " "
-    )
+    toks = F.split(lower_trim(F.col(text_col)), WS_RE)
     base = src.select("id", toks.alias("__t"), F.size(toks).alias("__n"))
     idx = base.select(
         "id",
@@ -608,7 +606,7 @@ def simhash32_jvm(
     at 100 TB that is KBs per million docs, noise next to the text scan.
     """
     toks = F.array_distinct(
-        F.split(F.regexp_replace(lower_trim(F.col(text_col)), WS_RE, " "), " ")
+        F.split(lower_trim(F.col(text_col)), WS_RE)
     )
     tok_rows = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
     h = F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10).cast("long")
@@ -878,8 +876,7 @@ def passage_dup_report(
     """
     from pyspark.sql import Window
 
-    text = F.regexp_replace(lower_trim(F.col(text_col)), WS_RE, " ")
-    toks = F.split(text, " ")
+    toks = F.split(lower_trim(F.col(text_col)), WS_RE)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(group_col).alias("grp"),

@@ -125,7 +125,7 @@ def winnowing_fingerprints(
     sharing any sufficiently long passage share fingerprints, unlike the
     whole-document md5.  Pure expressions; zero shuffle per row.
     """
-    toks = F.split(F.regexp_replace(lower_trim(text), WS_RE, " "), " ")
+    toks = F.split(lower_trim(text), WS_RE)
     th = F.transform(toks, lambda t: F.xxhash64(t))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(th) - (k - 1), F.lit(1))),
@@ -139,8 +139,16 @@ def winnowing_fingerprints(
 
 
 def word_tokens(text: Column) -> Column:
-    """Whitespace tokenization (lower, trim, collapse runs)."""
-    return F.split(F.regexp_replace(lower_trim(text), WS_RE, " "), " ")
+    """Whitespace tokenization (lower, trim, collapse runs).
+
+    ONE regex pass: splitting directly on the WS class is
+    token-identical to the older replace(WS→' ')+split(' ') two-pass
+    shape (lower_trim guarantees no leading/trailing WS, so no empty
+    edge tokens either way; verified corpus-wide, round 6) and drops a
+    full regexp_replace scan of the text — the map-stage cost center of
+    every tokenizing query (minhash gram stage 0.36 → 0.30 s at sf0.1).
+    The DuckDB oracles already split directly (str_split_regex)."""
+    return F.split(lower_trim(text), WS_RE)
 
 
 def shingles_from_tokens(toks: Column, k: int = 3) -> Column:

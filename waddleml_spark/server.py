@@ -159,6 +159,16 @@ class WsReader:
     returning None; a client parsing server->client frames (which are
     unmasked) passes ``require_mask=False``."""
 
+    #: max accepted message size (declared frame length AND accumulated
+    #: fragment buffer).  A 64-bit length field means a single client
+    #: frame can CLAIM anything, and an endless FIN=0 continuation
+    #: stream would grow the reassembly buffer without bound — either
+    #: one is a memory-exhaustion vector for the dashboard thread
+    #: (round-5 advice).  Dashboard messages are tiny JSON commands;
+    #: 4 MB is orders of magnitude of headroom.  Oversize fails the
+    #: connection (return None), matching every other protocol error.
+    MAX_MESSAGE_BYTES = 4 << 20
+
     def __init__(self, rfile, require_mask: bool = True):
         self.rfile = rfile
         self.require_mask = require_mask
@@ -195,6 +205,9 @@ class WsReader:
                 n = int.from_bytes(ext, "big")
             if self.require_mask and not masked:
                 return None  # §5.1: client frames MUST be masked
+            if n + len(self._data_buf) > self.MAX_MESSAGE_BYTES:
+                return None  # oversize frame / fragment flood — fail early,
+                # BEFORE allocating: the declared length is attacker data
             mask = b""
             if masked:
                 mask = self._read_exact(4)
