@@ -90,11 +90,14 @@ def main() -> None:
         for name in HEADLINE:
             force(catalog.QUERIES[name](spark, sf_dir))
 
-    # best-of-THREE timed passes: single-pass totals vary ±20% run to run
-    # (GC pauses, interleaved codegen churn); the min per query converges
-    # to the engine's steady-state at ~5 s of extra wall clock
+    # best-of-FIVE timed passes: single-pass totals vary ±20% run to run
+    # (GC pauses, interleaved codegen churn, shared-host noise — round 6
+    # measured the same commit at 4.1 and 6.1 s total an hour apart);
+    # the min per query converges to the engine's steady-state, and two
+    # extra passes (~10 s wall) tighten it against host-level noise the
+    # 3-pass min still let through
     timings: dict[str, float] = {}
-    for _ in range(3):
+    for _ in range(5):
         for name in HEADLINE:
             t0 = time.perf_counter()
             force(catalog.QUERIES[name](spark, sf_dir))

@@ -48,6 +48,39 @@ def test_jaccard_threshold_and_candidates(spark, docs):
     assert all_j[(4, 5)] < 0.999  # same words, different order → shingles differ
 
 
+def test_minhash_block_candidates_semantics(spark, docs):
+    # single-permutation MinHash blocking (round 6 — the demo-feeding
+    # LSH): exact/normalized dups share every word, so they ALWAYS share
+    # the min word hash and must pair; word-disjoint docs never can
+    from waddleml_spark.llmops import WS_RE
+    from waddleml_spark.llmops.textstats import lower_trim
+
+    d = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(lower_trim(F.col("text")), WS_RE)).alias("ws"),
+    )
+    pairs = {(r.id_a, r.id_b)
+             for r in dedup.minhash_block_candidates(d, "ws", "doc_id").collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs
+    # 4 and 5 share ALL words (reordered) — same word set, same min hash
+    assert (4, 5) in pairs
+    # no pair can bridge word-disjoint docs (0-3 family vs 4-5 family
+    # share no word, hence never a min-hash bucket)
+    assert not any((a in (4, 5)) != (b in (4, 5)) for a, b in pairs)
+
+    # mega-bucket guard: 200 identical word sets = one bucket of 200
+    # > max_bucket -> DROPPED entirely (mirrored in the demo oracles'
+    # HAVING); at 64 members it still pairs
+    big = spark.createDataFrame(
+        [(i, ["tpl", "words"]) for i in range(200)], "doc_id long, ws array<string>"
+    )
+    assert dedup.minhash_block_candidates(big, "ws", "doc_id").count() == 0
+    ok = spark.createDataFrame(
+        [(i, ["tpl", "words"]) for i in range(64)], "doc_id long, ws array<string>"
+    )
+    assert dedup.minhash_block_candidates(ok, "ws", "doc_id").count() == 64 * 63 // 2
+
+
 def test_simhash_similar_docs_close(spark, docs):
     sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
     def hamming(a, b):

@@ -364,3 +364,25 @@ def test_ivfpq_topk_equals_pq_within_probed_cells(spark):
     one = similarity.ivfpq_topk(cand, model, cb, q, k=10, n_probe=1).collect()
     got_cells = {cells[r.vec_id] for r in one}
     assert len(got_cells) == 1
+
+
+def test_pq_train_degenerate_fallback_is_bounded_and_deterministic(spark):
+    # template-heavy corpus, no id_col: the value-keyed Bernoulli draw
+    # gives duplicate vectors ONE fate and collapses below n_codes, so
+    # the guard takes the fallback branch.  Round-5 advice: that branch
+    # used to collect() the FULL over-cap corpus (driver-OOM shape);
+    # it must now fit on a hash-order top-N capped at fit_sample_rows,
+    # and stay layout-independent
+    import numpy as np
+
+    rows = [([float(i % 3)] * 8,) for i in range(6000)]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    cb = similarity.pq_train(
+        df, m_subspaces=2, n_codes=4, id_col=None, fit_sample_rows=100
+    )
+    assert cb.shape == (2, 4, 4)
+    cb2 = similarity.pq_train(
+        df.repartition(13), m_subspaces=2, n_codes=4,
+        id_col=None, fit_sample_rows=100,
+    )
+    assert np.array_equal(cb, cb2)
