@@ -189,8 +189,14 @@ def bloom_decontamination_report(
         .groupBy("doc_id")
         .agg(F.max("in_bloom").alias("__flag"))
     )
+    # NO broadcast hint on the exact-audit semi join: the benchmark
+    # shingle set grows with the benchmark corpus — this report exists
+    # precisely because that set can outgrow a broadcast hash set, so
+    # the audit must not assume broadcastability either (the repo's
+    # round-5 rule: hints only where size is bounded by construction).
+    # AQE sizes the join at runtime and still broadcasts when it fits.
     exact_hits = (
-        corpus_g.join(F.broadcast(bench_g), "g", "left_semi")
+        corpus_g.join(bench_g, "g", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("__exact", F.lit(True))
