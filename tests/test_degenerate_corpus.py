@@ -37,6 +37,11 @@ PAIR_QUERIES = (
     "levenshtein_verify_lsh",
     "exact_dedup_docs",
     "trigram_novelty_by_source",
+    # round-6: the minhash-block-candidate demos (flood + family are
+    # labeled src0 below so their source filter sees the corpus; the
+    # oracle HAVING guard is exercised against Spark's 64-cap here)
+    "jaccard_word_pairs_src0",
+    "levenshtein_pairs_src0",
 )
 
 
@@ -68,8 +73,12 @@ def flood_dir(tmp_path_factory):
                     "doc_id": pa.array(range(1, len(texts) + 1), type=pa.int64()),
                     "text": pa.array(texts),
                     "lang": pa.array(["en"] * len(texts)),
+                    # flood + family carry source='src0' so the
+                    # *_pairs_src0 demos (filter source='src0') run over
+                    # the degenerate corpus too; trigram_novelty still
+                    # sees two source groups via the singles
                     "source": pa.array(
-                        ["flood"] * 200 + ["family"] * 3 + ["single"] * 2
+                        ["src0"] * 203 + ["single"] * 2
                     ),
                     "n_chars": pa.array(
                         [len(t) for t in texts], type=pa.int64()
@@ -112,3 +121,14 @@ def test_star_guard_drops_the_flood_bucket(spark, flood_dir):
     family_pairs = [r for r in rows if 200 < r.id_a and 200 < r.id_b]
     assert not flood_pairs, "mega-bucket guard failed to drop the flood"
     assert family_pairs, "in-cap near-dup family produced no candidates"
+
+
+def test_block_guard_drops_the_flood_in_demo_pairings(spark, flood_dir):
+    # deterministic for minhash_block_candidates: 200 identical word
+    # sets share ONE min-word-hash bucket of size 200 > 64 -> dropped
+    # entirely, on BOTH engines (the parity test above covers the
+    # oracle's HAVING mirror; this pins the structural drop)
+    for name in ("jaccard_word_pairs_src0", "levenshtein_pairs_src0"):
+        rows = catalog.QUERIES[name](spark, flood_dir).collect()
+        flood_pairs = [r for r in rows if r.id_a <= 200 and r.id_b <= 200]
+        assert not flood_pairs, f"{name}: block guard failed on the flood"

@@ -312,6 +312,24 @@ def test_oversize_frame_and_fragment_flood_fail_connection():
     ok = _mask_frame(b"k" * 1024, opcode=0x1, fin=True)
     assert WsReader(io.BytesIO(ok)).read_message() == (0x1, b"k" * 1024)
 
+    # a ping interleaved between fragments must NOT be charged against
+    # the reassembly buffer: with the buffer just under the cap, the
+    # ping still surfaces and the message still completes
+    near = WsReader.MAX_MESSAGE_BYTES - 10
+    stream = (
+        _mask_frame(b"d" * near, opcode=0x1, fin=False)
+        + _mask_frame(b"ping!", opcode=0x9, fin=True)
+        + _mask_frame(b"tail", opcode=0x0, fin=True)
+    )
+    ws2 = WsReader(io.BytesIO(stream))
+    assert ws2.read_message() == (0x9, b"ping!")
+    op, payload = ws2.read_message()
+    assert op == 0x1 and len(payload) == near + 4
+
+    # §5.5: control frames over 125 bytes fail the connection
+    big_ping = _mask_frame(b"p" * 126, opcode=0x9, fin=True)
+    assert WsReader(io.BytesIO(big_ping)).read_message() is None
+
 
 def test_truncated_frame_is_protocol_failure_not_partial_message():
     # a frame header declaring n bytes followed by EOF mid-payload must

@@ -39,7 +39,13 @@ from waddleml_spark.session import get_spark, read_table  # noqa: E402
 
 def audit_dir(spark, sf_dir: str, qids=(0, 1, 2), k: int = 10) -> dict:
     emb = read_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").head()[0])
+    # crisp driver-side parameter-lookup guards (repo rule): .head()
+    # returns None on an empty table, which otherwise surfaces as an
+    # opaque 'NoneType is not subscriptable'
+    head = emb.select("embedding").head()
+    if head is None:
+        raise ValueError(f"ann_scale_audit: embeddings table at {sf_dir!r} is empty")
+    dim = len(head[0])
     m, n_codes = 8, 16
     model, with_cells = similarity.ivf_index(emb, id_col="vec_id")
     cb = similarity.pq_train(emb, m_subspaces=m, n_codes=n_codes, id_col="vec_id")
@@ -49,8 +55,12 @@ def audit_dir(spark, sf_dir: str, qids=(0, 1, 2), k: int = 10) -> dict:
     out: dict = {"dim": dim, "compression_x": round(4.0 * dim / (m + 8), 1)}
     rows = []
     for qid in qids:
-        q = [float(x) for x in
-             emb.filter(F.col("vec_id") == qid).select("embedding").head()[0]]
+        qrow = emb.filter(F.col("vec_id") == qid).select("embedding").head()
+        if qrow is None:
+            raise ValueError(
+                f"ann_scale_audit: query vector vec_id={qid} not found in {sf_dir!r}"
+            )
+        q = [float(x) for x in qrow[0]]
         cand_e = emb.filter(F.col("vec_id") != qid)
         cand_cells = with_cells.filter(F.col("vec_id") != qid)
         cand_codes = codes.filter(F.col("vec_id") != qid)

@@ -82,15 +82,29 @@ def main() -> int:
         print(f"scale_gate: unknown queries {sorted(unknown)}", file=sys.stderr)
         return 2
 
-    if not (Path(args.out) / "documents.parquet").exists():
+    # replica reuse must be FACTOR-checked: a wrong-factor or
+    # partially-built replica silently reused would print a green
+    # {"factor": 100} verdict that never exercised 100x.  The meta file
+    # is written LAST, so a crashed build (meta absent) rebuilds too.
+    meta_p = Path(args.out) / "_replica_meta.json"
+    meta = None
+    if meta_p.exists():
+        try:
+            meta = json.loads(meta_p.read_text())
+        except ValueError:
+            meta = None
+    if meta is None or meta.get("factor") != args.factor or meta.get(
+        "base"
+    ) != args.base:
         print(f"scale_gate: building {args.factor}x replica at {args.out} "
               "(one-time; deterministic)", file=sys.stderr)
         build_replica(spark, args.base, args.out, args.factor)
+        meta_p.write_text(json.dumps({"factor": args.factor, "base": args.base}))
 
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
-    results: dict[str, list[float]] = {n: [] for n in names}
+    results: dict[str, list[float | None]] = {n: [] for n in names}
     ok = True
     for pass_i in (1, 2):  # pass 2 runs against pass 1's leftover caches
         for n in names:
@@ -100,7 +114,10 @@ def main() -> int:
                 results[n].append(round(time.perf_counter() - t0, 2))
             except Exception as e:  # OOM class surfaces here
                 ok = False
-                results[n].append(float("nan"))
+                # None -> JSON null; float('nan') would print a bare
+                # NaN literal, which is INVALID JSON exactly on the
+                # failure path the gate exists to report
+                results[n].append(None)
                 print(f"scale_gate FAIL pass {pass_i} {n}: {e}",
                       file=sys.stderr)
     print(json.dumps({

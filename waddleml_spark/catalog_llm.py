@@ -789,7 +789,7 @@ def type_token_ratio_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     text).  Pure per-row expressions + one aggregate; no shuffle beyond
     the groupBy."""
     d = t(spark, sf_dir, "documents")
-    toks = F.split(F.regexp_replace(_lt(F.col("text")), _WS, " "), " ")
+    toks = F.split(_lt(F.col("text")), _WS)  # one-pass tokenizer rule
     ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"), _r(F.avg(ttr), 6).alias("avg_ttr")

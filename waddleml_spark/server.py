@@ -205,9 +205,16 @@ class WsReader:
                 n = int.from_bytes(ext, "big")
             if self.require_mask and not masked:
                 return None  # §5.1: client frames MUST be masked
-            if n + len(self._data_buf) > self.MAX_MESSAGE_BYTES:
-                return None  # oversize frame / fragment flood — fail early,
-                # BEFORE allocating: the declared length is attacker data
+            if op >= 0x8:
+                if n > 125:
+                    return None  # §5.5: control frames are ≤125 bytes
+            elif n + len(self._data_buf) > self.MAX_MESSAGE_BYTES:
+                # oversize data frame / fragment flood — fail early,
+                # BEFORE allocating: the declared length is attacker
+                # data.  Only DATA frames charge the reassembly buffer:
+                # a ping interleaved between fragments never enters
+                # _data_buf and must not trip the cap near the limit
+                return None
             mask = b""
             if masked:
                 mask = self._read_exact(4)
