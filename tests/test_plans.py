@@ -125,7 +125,12 @@ def test_q20_nested_semi_joins(spark):
 
     plan = explain_str(df, "formatted")
     assert plan.count("Join LeftSemi") == 2  # both IN levels became semi joins
-    assert count_op(df, "BroadcastHashJoin") == 2
+    # round 6: the semi sides (filtered part, a lineitem aggregate) GROW
+    # with SF, so their broadcast hints are gone per the repo rule —
+    # assert the scale-correct property instead of a literal broadcast
+    # count that only holds at toy SF: equi semi joins, never a
+    # quadratic fallback
+    assert_plan(df, absent=["BroadcastNestedLoopJoin", "CartesianProduct"])
 
 
 def test_q13_outer_join_preserves_zero_order_customers(spark):

@@ -11,10 +11,17 @@ Q14).  Column sets are adapted to TESTDATA.md schemas (no partsupp /
 l_shipmode / l_commitdate in the fixtures).
 
 Scale notes (100 TB posture) are in each docstring; the common themes:
-semi/anti joins shuffle only the join keys, never payload columns;
-dimension sides (supplier, part, the scalar average) broadcast; the
+semi/anti joins shuffle only the join keys, never payload columns; the
 fact-fact hop (orders↔lineitem) is the one real shuffle and would be
 bucket-aligned on orderkey at scale.
+
+Broadcast-hint policy (round 6, the repo rule): hints ONLY where the
+side is bounded by construction — nation/region (fixed 25/5 rows per
+the TPC-H spec) and 1-row scalar cross joins.  part/supplier/customer
+and filtered/derived frames GROW with scale factor, so a pinned hint
+would force a driver-OOM broadcast at SF100k; hint-free, the static
+planner still broadcasts them at bench SF (file-size threshold) and
+AQE sizes them from runtime stats on a cluster.
 """
 
 from __future__ import annotations
@@ -109,10 +116,12 @@ def priority_class_by_flag_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: broadcast dim join + conditional-ratio scalar.
+    """TPC-H Q14 shape: dim join + conditional-ratio scalar.
 
-    part broadcasts (only p_partkey/p_type are read — column pruning
-    keeps the broadcast tiny even when part is wide); the shipdate
+    part joins hint-free (bench-SF plans still broadcast it via the
+    size threshold; at SF100k part is fact-sized and AQE decides —
+    only p_partkey/p_type are read, so column pruning keeps whatever
+    build side results tiny); the shipdate
     window pushes into the lineitem scan.  Ratio rounded to 4 digits:
     double sums are order-nondeterministic across engines.
     """
@@ -123,7 +132,7 @@ def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
         _r(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_pct")
     )
 
@@ -141,10 +150,11 @@ def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def supplier_part_counts_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape: NOT IN → broadcast left-anti join + count distinct.
+    """TPC-H Q16 shape: NOT IN → left-anti join + count distinct.
 
-    The excluded-supplier set is tiny → broadcast anti join (no shuffle
-    for the exclusion).  s_suppkey is non-null so NOT IN ≡ anti join
+    The excluded-supplier set is small at any one time but grows with
+    SF, so the anti join is hint-free (planner/AQE broadcast it while
+    it fits).  s_suppkey is non-null so NOT IN ≡ anti join
     (the NULL-semantics trap doesn't apply).  count(DISTINCT) expands to
     a two-phase aggregate; at scale pre-aggregate distinct (brand, type,
     suppkey) map-side first — which is exactly what Spark's planner does.
@@ -155,8 +165,8 @@ def supplier_part_counts_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -183,7 +193,7 @@ def large_order_customers_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The aggregate runs FIRST and shrinks the fact to qualifying
     orderkeys (map-side partial sums), so the subsequent joins see only
-    the survivors; customer broadcasts.  Top-50 is TakeOrderedAndProject
+    the survivors; customer joins hint-free (it grows with SF).  Top-50 is TakeOrderedAndProject
     — no global sort materialization.
     """
     li = t(spark, sf_dir, "lineitem")
@@ -196,7 +206,7 @@ def large_order_customers_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(big, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .select(
             "c_name", "o_orderkey", "o_totalprice", _r(F.col("sum_qty"), 2).alias("sum_qty")
         )
@@ -229,7 +239,7 @@ def disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     b = lambda brand, smax, qlo, qhi: (  # noqa: E731
         (F.col("p_brand") == brand)
         & F.col("p_size").between(1, smax)
@@ -279,7 +289,7 @@ def idle_rich_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.crossJoin(F.broadcast(thresh))
         .filter(F.col("c_acctbal") > F.col("__thresh"))
-        .join(F.broadcast(urgent), c.c_custkey == urgent.o_custkey, "left_anti")
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
@@ -324,7 +334,7 @@ def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("__mx"))
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(s, rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
 
@@ -405,7 +415,7 @@ def waiting_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lo.filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(s), lo.l_suppkey == s.s_suppkey)
+        .join(s, lo.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -494,12 +504,14 @@ def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     p = t(spark, sf_dir, "part")
-    eu_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
-        F.broadcast(r), n.n_regionkey == r.r_regionkey
-    )
+    # base-table join order (see volume_shipping_q7): supplier and part
+    # join as base relations with real size stats; the fixed-cardinality
+    # nation/region broadcasts apply the EUROPE cut right after
     return (
-        best.join(F.broadcast(eu_supp), best.l_suppkey == eu_supp.s_suppkey)
-        .join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        best.join(s, best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(p, best.l_partkey == p.p_partkey)
         .select("p_partkey", "p_brand", "s_name", "unit_cost")
         .orderBy("p_partkey", "s_name")
         .limit(100)
@@ -537,20 +549,25 @@ def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     n = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
-    s = (
-        t(spark, sf_dir, "supplier")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
-    )
-    c = (
-        t(spark, sf_dir, "customer")
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", F.col("n_name").alias("cust_nation"))
-    )
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    # associativity matters for the planner: join the BASE dims (good
+    # size stats -> auto-broadcast at bench SF, AQE-sized at scale)
+    # and apply the hinted nation broadcast right after, so the
+    # two-nation semi-reduction still lands BEFORE the orderkey shuffle
+    # — ((li join s) join n) not (li join (s join n)): a derived
+    # (s join n) build side has no usable size estimate and forced a
+    # sort-merge at bench SF once its pinned hint was removed
+    ns = F.broadcast(n.select(F.col("n_nationkey").alias("__sn"),
+                              F.col("n_name").alias("supp_nation")))
+    nc = F.broadcast(n.select(F.col("n_nationkey").alias("__cn"),
+                              F.col("n_name").alias("cust_nation")))
     j = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(ns, F.col("s_nationkey") == F.col("__sn"))
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(nc, F.col("c_nationkey") == F.col("__cn"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
     return (
@@ -616,10 +633,10 @@ def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     j = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(asia_cust), o.o_custkey == asia_cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(asia_cust, o.o_custkey == asia_cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
     )
     target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
     return (
@@ -670,8 +687,8 @@ def product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(_r(F.sum(profit), 2).alias("sum_profit"))
@@ -721,7 +738,7 @@ def returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        rev_per_cust.join(F.broadcast(c), rev_per_cust.o_custkey == c.c_custkey)
+        rev_per_cust.join(c, rev_per_cust.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select("c_custkey", "c_name", "n_name", "revenue")
         .orderBy(F.col("revenue").desc(), "c_custkey")
@@ -762,7 +779,7 @@ def important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     val = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("v"))
     )
@@ -844,12 +861,12 @@ def potential_promotion_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     heavy = (
-        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        li.join(red, li.l_partkey == red.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("sq"))
         .filter(F.col("sq") > 60)
         .select("l_suppkey")
     )
     return s.join(
-        F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi"
+        heavy, s.s_suppkey == heavy.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")
