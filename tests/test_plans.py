@@ -138,7 +138,9 @@ def test_q13_outer_join_preserves_zero_order_customers(spark):
 
 
 def test_q7_dims_broadcast(spark):
-    # supplier-nation and customer-nation sides are hinted broadcasts;
+    # the >=2 floor comes from the two HINTED nation broadcasts (ns/nc);
+    # supplier and customer join hint-free (round-6 bounded-broadcast
+    # rule) and only auto-broadcast at bench SF via static size stats;
     # only the fact-fact orderkey hop may shuffle
     df = q(spark, "volume_shipping_q7")
     assert count_op(df, "BroadcastHashJoin") >= 2

@@ -815,7 +815,10 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
         .join(
-            F.broadcast(s),
+            # supplier grows with SF — hint-free per the bounded-broadcast
+            # rule (static file-size stats still broadcast it at bench SF;
+            # AQE sizes it on a cluster); nation/region below keep theirs
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -486,7 +486,9 @@ def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part min is `min over (partition by partkey)` + filter — no
     re-aggregate and NO self-join back (the earlier agg+equality-join
     form measured 1.27 s vs 0.85 s for this plan at sf0.1, identical
-    rows); supplier/nation/region all broadcast.  unit_cost is
+    rows); supplier and part join hint-free in base-table order (they
+    grow with SF — the round-6 hint rule) while the fixed-cardinality
+    nation/region keep their broadcasts.  unit_cost is
     floor-rounded BEFORE the min comparison so the tie set is
     engine-stable.
     """
@@ -609,34 +611,40 @@ def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: a nation's market share = conditional-sum ratio
     inside year groups, over a 7-table snowflake.
 
-    Every dimension (part, customer→nation→region, supplier→nation)
-    broadcasts after its filter; lineitem⋈orders is the only shuffle.
-    The share divides two sums in ONE aggregate pass (no second scan);
-    rounded to 6 digits for cross-engine hash stability.
+    Base-table join order (the round-6 hint rule): customer/supplier/
+    part join as base relations with real size stats (auto-broadcast at
+    bench SF, AQE-sized at scale); only the fixed-cardinality nation/
+    region frames keep hints, applying the ASIA cut and the
+    supp_nation tag right after their base joins.  lineitem⋈orders is
+    the one true shuffle.  The share divides two sums in ONE aggregate
+    pass (no second scan); rounded to 6 digits for cross-engine hash
+    stability.
     """
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
-    n2 = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    asia_cust = (
-        t(spark, sf_dir, "customer")
-        .join(F.broadcast(n2), F.col("c_nationkey") == n2.n_nationkey)
-        .join(F.broadcast(r), n2.n_regionkey == r.r_regionkey)
-        .select("c_custkey")
+    n2 = F.broadcast(
+        t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("__cn"))
     )
-    n1 = t(spark, sf_dir, "nation")
-    supp = (
-        t(spark, sf_dir, "supplier")
-        .join(F.broadcast(n1), F.col("s_nationkey") == n1.n_nationkey)
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    n1 = F.broadcast(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("__sn"),
+            F.col("n_name").alias("supp_nation"),
+        )
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     j = (
         li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(asia_cust, o.o_custkey == asia_cust.c_custkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n2, c.c_nationkey == F.col("__cn"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n1, s.s_nationkey == F.col("__sn"))
     )
     target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
     return (
@@ -666,9 +674,12 @@ def product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching a name pattern.  partsupp is absent, so supply cost is
     modeled as 10% of p_retailprice per unit — same join/agg shape.
 
-    The LIKE filter prunes part FIRST and the survivors broadcast into
-    lineitem; profit arithmetic happens before the orderkey shuffle so
-    only (nation, year, profit) move.  25 nations × 7 years output.
+    The LIKE filter prunes part FIRST; part and supplier join as BASE
+    relations (real size stats — auto-broadcast at bench SF, AQE-sized
+    at scale; the round-6 hint rule), with the hinted fixed-25-row
+    nation tag applied right after supplier.  Profit arithmetic happens
+    before the orderkey shuffle so only (nation, year, profit) move.
+    25 nations × 7 years output.
     """
     li = t(spark, sf_dir, "lineitem")
     p = (
@@ -676,11 +687,11 @@ def product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_name").like("%green%"))
         .select("p_partkey", "p_retailprice")
     )
-    n = t(spark, sf_dir, "nation")
-    s = (
-        t(spark, sf_dir, "supplier")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("nation"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = F.broadcast(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("__sn"), F.col("n_name").alias("nation")
+        )
     )
     o = t(spark, sf_dir, "orders")
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.1) * F.col(
@@ -689,6 +700,7 @@ def product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == F.col("__sn"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(_r(F.sum(profit), 2).alias("sum_profit"))
@@ -772,14 +784,17 @@ def important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip between engines.
     """
     li = t(spark, sf_dir, "lineitem")
-    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
-    s = (
-        t(spark, sf_dir, "supplier")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey")
+    n = F.broadcast(
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_5")
+        .select(F.col("n_nationkey").alias("__sn"))
     )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     val = (
+        # base-table order (round-6 hint rule): supplier joins with real
+        # size stats, the hinted fixed-cardinality nation cut follows
         li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == F.col("__sn"))
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("v"))
     )
