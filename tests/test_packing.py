@@ -251,3 +251,32 @@ def test_weighted_sample_per_group_budget_and_determinism(spark):
     # small group: returns the whole group, never pads
     tiny = weighted_sample_per_group(df.filter("doc_id < 4"), "w", 5, ["src"])
     assert tiny.count() == 4
+
+
+def test_bernoulli_keep_p_one_keeps_everything(spark):
+    # round-6 review find: format(65536,'04x') is the FIVE-char '10000'
+    # and the lexicographic compare h4 < '10000' kept only ~6% of rows;
+    # p=1.0 must be keep-all (hits fit_sample whenever its oversampling
+    # ratio crosses 1.0)
+    d = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    assert d.filter(bernoulli_keep(F.col("doc_id"), 1.0, ":one")).count() == 2000
+    # and a near-1 probability keeps nearly everything, never ~6%
+    kept = d.filter(bernoulli_keep(F.col("doc_id"), 0.999, ":near")).count()
+    assert kept > 1900
+
+
+def test_resample_rate_with_near_one_fraction_not_truncated(spark):
+    # round-6 review find: frac(rate) >= 0.9999924 rounded to hex
+    # '10000' and lpad TRUNCATED it to '1000' — a ~certain extra copy
+    # became a 1/16 chance.  With the least() clamp every row gets
+    # floor(r)+1 copies except the 1-in-65536 h4 == 'ffff' edge
+    from waddleml_spark.llmops.packing import resample_to_mix
+
+    d = (
+        spark.range(0, 300)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("source", F.lit("srcX"))
+    )
+    out = resample_to_mix(d, {"srcX": 2.9999999})
+    n = out.count()
+    assert n >= 3 * 300 - 3  # allow the hash-edge rows only

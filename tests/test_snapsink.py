@@ -15,9 +15,11 @@ def test_each_epoch_becomes_one_version(spark, tmp_path):
     sink(spark.range(10, 25).withColumn("v", F.col("id") * 2), 1)
     assert st.read(spark, tbl).count() == 25
     log = snapsink.epoch_log(tbl)
+    # rows = rows committed BY the epoch (manifests are cumulative; the
+    # log diffs against the parent — round-6 fix: this read 25 before)
     assert [(e["version"], e["epoch"], e["rows"]) for e in log] == [
         (1, 0, 10),
-        (2, 1, 25),
+        (2, 1, 15),
     ]
     # time travel to the first batch boundary
     assert st.read(spark, tbl, version=1).count() == 10
@@ -242,3 +244,24 @@ def test_vacuum_grace_window_spares_young_files(spark, tmp_path):
     os.utime(young, (0, 0))
     deleted = st.vacuum(tbl, keep_versions=1)
     assert any("inflight" in p for p in deleted)
+
+
+def test_neardup_sink_honors_custom_id_col(spark, tmp_path):
+    # round-6 review find: the two band_rows calls dropped the sink's
+    # id_col and crashed UNRESOLVED_COLUMN('doc_id') on the first
+    # non-replay batch against an existing snapshot
+    tbl = str(tmp_path / "t_near_id")
+    base_text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                 "lambda mu nu xi omicron pi rho sigma")
+    sink = snapsink.neardup_snapshot_sink(
+        tbl, id_col="rec_id", jaccard_threshold=0.5
+    )
+    sink(spark.createDataFrame(
+        [(1, base_text), (2, "unrelated parquet manifest words")],
+        "rec_id long, text string"), 0)
+    sink(spark.createDataFrame(
+        [(3, base_text.replace("sigma", "tau")),   # near-dup vs snapshot
+         (4, "fresh tokenizer content entirely")],
+        "rec_id long, text string"), 1)
+    got = sorted(r.rec_id for r in st.read(spark, tbl).collect())
+    assert got == [1, 2, 4]

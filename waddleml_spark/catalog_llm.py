@@ -878,7 +878,7 @@ _MIX_RATES = {"src0": 3.0, "src1": 1.25, "src2": 0.5, "src3": 0.0}
         FROM documents)
     SELECT source, count(*) AS n_docs_in,
            CAST(sum(CAST(floor(rate) AS BIGINT)
-               + CASE WHEN h4 < lpad(lower(hex(CAST(round((rate - floor(rate)) * 65536) AS BIGINT))), 4, '0')
+               + CASE WHEN h4 < lpad(lower(hex(CAST(least(round((rate - floor(rate)) * 65536), 65535) AS BIGINT))), 4, '0')
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_out
     FROM c GROUP BY source
     """,

@@ -45,10 +45,21 @@ def hash_frac_threshold(p: float) -> str:
     """Hex-string threshold T such that substr(md5,1,4) < T with
     probability ~p (granularity 1/65536).  Precomputed in Python and
     inlined as a LITERAL in both the Spark plan and the SQL oracle —
-    the engines compare identical strings, never parse hex."""
+    the engines compare identical strings, never parse hex.
+
+    p ≈ 1 returns 'g', which sorts after every hex digit so the
+    comparison is always true (keep-all).  The naive format() emitted
+    the FIVE-char '10000' there, and the lexicographic compare
+    h4 < '10000' silently kept only ~6.25% of rows — a round-6 review
+    find that hit fit_sample whenever its oversampling ratio crossed
+    1.0 (corpus between cap and 1.1×cap: the "sample" was 16× smaller
+    than the corpus it meant to keep whole)."""
     if not 0.0 <= p <= 1.0:
         raise ValueError(f"probability out of range: {p}")
-    return format(round(p * 16**HASH_FRAC_DIGITS), "04x")
+    t = round(p * 16**HASH_FRAC_DIGITS)
+    if t >= 16**HASH_FRAC_DIGITS:
+        return "g"
+    return format(t, "04x")
 
 
 def bernoulli_keep(id_col: Column, p: float, salt: str = "") -> Column:
@@ -173,8 +184,20 @@ def resample_to_mix(
     # hash prefix against the hex threshold computed from the rate column
     # (same arithmetic both engines: round(p * 65536) rendered as 4-hex)
     h4 = F.substring(order_key(F.col(id_col), salt), 1, HASH_FRAC_DIGITS)
+    # least(..., 65535): a fractional rate ≥ 0.9999924 rounds to 65536 =
+    # hex '10000', and lpad TRUNCATES over-length strings to '1000' —
+    # collapsing a ~certain extra copy to a 1/16 chance (round-6 review
+    # find).  Clamping to 'ffff' keeps it within the documented 1/65536
+    # granularity; the oracle SQL mirrors the least()
     thresh = F.lpad(
-        F.lower(F.hex(F.round(extra_p * 16**HASH_FRAC_DIGITS).cast("long"))),
+        F.lower(
+            F.hex(
+                F.least(
+                    F.round(extra_p * 16**HASH_FRAC_DIGITS).cast("long"),
+                    F.lit(16**HASH_FRAC_DIGITS - 1),
+                )
+            )
+        ),
         HASH_FRAC_DIGITS,
         "0",
     )
@@ -209,8 +232,12 @@ def chunk_tokens(
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
     )
+    # filter on the ALIASED column: filtering on the raw `toks`
+    # expression after the select would re-add text_col and evaluate
+    # the full-document tokenizer regex a second time per row (round-6
+    # review find; repetition_ratio uses the same cheap form)
     base = df.select(F.col(id_col).alias("id"), toks.alias("tk")).filter(
-        F.size(toks) > 0
+        F.size(F.col("tk")) > 0
     )
     n = F.size(F.col("tk"))
     starts = F.sequence(

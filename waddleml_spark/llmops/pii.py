@@ -43,9 +43,16 @@ def count_matches(text: Column, pattern: str) -> Column:
 def redact(text: Column) -> Column:
     """Replace every email/phone/IPv4 with its redaction token.
 
-    Order matters: emails first, so `user@10.0.0.1`-style hostless mails
-    don't leave an IP fragment behind.  Each regexp_replace is global
-    (Spark default; DuckDB needs the 'g' flag — see catalog oracle).
+    Order matters: emails first, so an IP-looking segment INSIDE an
+    email's domain (`user@10.0.0.1.example.com` — EMAIL_RE matches it,
+    digits/dots are legal domain chars) is consumed whole instead of
+    being split around an `<IP>` token.  A true IP-literal domain
+    (`user@10.0.0.1`, no alphabetic TLD) is NOT an EMAIL_RE match by
+    design (conservative, high-precision patterns): its host becomes
+    `<IP>` and the local part survives — callers needing that scrubbed
+    too should add an explicit `local@<ip>` pattern rather than loosen
+    the shared one.  Each regexp_replace is global (Spark default;
+    DuckDB needs the 'g' flag — see catalog oracle).
     """
     out = text
     for pattern, token in REDACTIONS:

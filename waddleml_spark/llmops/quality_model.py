@@ -100,7 +100,10 @@ def lm_teacher_labels(docs: DataFrame) -> DataFrame:
     from . import textstats
 
     scored = textstats.bigram_lm_scores(docs)
-    lo, hi = scored.approxQuantile("lm_score", [1 / 3, 2 / 3], 0.001)
+    qs = scored.approxQuantile("lm_score", [1 / 3, 2 / 3], 0.001)
+    if len(qs) != 2:  # approxQuantile returns [] on zero rows — crisp
+        raise ValueError("lm_teacher_labels: empty corpus (no lm_score rows)")
+    lo, hi = qs
     return (
         scored.filter((F.col("lm_score") <= lo) | (F.col("lm_score") >= hi))
         .select(
@@ -125,10 +128,12 @@ def langid_teacher_labels(docs: DataFrame) -> DataFrame:
     )
 
 
-def train_quality_scorer(features: DataFrame, labeled: DataFrame, seed: int = 7):
+def train_quality_scorer(features: DataFrame, labeled: DataFrame):
     """Fit LogisticRegression on the labeled subset; returns the model.
     Distributed: the executors see feature rows, the driver sees only
-    the (n_features+1)-double coefficient vector."""
+    the (n_features+1)-double coefficient vector.  No seed parameter:
+    L-BFGS logistic regression is deterministic (the earlier accepted-
+    but-unused ``seed`` misleadingly implied otherwise)."""
     from pyspark.ml.classification import LogisticRegression
 
     train = features.join(labeled, "doc_id")

@@ -203,17 +203,31 @@ def dedup_snapshot_sink(
         else:
             fresh = dedup.exact_dedup_keep(df, text_col=text_col, id_col=id_col)
         # the semi-join moves id_col first; the snapshot append-schema
-        # check is column-order-sensitive by design
-        base(fresh.select(*df.columns), epoch_id)
+        # check is column-order-sensitive by design.  localCheckpoint
+        # cuts lineage at BATCH grain (bounded, unlike a corpus-scale
+        # checkpoint): base() runs isEmpty() and then the write, and
+        # without the cut each action re-executes the whole plan —
+        # including the snapshot-wide fingerprint scan — twice per
+        # micro-batch (round-6 review find; the neardup sink already
+        # checkpoints for the same reason)
+        base(fresh.select(*df.columns).localCheckpoint(), epoch_id)
 
     return sink
 
 
 def epoch_log(table: str) -> list[dict]:
-    """Version -> (stream, epoch) mapping for the sink's commits."""
+    """Version -> (stream, epoch) mapping for the sink's commits.
+
+    ``rows`` is the rows COMMITTED BY that epoch: manifests store the
+    cumulative hydrated file list, so the per-epoch count is the rows
+    of files NEW relative to the immediately preceding version (summing
+    the raw manifest was reporting ever-growing whole-table counts —
+    round-6 review find)."""
     out = []
+    prev_paths: set = set()
     for v in snaptable._versions(table):
         m = snaptable._load_manifest(table, v)
+        files = {f["path"]: f["rows"] for f in m["files"]}
         parsed = _parse_epoch_op(m["operation"])
         if parsed:
             sid, epoch = parsed
@@ -222,9 +236,12 @@ def epoch_log(table: str) -> list[dict]:
                     "version": v,
                     "stream": sid,
                     "epoch": epoch,
-                    "rows": sum(f["rows"] for f in m["files"]),
+                    "rows": sum(
+                        r for p, r in files.items() if p not in prev_paths
+                    ),
                 }
             )
+        prev_paths = set(files)
     return out
 
 
@@ -307,7 +324,9 @@ def neardup_snapshot_sink(
                 "left_anti",
             ).localCheckpoint()
             b_keys = dedup.band_rows(
-                dedup.simhash32_jvm(batch, text_col, id_col), band_bits
+                dedup.simhash32_jvm(batch, text_col, id_col),
+                band_bits,
+                id_col=id_col,
             )
             # ONE evaluation of the snapshot signature pipeline: bucket
             # size + representative come from a single window pass, and
@@ -322,7 +341,9 @@ def neardup_snapshot_sink(
             w = Window.partitionBy("band", "bucket")
             s_annot = (
                 dedup.band_rows(
-                    dedup.simhash32_jvm(snap, text_col, id_col), band_bits
+                    dedup.simhash32_jvm(snap, text_col, id_col),
+                    band_bits,
+                    id_col=id_col,
                 )
                 .withColumn("__n", F.count("*").over(w))
                 .withColumn("__min", F.min("id").over(w))
