@@ -77,3 +77,19 @@ def test_corpus_report_compresses_and_is_deterministic(spark):
     assert rows[0].tokens_per_word < rows[0].chars_per_word
     again = bpe.bpe_train_report(spark, SF_SMOKE, n_merges=6).orderBy("rank").collect()
     assert [r.pair for r in again] == [r.pair for r in rows]
+
+
+def test_apply_bpe_keeps_zero_token_docs(spark):
+    # round-6 review find: docs with no [a-z0-9] tokens vanished from
+    # the output; they must surface as (id, 0, 0)
+    from waddleml_spark.llmops import bpe
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "!!! ...")], "doc_id long, text string"
+    )
+    freqs = bpe.word_freqs(d)
+    merges = bpe.train_bpe(freqs, n_merges=2)
+    got = {r.id: (r.n_words, r.n_tokens) for r in bpe.apply_bpe(d, merges).collect()}
+    assert set(got) == {1, 2}
+    assert got[2] == (0, 0)
+    assert got[1][0] == 3

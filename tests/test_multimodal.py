@@ -263,3 +263,50 @@ def test_malformed_payloads_degrade_rows_not_stage(spark):
     assert all(ph[i].phash is None for i in (1, 3))
     fp = {r.media_id: r for r in multimodal.audio_fingerprint(media).collect()}
     assert fp[2].phash is None and fp[2].decoder == "unsupported"
+
+
+def test_frame_neardup_flood_bucket_is_guarded(spark):
+    # round-6 review find: 200 identical payloads put 200 ids in every
+    # chunk bucket; the unguarded self-join emitted ~max_chunks*N^2/2
+    # pair rows.  Buckets over the cap drop on BOTH the flood and each
+    # of its chunks; distinct payload pairs still pair
+    from waddleml_spark.llmops.multimodal import frame_neardup_pairs
+
+    blob = bytes(range(256)) * 16
+    rows = [(i, "video", blob) for i in range(200)]
+    # the variant pair shares a prefix DISTINCT from the flood's bytes:
+    # a prefix equal to the flood's would land its chunks in the same
+    # over-cap buckets and (correctly) drop with them
+    vpre = bytes(reversed(range(256))) * 2  # 512 bytes, != blob prefix
+    rows += [(500, "video", vpre + b"\x01" * 512),
+             (501, "video", vpre + b"\x02" * 512)]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, payload binary"
+    )
+    got = frame_neardup_pairs(media, min_shared=4).collect()
+    flood = [r for r in got if r.id_a < 500 and r.id_b < 500]
+    assert not flood, "mega-bucket guard failed on the payload flood"
+    # the two tail-edited variants share their 16 aligned prefix chunks
+    assert any(r.id_a == 500 and r.id_b == 501 for r in got)
+    # NULL / empty payloads contribute zero chunks (no phantom sha2(''))
+    from waddleml_spark.llmops.multimodal import chunk_fingerprints
+
+    empties = spark.createDataFrame(
+        [(1, "video", None), (2, "video", b"")],
+        "media_id long, modality string, payload binary",
+    )
+    assert chunk_fingerprints(empties).count() == 0
+
+
+def test_hash_kernels_reject_over_64_bit_grids(spark):
+    import numpy as np
+    import pytest
+
+    from waddleml_spark.llmops.multimodal import (
+        ahash_kernel, audio_fingerprint_kernel,
+    )
+
+    with pytest.raises(ValueError, match="64 bits"):
+        ahash_kernel(np.zeros((16, 16, 3)), side=9)
+    with pytest.raises(ValueError, match="64 bits"):
+        audio_fingerprint_kernel([0.0] * 64, n_frames=16, n_bands=8)

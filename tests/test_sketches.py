@@ -83,3 +83,17 @@ def test_cms_heavy_hitters_report_invariants(spark):
                for r in rows)
     # top-20 ordered by exact count desc
     assert [r.exact_n for r in rows] == sorted((r.exact_n for r in rows), reverse=True)
+
+
+def test_merge_sketches_accepts_single_column_name(spark):
+    # round-6 review find: a plain-string group_cols splatted into
+    # single characters via groupBy(*"campaign")
+    from waddleml_spark.operators import sketches
+
+    d = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2)], "grp string, user_id long"
+    )
+    daily = sketches.bucket_sketches(d, "grp", "user_id")
+    got = {r.grp: r.merged_estimate
+           for r in sketches.merge_sketches(daily, group_cols="grp").collect()}
+    assert set(got) == {"a", "b"}

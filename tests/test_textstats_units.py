@@ -243,3 +243,16 @@ def test_smoothed_shares_zero_weight_is_null_not_crash(spark):
     assert abs(sum(r.natural_share for r in rows.values()) - 1.0) < 1e-4
     assert abs(sum(r.smoothed_share for r in rows.values()) - 1.0) < 1e-4
     assert rows["b"].sample_rate > 1.0 > rows["a"].sample_rate
+
+
+def test_quality_features_zero_word_doc_yields_null_not_crash(spark):
+    # round-6 review find: ANSI divide-by-zero killed the job on any
+    # punctuation-only / non-Latin doc; the ratio must be NULL instead
+    from waddleml_spark.llmops import textstats
+
+    d = spark.createDataFrame(
+        [(1, "!!! ... ???"), (2, "real words here")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in textstats.quality_features(d).collect()}
+    assert rows[1].q_avg_word_len is None
+    assert rows[2].q_avg_word_len is not None

@@ -64,8 +64,9 @@ def _r(c, digits: int):
     _r_nan/_r_nan_sql for columns that legitimately carry NaN (e.g. a
     cosine over a zero-norm vector).
     """
-    p = 10 ** digits
-    return F.floor(c * p + F.lit(0.5)) / p
+    from waddleml_spark.llmops import round_floor
+
+    return round_floor(c, digits)
 
 
 def _r_sql(expr: str, digits: int) -> str:

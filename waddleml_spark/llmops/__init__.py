@@ -36,6 +36,20 @@ WS_RE = f"[{WS_CHARS}]+"
 WS_TRIM_RE = rf"\A[{WS_CHARS}]+|[{WS_CHARS}]+\z"
 
 
+def round_floor(c, digits: int):
+    """THE house cross-engine rounding: floor(x·10^d + 0.5) / 10^d —
+    the identical IEEE op sequence in Spark and DuckDB (library round()
+    differs on shortest-repr ties).  One definition: catalog._r,
+    mixing._round and the bigram-LM score all delegate here so the
+    formula can never drift between a query and its SQL twin (_r_sql).
+    Finite-domain only — see catalog._r's docstring for the NaN/inf
+    caveats (use catalog._r_nan for NaN-carrying columns)."""
+    from pyspark.sql import functions as F
+
+    p = 10 ** digits
+    return F.floor(c * p + F.lit(0.5)) / p
+
+
 def rotate_persist(slot: str, df):
     """persist() ``df`` and release stale caches the SAME slot holds from
     older invocations.

@@ -320,12 +320,26 @@ def apply_bpe(
     mapping = tokenize_words(
         words.groupBy("word").agg(F.count("*").alias("freq")), merges
     ).select("word", F.size("tokens").alias("n_tok"))
-    return (
+    counts = (
         words.join(mapping, "word")
         .groupBy("id")
         .agg(
             F.count("*").alias("n_words"),
             F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    # docs with ZERO [a-z0-9] tokens vanish at the explode and would be
+    # silently absent from the output (round-6 review find: per-lang
+    # n_docs undercounted vs sibling reports, and doc-list joins grew
+    # unexplained nulls) — re-attach them as (id, 0, 0) from the pruned
+    # id column
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(counts, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
         )
     )
 

@@ -19,11 +19,13 @@ from pyspark.sql import functions as F
 
 
 def _round(c: Column, digits: int) -> Column:
-    """House floor-formula rounding (matches catalog._r): deterministic
-    across engines for finite inputs.  Inputs here are shares/ratios of
-    finite weights — NULL (from try_divide) passes through as NULL."""
-    p = 10**digits
-    return F.floor(c * p + F.lit(0.5)) / p
+    """House floor-formula rounding — delegates to the ONE definition
+    (llmops.round_floor, shared with catalog._r) so copies can't drift.
+    Inputs here are shares/ratios of finite weights — NULL (from
+    try_divide) passes through as NULL."""
+    from . import round_floor
+
+    return round_floor(c, digits)
 
 
 def smoothed_shares(

@@ -300,7 +300,10 @@ def extract_features(media: DataFrame) -> DataFrame:
     from waddleml_spark.session import ensure_shipped, fan_out
 
     ensure_shipped(media.sparkSession)
-    media = fan_out(media)
+    # prune BEFORE the fan-out shuffle: mime and the meta JSON sidecar
+    # are unused here, and unpruned they cross the repartition and ride
+    # every Arrow batch into Python (the siblings all select first)
+    media = fan_out(media.select("media_id", "modality", "payload"))
 
     def batches(it):
         for pdf in it:
@@ -445,6 +448,11 @@ def ahash_kernel(img, side: int = 8) -> int:
     """
     import numpy as np
 
+    if side * side > 64:
+        # the hash packs bit (row, col) into ONE long; a bigger grid
+        # would overflow past Arrow's LongType OUTSIDE the per-row try
+        # and kill the whole stage, not one row
+        raise ValueError(f"side*side must be <= 64 bits, got {side * side}")
     if img.shape[0] < side or img.shape[1] < side:
         # sub-grid images would yield empty blocks -> NaN means -> an
         # all-zero hash that collides every tiny image into one
@@ -475,6 +483,11 @@ def audio_fingerprint_kernel(samples, n_frames: int = 8, n_bands: int = 8) -> in
     image hashes."""
     import numpy as np
 
+    if n_frames * n_bands > 64:
+        # bit (frame, band) packs into ONE long (see ahash_kernel)
+        raise ValueError(
+            f"n_frames*n_bands must be <= 64 bits, got {n_frames * n_bands}"
+        )
     x = np.asarray(samples, dtype=np.float64)
     if x.size < n_frames:  # too short: pad so every frame exists
         x = np.pad(x, (0, n_frames - x.size))
@@ -640,7 +653,7 @@ def phash_neardup_pairs(
 def payload_stats(media: DataFrame) -> DataFrame:
     """Metadata-only stats — pure expressions, payload column pruned except
     for octet_length which parquet can answer from the binary column
-    without decoding:  per modality count / total / avg bytes, sha sample."""
+    without decoding: per modality count / total / min / max bytes."""
     return media.groupBy("modality").agg(
         F.count("*").alias("n"),
         F.sum(F.octet_length("payload")).alias("total_bytes"),
@@ -661,8 +674,13 @@ def chunk_fingerprints(
     binary + sha2 inside a transform) — no Python, no decode.
     Returns (media_id, chunk_idx, chunk_sha).
     """
+    # coalesce INSIDE the least: octet_length(NULL) is NULL and Spark's
+    # least() SKIPS nulls (least(NULL, 64) = 64), so a NULL payload
+    # would otherwise claim max_chunks phantom chunks
     n = F.least(
-        F.ceil(F.octet_length("payload") / F.lit(chunk_bytes)).cast("int"),
+        F.ceil(
+            F.coalesce(F.octet_length("payload"), F.lit(0)) / F.lit(chunk_bytes)
+        ).cast("int"),
         F.lit(max_chunks),
     )
     idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
@@ -672,8 +690,13 @@ def chunk_fingerprints(
             F.substring(F.col("payload"), i * chunk_bytes + 1, chunk_bytes), 256
         ),
     )
-    return media.select(
-        "media_id", F.posexplode(shas).alias("chunk_idx", "chunk_sha")
+    # NULL/empty payloads contribute ZERO chunk rows: greatest(n-1, 0)
+    # otherwise yields the [0] index for both, emitting a phantom chunk
+    # — and every EMPTY payload would share sha2('') and pair with
+    # every other at low min_shared (round-6 review find)
+    return (
+        media.filter(n >= 1)
+        .select("media_id", F.posexplode(shas).alias("chunk_idx", "chunk_sha"))
     )
 
 
@@ -682,40 +705,42 @@ def frame_neardup_pairs(
     chunk_bytes: int = 32,
     max_chunks: int = 64,
     min_shared: int = 4,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Media near-dup candidates by shared content chunks: media pairs
     with ≥ min_shared identical chunk fingerprints.
 
-    Plan shape: explode fingerprints → self-join ON THE HASH (each hash
+    Plan shape: explode fingerprints → bucket-GROUP on the hash (each
     bucket holds only payloads containing that exact 32-byte slice —
-    bounded fan-out, the binary analog of shingle-bucket joins; payload
-    bytes never shuffle, only 32-byte digests) → pair count ≥ threshold.
-    Returns (id_a, id_b, shared_chunks).
+    the binary analog of shingle-bucket joins; payload bytes never
+    shuffle, only 32-byte digests) → generator pair expansion
+    (dedup._bucket_pairs, one co-occurrence row per shared bucket) →
+    pair count ≥ threshold.  Returns (id_a, id_b, shared_chunks).
 
-    The digest frame is persisted before the self-join: Catalyst
-    evaluates each join side independently, so without the cache the
-    PAYLOAD column — the widest bytes in the table — would scan and
-    sha-hash twice.  The cached rows are (id, 32-byte sha) at
-    ≤ max_chunks per doc, digest-grain regardless of payload size;
-    persist (not localCheckpoint) keeps lineage, so blocks are
-    evictable and executor loss recomputes instead of failing.
+    ``max_bucket`` is the mega-bucket guard (the CLAUDE.md rule the
+    earlier self-join shape violated — round-6 review find): a
+    boilerplate payload copied N times puts N ids into EVERY one of its
+    chunk buckets, and the unguarded join emitted ~max_chunks·N²/2
+    pair rows from one flood.  Buckets over the cap are dropped —
+    honest recall loss on degenerate floods, exactly like the text
+    pairings.  Bucket-group also keeps ONE reference to the digest
+    frame, so the payload scans/hashes once with no persist needed.
     """
-    from . import rotate_persist
+    from waddleml_spark.llmops import dedup
 
-    fp = rotate_persist(
-        "multimodal.frame_neardup_pairs",
+    fp = (
         chunk_fingerprints(media, chunk_bytes, max_chunks)
         .select(F.col("media_id").alias("id"), "chunk_sha")
-        .distinct(),
+        .distinct()
     )
-    a, b = fp.alias("a"), fp.alias("b")
+    buckets = (
+        fp.groupBy("chunk_sha")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_sha") == F.col("b.chunk_sha"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        dedup._bucket_pairs(buckets, distinct=False)
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_chunks"))
         .filter(F.col("shared_chunks") >= min_shared)
     )

@@ -73,8 +73,13 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "q_words": n_words,
             "q_tokens": token_count_bpe(text),
             "q_punct": punct_count(text),
-            # doubles via explicit cast so ratios hash-match the oracle
-            "q_avg_word_len": (n_chars.cast("double") / n_words.cast("double")),
+            # doubles via explicit cast so ratios hash-match the oracle;
+            # try_divide: a zero-word doc (punctuation-only / non-Latin)
+            # must yield NULL, not an ANSI DIVIDE_BY_ZERO that kills the
+            # job (round-6 review find; gopher_flags already does this)
+            "q_avg_word_len": F.try_divide(
+                n_chars.cast("double"), n_words.cast("double")
+            ),
         }
     )
 
@@ -89,7 +94,9 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of per-language marker-word counts.
 
     Adds `lang_pred` (NULL when no marker hits).  Deterministic tie-break:
-    highest score wins, ties resolved by language code order.
+    highest score wins, score ties pick the HIGHEST language code —
+    pinned by the registered oracle (lang_pred_matrix checks codes in
+    descending order), so do not "fix" it to lowest-wins.
     """
     text = F.col(text_col)
     scored = F.array(
@@ -100,8 +107,10 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             for code, m in sorted(LANG_MARKERS.items())
         ]
     )
-    # array_max on struct compares fieldwise: score first, then lang; ties
-    # on score pick the LAST lang code, so invert: sort desc by (score, lang)
+    # array_max on struct compares fieldwise: score first, then lang —
+    # score ties DELIBERATELY resolve to the highest lang code (the
+    # oracle mirrors this; an earlier comment here described an
+    # inversion that never existed)
     best = F.array_max(scored)
     return df.withColumn(
         "lang_pred",
@@ -323,10 +332,11 @@ def bigram_lm_scores(
     # double every occurrence row would compute — value-identical to the
     # oracle's per-occurrence JOIN bg JOIN ug formulation.
     scored = pairs.join(lp_tbl, ["w1", "w2"]).select("id", "lp")
-    p6 = 10**6
+    from . import round_floor
+
     return scored.groupBy("id").agg(
         F.count("*").alias("n_bigrams"),
-        (F.floor(F.avg("lp") * p6 + F.lit(0.5)) / p6).alias("lm_score"),
+        round_floor(F.avg("lp"), 6).alias("lm_score"),
     )
 
 

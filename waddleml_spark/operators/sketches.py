@@ -48,6 +48,9 @@ def merge_sketches(sketches: DataFrame, group_cols=None) -> DataFrame:
     arbitrary-range distinct count, computed from materialized sketches
     only.  A year of daily sketches is 365 rows × ~2 KB — the merge is
     driver-trivial at any fact-table size."""
+    if isinstance(group_cols, str):
+        # groupBy(*"campaign") would splat into single-char column names
+        group_cols = [group_cols]
     g = sketches.groupBy(*group_cols) if group_cols else sketches.groupBy()
     return g.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_estimate")
