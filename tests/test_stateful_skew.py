@@ -215,3 +215,112 @@ def test_running_metric_summary_transform_with_state(spark, tmp_path, monkeypatc
         assert (r.last_step, r.last_value) == (4, 6.0)
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_asof_join_null_right_value_is_the_match_not_stale(spark):
+    # round-6 review find: per-column ignorenulls fill replaced a
+    # genuinely-NULL matched value with a STALE earlier row's value
+    # (and could tear columns across different right rows).  The struct
+    # carry returns the actual matched row, NULL value included.
+    from waddleml_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 3.0)], "u long, t double")
+    right = spark.createDataFrame(
+        [(1, 1.0, 5.0), (1, 2.0, None)], "u long, t double, v double"
+    )
+    row = asof_join(left, right, ["u"], "t", "t", ["v"]).collect()[0]
+    assert row.t_asof == 2.0 and row.v_asof is None
+    import pytest
+
+    with pytest.raises(ValueError, match="inner"):
+        asof_join(left, right, ["u"], "t", "t", ["v"], how="Inner")
+
+
+def test_range_join_narrow_buckets_do_not_drop_matches(spark):
+    # round-6 review find: the hardcoded +-1 neighbor explode dropped
+    # pairs farther than one bucket whenever bucket_width < max_distance
+    from waddleml_spark.operators.temporal import range_join_bucketized
+
+    left = spark.createDataFrame([(1, 0.0)], "k long, lv double")
+    right = spark.createDataFrame([(1, 9.0)], "k long, rv double")
+    got = range_join_bucketized(
+        left, right, ["k"], "lv", "rv", max_distance=10.0, bucket_width=2.0
+    ).collect()
+    assert len(got) == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="bucket_width"):
+        range_join_bucketized(
+            left, right, ["k"], "lv", "rv", max_distance=10.0, bucket_width=0.0
+        )
+
+
+def test_resample_interpolate_span_inside_one_interval_is_empty(spark):
+    # round-6 review find: Spark sequence() AUTO-DESCENDS, so a series
+    # whose whole span holds no grid point fabricated two extrapolated
+    # rows where SQL generate_series (the oracle) yields none
+    from waddleml_spark.operators.temporal import resample_interpolate
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 1.0), (1, 7.0, 2.0)], "k long, ts double, v double"
+    )
+    assert resample_interpolate(df, "k", "ts", "v", 3600).count() == 0
+
+
+def test_salted_self_pairs_bit_identical_to_plain_self_join(spark):
+    # DEPLOY.md documents this as the AQE-blind-quadratic mitigation;
+    # pin the bit-identical-output guarantee it promises
+    from waddleml_spark.operators.skew import salted_self_pairs
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(60)], "id long, label long"
+    )
+    salted = (
+        salted_self_pairs(df, "label", "id")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+    )
+    a, b = df.alias("a"), df.alias("b")
+    plain = (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_stateful_update_nan_values_consistent():
+    # round-6 review find: pandas sum/min/max skip NaN while len()
+    # counts it — n said 3 while sum covered 1 value, and an all-NaN
+    # batch poisoned min/max forever via Python min(NaN, x).  Stats now
+    # summarize the non-NaN values; last_value stays the literal latest.
+    import math
+
+    import pandas as pd
+
+    from waddleml_spark.streaming.stateful import _update
+
+    class _FakeState:
+        exists = False
+
+        def update(self, t):
+            self.stored = t
+
+    st = _FakeState()
+    pdf = pd.DataFrame(
+        {"value": [float("nan"), 5.0, float("nan")], "step": [1, 2, 3]}
+    )
+    out = list(_update(("r", "loss"), iter([pdf]), st))[0].iloc[0]
+    assert out["n"] == 1 and out["sum_v"] == 5.0
+    assert out["min_v"] == 5.0 and out["max_v"] == 5.0
+    assert out["last_step"] == 3 and math.isnan(out["last_value"])
+    # a later real batch is not poisoned by the earlier NaNs
+    st2 = _FakeState()
+    st2.exists = False
+    list(_update(("r", "loss"), iter([pd.DataFrame(
+        {"value": [float("nan")], "step": [1]})]), st2))
+    st2.exists, st2.get = True, st2.stored
+    out2 = list(_update(("r", "loss"), iter([pd.DataFrame(
+        {"value": [2.0], "step": [2]})]), st2))[0].iloc[0]
+    assert out2["min_v"] == 2.0 and out2["n"] == 1

@@ -132,10 +132,15 @@ def sliced_running_sum(
     (bucket = floor(epoch/slice)), cumsum within (key, slice) — a
     parallel window whose partitions are bounded by slice width, not key
     popularity — then add per-slice exclusive offsets (one row per
-    (key, slice), tiny) back via broadcast.  Output: input rows +
-    `running_sum`.  Ties within a timestamp are ordered by the tuple
-    (ts, monotonic row id within slice) — deterministic given a
-    deterministic input order per slice.
+    (key, slice), tiny relative to the fact) back via a join AQE sizes
+    at runtime — offs has one row per DISTINCT (key, slice), which
+    grows with keys × time span, so a pinned broadcast hint is NOT
+    bounded by construction (the repo rule; round-6 review find).
+    Output: input rows + `running_sum`.  NOTE ties: rows sharing an
+    exact timestamp within a slice get window-order-dependent partial
+    sums (orderBy is ts alone); pre-aggregate to the timestamp grain —
+    or add a unique column to the orderBy — when duplicate timestamps
+    are possible and per-row determinism matters.
 
     Measured crossover (SCALING.md): below ~1M rows per hot key the
     plain window wins (its single-task sort is cheap and slicing adds
@@ -162,7 +167,7 @@ def sliced_running_sum(
         "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0.0))
     ).select(key_col, "__slice", "__off")
     return (
-        d.join(F.broadcast(offs), [key_col, "__slice"])
+        d.join(offs, [key_col, "__slice"])
         .withColumn("running_sum", F.col("__local") + F.col("__off"))
         .drop("__slice", "__local", "__off")
     )

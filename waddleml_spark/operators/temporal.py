@@ -36,27 +36,42 @@ def asof_join(
     right_time <= left_time within the `on` group.
 
     Implementation: union both sides with a side marker (right sorts before
-    left at equal times, matching ASOF's <=), then
-    last_value(..., ignorenulls) over (partition ON order time, marker).
+    left at equal times, matching ASOF's <=), then ONE
+    last_value(struct, ignorenulls) over (partition ON order time, marker).
+    Carrying the whole matched row as a single struct (round-6 review
+    fix) is what gives true ASOF semantics: filling each carried column
+    independently let a genuinely-NULL right value be replaced by a
+    STALE earlier row's value — and different columns could come from
+    DIFFERENT right rows (a torn match that never existed).  The struct
+    itself is never null for right rows, so ignorenulls skips only the
+    left placeholders.
     Output: all left columns + right_time+suffix + right_values+suffix.
     """
+    from pyspark.sql import types as T
+
+    if how not in ("inner", "left"):
+        # anything else would silently degrade to left semantics
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     lcols = left.columns
     marker = "__side"
     time_col = "__t"
     carried = [right_time] + list(right_values)
+    rs_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in carried]
+    )
 
     l_tagged = left.select(
         *lcols,
         F.col(left_time).alias(time_col),
         F.lit(1).alias(marker),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in carried],
+        F.lit(None).cast(rs_type).alias("__rs"),
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
         *[F.col(c) for c in on],
         F.col(right_time).alias(time_col),
         F.lit(0).alias(marker),
-        *[F.col(c).alias(f"__r_{c}") for c in carried],
+        F.struct(*[F.col(c) for c in carried]).alias("__rs"),
     ).select(*l_tagged.columns)  # align column order
 
     unioned = l_tagged.unionByName(r_tagged)
@@ -66,13 +81,16 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        *[c for c in unioned.columns if not c.startswith("__r_")],
+        *[c for c in unioned.columns if c != "__rs"],
+        F.last(F.col("__rs"), ignorenulls=True).over(w).alias("__rsf"),
+    )
+    out = filled.select(
+        *[c for c in filled.columns if c != "__rsf"],
         *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            F.col("__rsf").getField(c).alias(f"{c}{suffix}")
             for c in carried
         ],
-    )
-    out = filled.filter(F.col(marker) == 1).drop(marker, time_col)
+    ).filter(F.col(marker) == 1).drop(marker, time_col)
     if how == "inner":
         out = out.filter(F.col(f"{right_time}{suffix}").isNotNull())
     return out
@@ -89,17 +107,28 @@ def range_join_bucketized(
 ) -> DataFrame:
     """Join rows with |left_val - right_val| <= max_distance (plus equi
     keys): bucket both sides at `bucket_width` (default = max_distance),
-    explode the left side into its 3 neighboring buckets, hash-join on
+    explode the left side into every bucket within reach
+    (±ceil(max_distance/width) — round-6 review fix: the hardcoded ±1
+    silently DROPPED matching pairs whenever bucket_width <
+    max_distance, the exact tuning the docstring invites), hash-join on
     (keys..., bucket), then apply the exact residual predicate.
     """
-    width = bucket_width or max_distance
+    import math
+
+    if max_distance <= 0:
+        raise ValueError(f"max_distance must be > 0, got {max_distance}")
+    width = max_distance if bucket_width is None else bucket_width
+    if width <= 0:
+        raise ValueError(f"bucket_width must be > 0, got {width}")
+    n_side = math.ceil(max_distance / width)
     lb = left.withColumn(
         "__bk",
         F.explode(
             F.array(
-                (F.floor(F.col(left_val) / width) - 1).cast("long"),
-                F.floor(F.col(left_val) / width).cast("long"),
-                (F.floor(F.col(left_val) / width) + 1).cast("long"),
+                *[
+                    (F.floor(F.col(left_val) / width) + d).cast("long")
+                    for d in range(-n_side, n_side + 1)
+                ]
             )
         ),
     )
@@ -185,12 +214,18 @@ def resample_interpolate(
         F.col(key_col).alias("k"), ep.alias("t"), F.col(value_col).alias("v")
     )
     ext = pts.groupBy("k").agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    # guard start <= stop: Spark's sequence() AUTO-DESCENDS (sequence(1,0)
+    # = [1,0]) where SQL generate_series returns empty — a key whose whole
+    # span sits inside one grid interval with no grid point would emit
+    # two extrapolated rows outside the series and diverge from the
+    # oracle (round-6 review find)
+    g_lo = F.ceil(F.col("lo") / step_seconds).cast("long")
+    g_hi = F.floor(F.col("hi") / step_seconds).cast("long")
     grid = ext.select(
         "k",
         F.explode(
-            F.sequence(
-                F.ceil(F.col("lo") / step_seconds).cast("long"),
-                F.floor(F.col("hi") / step_seconds).cast("long"),
+            F.when(g_lo <= g_hi, F.sequence(g_lo, g_hi)).otherwise(
+                F.array().cast("array<bigint>")
             )
         ).alias("slot"),
     ).select("k", (F.col("slot") * float(step_seconds)).alias("t"))

@@ -19,6 +19,7 @@ lineitem ⋈ bucketed orders → SortMergeJoin with ZERO Exchange.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -36,8 +37,21 @@ def write_bucketed(
     sort-merge joins their sort for free AND parquet min/max stats that
     prune row groups on point lookups (the B-tree-index replacement).
     Bucket counts must match across tables meant to co-join.
+
+    The repartition below is load-bearing (round-6 review find):
+    without it every input task writes its own file per bucket
+    (tasks × n_buckets small files), and Spark only propagates a
+    bucket's sort order when the bucket is ONE file — multi-file
+    buckets silently reintroduce the Sort the sortBy promised away.
+    repartition(n_buckets, keys) uses the same Murmur3-pmod placement
+    as the bucket spec, so each task holds exactly one bucket.
     """
-    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *keys)
+    w = (
+        df.repartition(n_buckets, *[F.col(k) for k in keys])
+        .write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, *keys)
+    )
     if sort_by:
         w = w.sortBy(*sort_by)
     if path:

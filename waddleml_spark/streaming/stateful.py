@@ -56,12 +56,20 @@ def _update(
     for pdf in pdfs:
         if pdf.empty:
             continue
+        # NaN is a legal logged value (loss=nan): pandas sum/min/max
+        # SKIP NaN while len() counts it, so the naive form produced an
+        # internally inconsistent summary and one all-NaN batch poisoned
+        # min/max forever via Python min(NaN, x) (round-6 review find).
+        # Stats summarize the NON-NaN values; n counts them; last_value
+        # stays the literal latest logged value, NaN included.
         vals = pdf["value"].astype(float)
-        n += len(pdf)
-        sum_v += float(vals.sum())
-        bmin, bmax = float(vals.min()), float(vals.max())
-        min_v = bmin if min_v is None else min(min_v, bmin)
-        max_v = bmax if max_v is None else max(max_v, bmax)
+        vals = vals[vals.notna()]
+        n += int(vals.size)
+        if vals.size:
+            sum_v += float(vals.sum())
+            bmin, bmax = float(vals.min()), float(vals.max())
+            min_v = bmin if min_v is None else min(min_v, bmin)
+            max_v = bmax if max_v is None else max(max_v, bmax)
         # latest by step: the run's step counter is monotonic
         top = pdf.loc[pdf["step"].astype(int).idxmax()]
         if int(top["step"]) >= last_step:
@@ -198,12 +206,15 @@ def running_metric_summary_tws(store: WaddleStore) -> DataFrame:
             for pdf in rows:
                 if pdf.empty:
                     continue
+                # NaN handling mirrors _update (see comment there)
                 vals = pdf["value"].astype(float)
-                n += len(pdf)
-                sum_v += float(vals.sum())
-                bmin, bmax = float(vals.min()), float(vals.max())
-                min_v = bmin if min_v is None else min(min_v, bmin)
-                max_v = bmax if max_v is None else max(max_v, bmax)
+                vals = vals[vals.notna()]
+                n += int(vals.size)
+                if vals.size:
+                    sum_v += float(vals.sum())
+                    bmin, bmax = float(vals.min()), float(vals.max())
+                    min_v = bmin if min_v is None else min(min_v, bmin)
+                    max_v = bmax if max_v is None else max(max_v, bmax)
                 top = pdf.loc[pdf["step"].astype(int).idxmax()]
                 if int(top["step"]) >= last_step:
                     last_step = int(top["step"])
