@@ -194,3 +194,38 @@ def test_lttb_keeps_spikes_mean_downsample_flattens(spark):
     ys = [r.y for r in out.collect()]
     assert 100.0 in ys  # the spike survives
     assert len(ys) <= 20
+
+
+def test_list_runs_status_sort_uses_stored_status_for_page_membership(seeded):
+    # round-6 review find / reference parity (ref :45-69): ORDER BY
+    # status runs on STORED values; the stale run (stored 'running')
+    # must sort in the 'running' group even though it DISPLAYS aborted
+    store, runs = seeded
+    dash = SparkDashboard(store)
+    out = dash.list_runs(sort="status", order="desc")
+    # stored statuses desc: running > failed > completed; the stale run
+    # (stored running) leads the page yet displays aborted
+    assert out[0]["name"] == "stale" and out[0]["status"] == "aborted"
+
+
+def test_series_downsample_null_x_rows_do_not_pollute_last_bucket(spark):
+    from waddleml_spark.operators.dashboard import series_downsample
+    from pyspark.sql import functions as F
+
+    rows = [("g", float(i), 1.0) for i in range(100)] + [("g", None, 1000.0)]
+    df = spark.createDataFrame(rows, "g string, x double, v double")
+    out = series_downsample(df, ["g"], "x", "v", target_points=4)
+    # the NULL-x row (v=1000) must not skew any bucket's mean
+    assert all(r.y_max <= 1.0 for r in out.collect())
+
+
+def test_lttb_single_bucket_group_keeps_both_endpoints(spark):
+    from waddleml_spark.operators.dashboard import lttb_downsample
+
+    # constant x -> span 0 -> every row lands in bucket 0
+    df = spark.createDataFrame(
+        [("g", 5.0, 1.0), ("g", 5.0, 2.0), ("g", 5.0, 3.0)],
+        "g string, x double, v double",
+    )
+    got = sorted(r.v for r in lttb_downsample(df, ["g"], "x", "v", 10).collect())
+    assert got == [1.0, 3.0]  # first AND last, not first alone

@@ -116,3 +116,19 @@ def test_read_table_normalizes_timestamp_physical_types(tmp_path, spark):
         assert df.schema[col].dataType.typeName() == "timestamp", (d, col)
         got = df.select(F.col(col).cast("double")).collect()[0][0]
         assert got == want, (d, col, got, want)
+
+
+def test_canonical_json_keeps_nulls_and_validates_names(spark):
+    # round-6 review find: to_json drops null fields by default, so the
+    # "canonical" form diverged from the reference's json.dumps (which
+    # keeps them); and a short names list silently TRUNCATED fields
+    import pytest
+    from pyspark.sql import functions as F
+
+    from waddleml_spark.functions.scalars import canonical_json
+
+    df = spark.createDataFrame([(None, 1)], "a string, b long")
+    out = df.select(canonical_json("a", "b").alias("j")).first().j
+    assert out == '{"a":null,"b":1}'
+    with pytest.raises(ValueError, match="names"):
+        canonical_json(F.col("a"), F.col("b"), names=["x"])

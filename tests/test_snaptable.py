@@ -288,3 +288,19 @@ def test_append_race_revalidates_schema_against_new_tip(spark, tmp_path):
         st._commit(
             tbl, a_entries, _df(spark, 0, 5, "x").schema, "append", parent=1
         )
+
+
+def test_prune_bound_type_mismatch_is_a_crisp_error(spark, tmp_path):
+    # round-6 review find: datetime bounds against a double column died
+    # with an opaque TypeError mid-prune
+    import datetime
+
+    import pytest
+
+    from waddleml_spark.sources import snaptable as st
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "t_prune_type")
+    st.write(spark.range(0, 10).select(F.col("id"), (F.col("id") * 1.0).alias("ts")), tbl)
+    with pytest.raises(ValueError, match="prune bounds"):
+        st.read(spark, tbl, prune=("ts", datetime.datetime(2024, 1, 5), None)).count()

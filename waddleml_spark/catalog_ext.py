@@ -613,7 +613,7 @@ def series_downsample_50(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, b AS bucket, x, y FROM r
     WHERE (px IS NOT NULL AND nx IS NOT NULL AND rsel = 1)
        OR (px IS NULL AND rfirst = 1)
-       OR (px IS NOT NULL AND nx IS NULL AND rlast = 1)
+       OR (nx IS NULL AND rlast = 1)
     """,
 )
 def series_lttb_50(spark: SparkSession, sf_dir: str) -> DataFrame:

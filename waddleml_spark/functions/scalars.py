@@ -13,11 +13,22 @@ from pyspark.sql import functions as F
 def canonical_json(*cols: Column | str, names: list[str] | None = None) -> Column:
     """F1 — canonical sorted-key JSON (ref: waddle/_run.py:46-47 uses
     json.dumps(sort_keys=True)).  Pass fields in sorted-name order (struct
-    field order IS the serialization order)."""
+    field order IS the serialization order).
+
+    ignoreNullFields=false is load-bearing (round-6 review find):
+    json.dumps KEEPS null fields while Spark's to_json drops them by
+    default, so a record with a null field would serialize — and hash —
+    differently from the reference's canonical form."""
     fields = [F.col(c) if isinstance(c, str) else c for c in cols]
     if names:
+        if len(names) != len(fields):
+            # zip would silently TRUNCATE, dropping trailing fields from
+            # the "canonical" serialization (round-6 review find)
+            raise ValueError(
+                f"names has {len(names)} entries for {len(fields)} columns"
+            )
         fields = [f.alias(n) for f, n in zip(fields, names)]
-    return F.to_json(F.struct(*fields))
+    return F.to_json(F.struct(*fields), {"ignoreNullFields": "false"})
 
 
 def tolerant_json_field(col: Column | str, path: str) -> Column:

@@ -85,9 +85,13 @@ def search_filter(df: DataFrame, cols: Sequence[str], query: str) -> DataFrame:
 
     Promotes the reference's client-side JS search
     (waddle/static/index.html:185-191) to a server-side pushed predicate.
+    The haystack expression is THE shared one (functions.scalars
+    .search_haystack) so server-side search can never drift from other
+    consumers of the F8 scalar.
     """
-    hay = F.lower(F.concat_ws(" ", *[F.col(c) for c in cols]))
-    return df.filter(hay.contains(query.lower()))
+    from waddleml_spark.functions.scalars import search_haystack
+
+    return df.filter(search_haystack(*cols).contains(query.lower()))
 
 
 def last_per_group(

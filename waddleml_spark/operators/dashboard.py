@@ -59,12 +59,39 @@ class SparkDashboard:
     ) -> list[dict[str, Any]]:
         runs = self.store.df("runs").select(*_RUN_COLS)
         runs = ops.equality_filter(runs, {"project": project, "status": status})
-        runs = ops.stale_status(
-            runs, self.store.df("metrics"), now_ts=now if now is not None else time.time()
-        )
         runs = ops.allowlist_sort(runs, sort, order, tiebreak="id")
         runs = ops.paginate(runs, limit=limit, offset=offset)
-        return [r.asDict() for r in runs.collect()]
+        page = [r.asDict() for r in runs.collect()]
+        # reference order (ref :45-69): sort/LIMIT on the STORED status,
+        # THEN reclassify stale runs on the fetched page only —
+        # reclassifying before the sort changed PAGE MEMBERSHIP under
+        # sort='status' (round-6 review find).  Unlike the reference's
+        # per-row N+1 re-query, the page's last-metric timestamps come
+        # from ONE bounded IN-list aggregate (page size ≤ limit).
+        now_ts = now if now is not None else time.time()
+        running = [d["id"] for d in page if d["status"] == "running"]
+        if running:
+            last = {
+                r.run_id: r.last_ts
+                for r in self.store.df("metrics")
+                .filter(F.col("run_id").isin(running))
+                .groupBy("run_id")
+                .agg(F.max("ts").alias("last_ts"))
+                .collect()
+            }
+            for d in page:
+                if d["status"] != "running":
+                    continue
+                last_ts = last.get(d["id"])
+                if last_ts is not None and (now_ts - last_ts) > 300:
+                    d["status"] = "aborted"
+                elif (
+                    last_ts is None
+                    and d["started_at"]
+                    and (now_ts - d["started_at"]) > 300
+                ):
+                    d["status"] = "aborted"
+        return page
 
     # --- get_run (P3 P4 A3) ----------------------------------------------
 
@@ -197,7 +224,10 @@ class SparkDashboard:
             F.col("id").alias("run_id"), "name", "started_at"
         )
         out = (
-            last.join(F.broadcast(runs), on="run_id")
+            # no broadcast hint: runs grows one row per tracked run with
+            # no cap — not bounded by construction (the repo rule); AQE
+            # still broadcasts it while it fits
+            last.join(runs, on="run_id")
             .orderBy(F.col("started_at").desc(), "run_id")
             .limit(limit)
             .select("run_id", "name", "value")
@@ -234,6 +264,11 @@ def series_downsample(
     series of any length.  Constant-valued order ranges (hi == lo)
     collapse to bucket 0.
     """
+    # drop NULL-x rows up front: they belong to no bucket, and the
+    # bucket expression would otherwise dump them into the LAST one
+    # (F.least SKIPS null args: least(NULL, tp-1) = tp-1 — round-6
+    # review find), skewing its stats
+    df = df.filter(F.col(order_col).isNotNull())
     ext = df.groupBy(*group_cols).agg(
         F.min(order_col).alias("__lo"), F.max(order_col).alias("__hi")
     )
@@ -285,6 +320,11 @@ def lttb_downsample(
     row_number ordered by (area DESC, order_col) — ties break on the
     x position, never on float identity.
     """
+    # drop NULL-x rows up front: they belong to no bucket, and the
+    # bucket expression would otherwise dump them into the LAST one
+    # (F.least SKIPS null args: least(NULL, tp-1) = tp-1 — round-6
+    # review find), skewing its stats
+    df = df.filter(F.col(order_col).isNotNull())
     ext = df.groupBy(*group_cols).agg(
         F.min(order_col).alias("__lo"), F.max(order_col).alias("__hi")
     )
@@ -337,7 +377,12 @@ def lttb_downsample(
         .filter(
             (interior & (F.col("__rsel") == 1))
             | (F.col("__px").isNull() & (F.col("__rfirst") == 1))
-            | (F.col("__px").isNotNull() & F.col("__nx").isNull() & (F.col("__rlast") == 1))
+            # no px-NOT-NULL requirement on the last-bucket branch: a
+            # group collapsing to ONE bucket (constant x / short series)
+            # has px AND nx NULL, and the docstring's endpoint rule must
+            # still keep BOTH its first and last points (round-6 fix,
+            # mirrored in the SQL oracle)
+            | (F.col("__nx").isNull() & (F.col("__rlast") == 1))
         )
     )
     return out.select(*group_cols, F.col("__b").alias("bucket"), order_col, value_col)

@@ -331,8 +331,19 @@ def _prune(files: list[dict], col: str, lo: Any, hi: Any) -> list[dict]:
         if temporal:
             mn = _inflate_date(_canon_stat(mn))
             mx = _inflate_date(_canon_stat(mx), end=True)
-        if (hi is None or mn <= hi) and (lo is None or mx >= lo):
-            kept.append(f)
+        try:
+            if (hi is None or mn <= hi) and (lo is None or mx >= lo):
+                kept.append(f)
+        except TypeError:
+            # bound type vs stored stat type mismatch (e.g. datetime
+            # bounds against an epoch-DOUBLE column): crisp error
+            # instead of an opaque mid-prune comparison crash
+            raise ValueError(
+                f"prune bounds for column {col!r} have type "
+                f"{type(lo if lo is not None else hi).__name__} but the "
+                f"stored stats are {type(mn).__name__} — pass bounds "
+                "matching the column's stored type"
+            ) from None
     return kept
 
 
@@ -423,6 +434,18 @@ def vacuum(
     cutoff = time.time() - retain_minutes * 60.0
     deleted: list[str] = []
     data_root = os.path.join(table, _DATA_DIR)
+    # ORDER matters (round-6 review find): fold + unlink the expired
+    # manifests BEFORE deleting data files — a crash mid-vacuum then
+    # leaves harmless garbage files, never an on-disk manifest whose
+    # version reads would hand Spark already-deleted paths
+    if drop:
+        # the manifests being dropped are the durable record of delivered
+        # stream epochs; persist them to the sidecar FIRST
+        from waddleml_spark.streaming.snapsink import persist_stream_state
+
+        persist_stream_state(table)
+        for v in drop:
+            os.unlink(_manifest_path(table, v))
     for dirpath, _dirs, names in os.walk(data_root, topdown=False):
         for n in names:
             full = os.path.join(dirpath, n)
@@ -435,14 +458,17 @@ def vacuum(
                     continue
                 os.unlink(full)
                 deleted.append(rel)
-        if not os.listdir(dirpath):
-            os.rmdir(dirpath)
-    if drop:
-        # the manifests being dropped are the durable record of delivered
-        # stream epochs; persist them to the sidecar FIRST
-        from waddleml_spark.streaming.snapsink import persist_stream_state
-
-        persist_stream_state(table)
-    for v in drop:
-        os.unlink(_manifest_path(table, v))
+        # empty-dir cleanup honors the SAME grace window: a concurrent
+        # writer's freshly created (still-empty) staging dirs must
+        # survive, and a file appearing between listdir and rmdir is a
+        # race to tolerate, not an abort
+        try:
+            if (
+                dirpath != data_root
+                and not os.listdir(dirpath)
+                and os.path.getmtime(dirpath) <= cutoff
+            ):
+                os.rmdir(dirpath)
+        except OSError:
+            pass
     return deleted
