@@ -15,9 +15,10 @@ named exceptions below are each pinned individually.
   Expand-based implementation replicates input rows per grouping set —
   zero in, zero out.  Identical on any non-empty input.  If a Spark
   upgrade ever fixes this, the canary fails loudly and the pin flips.
-- cosine_topk_q0 needs a query VECTOR: on an empty corpus the
-  parameter lookup raises a crisp ValueError (the pre-guard behavior
-  was an opaque `'NoneType' object is not subscriptable`).
+- cosine_topk_q0 joined the agreeing set in round 7: the query vector
+  is now resolved IN-PLAN (1-row broadcast cross join, the oracle's
+  ``FROM c, q``), so an empty corpus yields 0 rows on both sides —
+  no parameter-lookup carve-out remains.
 """
 
 from __future__ import annotations
@@ -36,10 +37,6 @@ GRAND_TOTAL_DIVERGENT = {
     "cube_orders",
     "grouping_sets_orders",
 }
-
-# parameter-lookup queries: empty corpus -> crisp error, not a result
-NEEDS_QUERY_VECTOR = {"cosine_topk_q0"}
-
 
 @pytest.fixture(scope="session")
 def empty_dir(tmp_path_factory):
@@ -72,7 +69,7 @@ def duck_empty(empty_dir):
 
 @pytest.mark.parametrize(
     "name",
-    sorted(set(catalog.ORACLE) - GRAND_TOTAL_DIVERGENT - NEEDS_QUERY_VECTOR),
+    sorted(set(catalog.ORACLE) - GRAND_TOTAL_DIVERGENT),
 )
 def test_oracle_pair_agrees_on_empty_input(spark, empty_dir, duck_empty, name):
     from waddleml_spark.testing import compare
@@ -92,8 +89,3 @@ def test_grand_total_row_divergence_canary(spark, empty_dir, duck_empty, name):
         "and move this query into the agreeing set"
     )
     assert n_duck == 1  # the () grand-total row, per the SQL standard
-
-
-def test_query_vector_lookup_raises_crisply(spark, empty_dir):
-    with pytest.raises(ValueError, match="vec_id=0 not found"):
-        catalog.QUERIES["cosine_topk_q0"](spark, empty_dir)

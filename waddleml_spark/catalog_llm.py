@@ -264,10 +264,13 @@ _COS_SQL = (
 def cosine_topk_q0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k vs the vec_id=0 embedding (the ANN baseline).
 
-    The query vector is fetched driver-side (a parameter lookup, not a data
-    loop) and inlined as a literal array — broadcast by construction."""
+    The query vector is resolved IN-PLAN (1-row broadcast cross join —
+    the oracle's ``FROM c, q``): no driver-side lookup job, and an empty
+    corpus yields 0 rows exactly like the SQL twin (round-7; previously
+    a driver-side ``.head()`` fetch that needed its own empty-input
+    carve-out)."""
     emb = t(spark, sf_dir, "embeddings")
-    out = similarity.cosine_topk(emb, _qvec(emb, 0), k=10, exclude_id=0)
+    out = similarity.cosine_topk_lookup(emb, 0, k=10)
     return out.select("vec_id", _r(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
@@ -1716,7 +1719,13 @@ def pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("")
         ),
     )
-    s = d.select("source", planted.alias("ptext")).select(
+    # fan out BEFORE the 6-regex map stage: the single-row-group bench
+    # parquet scans as ONE partition, which would serialize the whole
+    # regex pass onto one core (round-7 measurement: 0.60 -> 0.48 s at
+    # sf0.1; the repartition shuffles only (source, ptext))
+    from waddleml_spark.session import fan_out
+
+    s = fan_out(d.select("source", planted.alias("ptext"))).select(
         "source",
         "ptext",
         pii.count_matches(F.col("ptext"), pii.EMAIL_RE).alias("e"),
@@ -1852,11 +1861,7 @@ def _simhash32_oracle() -> str:
     ), t AS (
         SELECT doc_id, unnest(ws) AS tok FROM d
     ), h AS (
-        SELECT doc_id,
-               CAST(((md5_number_upper(tok) & 255) * 16777216)
-                    + (((md5_number_upper(tok) >> 8) & 255) * 65536)
-                    + (((md5_number_upper(tok) >> 16) & 255) * 256)
-                    + ((md5_number_upper(tok) >> 24) & 255) AS BIGINT) AS h32
+        SELECT doc_id, {_md5_be32_sql('tok')} AS h32
         FROM t
     ), b AS (
         SELECT doc_id, {sums}
@@ -1890,11 +1895,7 @@ def _minhash32_ctes() -> str:
         SELECT DISTINCT doc_id, g AS s
         FROM ({_trigram_rows_clamped_sql()}) WHERE g IS NOT NULL
     ), h AS (
-        SELECT doc_id,
-               CAST(((md5_number_upper(s) & 255) * 16777216)
-                    + (((md5_number_upper(s) >> 8) & 255) * 65536)
-                    + (((md5_number_upper(s) >> 16) & 255) * 256)
-                    + ((md5_number_upper(s) >> 24) & 255) AS BIGINT) AS h32
+        SELECT doc_id, {_md5_be32_sql('s')} AS h32
         FROM t
     ), g AS (
         SELECT doc_id, {mins}

@@ -36,6 +36,21 @@ WS_RE = f"[{WS_CHARS}]+"
 WS_TRIM_RE = rf"\A[{WS_CHARS}]+|[{WS_CHARS}]+\z"
 
 
+def sql_str(s: str) -> str:
+    """A Spark-SQL single-quoted string literal whose PARSED value is
+    exactly ``s`` — backslashes doubled so the Java regex engine receives
+    the identical pattern text the Column-API path passes (Spark's SQL
+    parser processes escape sequences inside quoted literals; an
+    unescaped ``\\x0b`` would not survive it).
+
+    For expr-string plan construction (see ``minhash_lsh_candidates``):
+    building wide plans from parsed SQL strings instead of per-node
+    Column objects cuts the driver's py4j round trips ~10× — measured
+    0.46 s -> 0.18 s of per-invocation build time on the 32-wide minhash
+    plan, identical Catalyst plan and bit-identical output."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def round_floor(c, digits: int):
     """THE house cross-engine rounding: floor(x·10^d + 0.5) / 10^d —
     the identical IEEE op sequence in Spark and DuckDB (library round()

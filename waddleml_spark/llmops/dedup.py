@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from . import WS_RE
+from . import WS_RE, WS_TRIM_RE
 
 from waddleml_spark.llmops.textstats import fingerprint, lower_trim
 
@@ -128,6 +128,7 @@ def minhash_lsh_candidates(
     self-join on (band, signature).  All relational: explode + groupBy +
     join; no driver-side loops.  num_hashes/bands tune recall vs cost.
     """
+    from waddleml_spark.llmops import sql_str
     from waddleml_spark.session import fan_out
 
     rows_per_band = num_hashes // bands
@@ -145,45 +146,43 @@ def minhash_lsh_candidates(
     # doc-grain only: partial MIN aggregation collapses shingle rows
     # map-side, so ~num_hashes longs per doc per partition move.  No
     # array_distinct: MIN is duplicate-insensitive.
+    #
+    # The whole pipeline is built from PARSED EXPR STRINGS, not per-node
+    # Column objects: this 32-wide plan costs ~0.46 s of py4j round
+    # trips per invocation under the Column API vs ~0.18 s parsed
+    # (round-7 measurement; identical Catalyst plan, bit-identical
+    # pairs).  At bench scale build time was HALF this operator's cost.
     k = 3
-    toks = F.split(lower_trim(F.col(text_col)), WS_RE)
-    base = src.select("id", toks.alias("__t"), F.size(toks).alias("__n"))
-    idx = base.select(
+    ws = sql_str(WS_RE)
+    trim = sql_str(WS_TRIM_RE)
+    base = src.selectExpr(
         "id",
-        "__t",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col("__n") - k, F.lit(0)))
-        ).alias("__i"),
+        f"split(regexp_replace(lower({text_col}), {trim}, ''), {ws}) AS __t",
+    ).selectExpr("id", "__t", "size(__t) AS __n")
+    idx = base.selectExpr(
+        "id", "__t", f"explode(sequence(0, greatest(__n - {k}, 0))) AS __i"
     )
-    gram_h = F.xxhash64(*[F.get(F.col("__t"), F.col("__i") + j) for j in range(k)])
-    gram_rows = idx.select("id", gram_h.alias("__g"))
-    minsigs = gram_rows.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64(F.col("__g"), F.lit(seed + i))).alias(f"__m{i}")
-            for i in range(num_hashes)
-        ]
+    gram = ", ".join(f"get(__t, __i + {j})" for j in range(k))
+    gram_rows = idx.selectExpr("id", f"xxhash64({gram}) AS __g")
+    # re-hashes as a PROJECTION feeding plain MIN aggregates (measured
+    # ~0.07 s faster than evaluating the rehash inside the aggregate)
+    hashed = gram_rows.selectExpr(
+        "id", *[f"xxhash64(__g, {seed + i}) AS __h{i}" for i in range(num_hashes)]
+    )
+    minsigs = hashed.groupBy("id").agg(
+        *[F.expr(f"min(__h{i}) AS __m{i}") for i in range(num_hashes)]
     )
     # band signature = hash of the band's slice of the signature → (id,
-    # band, sig); plain column references, no array materialization
-    band_rows = minsigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"__m{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("sig"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select("id", "bs.band", "bs.sig")
+    # band, sig); posexplode of a long array, no struct materialization
+    sigs = ", ".join(
+        "xxhash64("
+        + ", ".join(f"__m{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ")"
+        for b in range(bands)
+    )
+    band_rows = minsigs.selectExpr(
+        "id", f"posexplode(array({sigs})) AS (band, sig)"
+    )
     # bucket-group instead of self-join: ONE shuffle on (band, sig) and the
     # signature pipeline is computed once (a self-join would recompute it
     # for each side); pairs expand inside each bucket with generators.

@@ -509,13 +509,25 @@ def audio_fingerprint_kernel(samples, n_frames: int = 8, n_bands: int = 8) -> in
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def audio_fingerprint(media: DataFrame) -> DataFrame:
+def audio_fingerprint(
+    media: DataFrame, n_frames: int = 8, n_bands: int = 8
+) -> DataFrame:
     """Audio fingerprints over mapInPandas (Arrow batches): WAV payloads
     decode (decode_wav) and hash; anything else gets NULL with
     decoder='unsupported'.  Output schema matches image_phash, so
-    phash_neardup_pairs works on either modality's hashes."""
+    phash_neardup_pairs works on either modality's hashes.
+
+    Grid validation happens HERE, before mapInPandas: the per-row
+    `except Exception` below exists to absorb malformed PAYLOADS, and a
+    misconfigured grid raised inside the kernel would be swallowed into
+    silent all-NULL hashes instead of failing the job.
+    """
     from waddleml_spark.session import ensure_shipped, fan_out
 
+    if n_frames * n_bands > 64 or n_frames < 1 or n_bands < 1:
+        raise ValueError(
+            f"n_frames*n_bands must be in 1..64 bits, got {n_frames * n_bands}"
+        )
     ensure_shipped(media.sparkSession)
     src = fan_out(media.select("media_id", "payload"))
 
@@ -527,7 +539,9 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
                 if p is not None and bytes(p[:4]) == b"RIFF":
                     try:
                         _rate, _ch, samples = decode_wav(p)
-                        dec, fp = "wav", audio_fingerprint_kernel(samples)
+                        dec, fp = "wav", audio_fingerprint_kernel(
+                            samples, n_frames=n_frames, n_bands=n_bands
+                        )
                     except Exception:  # malformed payload -> NULL row, see extract_features
                         dec, fp = "unsupported", None
                 ids.append(mid)
@@ -540,14 +554,21 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
     return src.mapInPandas(batches, schema=PHASH_SCHEMA)
 
 
-def image_phash(media: DataFrame) -> DataFrame:
+def image_phash(media: DataFrame, side: int = 8) -> DataFrame:
     """Perceptual hash per image over mapInPandas (Arrow batches; the
     payload is consumed inside the task and never re-shuffled).  Rows
     whose payload isn't a decodable uncompressed image get phash NULL
     with decoder='unsupported' — one bad payload never kills the stage.
+
+    Grid validation happens HERE, before mapInPandas: the per-row
+    `except Exception` below absorbs malformed PAYLOADS; a bad `side`
+    raised inside the kernel would otherwise surface as silent all-NULL
+    hashes with decoder='unsupported' instead of a config error.
     """
     from waddleml_spark.session import ensure_shipped, fan_out
 
+    if side * side > 64 or side < 1:
+        raise ValueError(f"side*side must be in 1..64 bits, got {side * side}")
     ensure_shipped(media.sparkSession)
     src = fan_out(media.select("media_id", "payload"))
 
@@ -559,9 +580,9 @@ def image_phash(media: DataFrame) -> DataFrame:
                 if p is not None:
                     try:
                         if p[:2] == b"P6":
-                            dec, ph = "ppm", ahash_kernel(decode_ppm(p))
+                            dec, ph = "ppm", ahash_kernel(decode_ppm(p), side=side)
                         elif p[:2] == b"BM":
-                            dec, ph = "bmp", ahash_kernel(decode_bmp(p))
+                            dec, ph = "bmp", ahash_kernel(decode_bmp(p), side=side)
                     except Exception:  # malformed payload -> NULL row, see extract_features
                         dec, ph = "unsupported", None
                 ids.append(mid)

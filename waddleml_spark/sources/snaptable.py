@@ -447,6 +447,14 @@ def vacuum(
         for v in drop:
             os.unlink(_manifest_path(table, v))
     for dirpath, _dirs, names in os.walk(data_root, topdown=False):
+        # capture the dir mtime BEFORE the unlink loop: deleting a child
+        # bumps the parent's mtime to now, so a post-deletion getmtime
+        # would always fail the grace check and dirs emptied by this very
+        # pass would survive until a later vacuum
+        try:
+            dir_mtime = os.path.getmtime(dirpath)
+        except OSError:
+            dir_mtime = time.time()
         for n in names:
             full = os.path.join(dirpath, n)
             rel = os.path.relpath(full, table)
@@ -466,7 +474,7 @@ def vacuum(
             if (
                 dirpath != data_root
                 and not os.listdir(dirpath)
-                and os.path.getmtime(dirpath) <= cutoff
+                and dir_mtime <= cutoff
             ):
                 os.rmdir(dirpath)
         except OSError:
