@@ -44,42 +44,43 @@ def entry(spark: SparkSession) -> DataFrame:
 # distinct_keys, sha256_docs, json_canonical_docs, set_ops_users.
 # Round-5 rotation covered the last never-certified rows: cumulative
 # driver certification now spans ALL 113 oracle-paired queries.
-# Round-6 rotation (certification-AGE bound, per the r5 verdict): with
-# everything certified at least once, the window now re-verifies the
-# rows certified LONGEST ago so max age stays <= 3 rounds — all 13
-# r2-vintage rows, all 10 r3-vintage rows, and the 23 oldest r4 rows
-# (the remaining 17 r4 rows are age 2 after this round and take the r7
-# window).  Anchors: flagship (slot 1, the smoke query) and
-# minhash32_band_pairs (the full oracle-exact LSH chain).  The two
-# verifier demos REWROTE this round (all-pairs -> minhash-block
-# candidates, the r5 verdict's top item) and must re-certify.
+# Round-7 rotation (certification-AGE bound): the window re-verifies the
+# rows certified LONGEST ago so max age stays <= 3 rounds — all 17
+# remaining r4-vintage rows plus the 29 alphabetically-first r5-vintage
+# rows (the other 17 r5 rows are age 2 after this round and take the r8
+# window with the r6-vintage rows aging behind them).  Anchors:
+# flagship (slot 1, the smoke query), minhash32_band_pairs (the full
+# oracle-exact LSH chain), and cosine_topk_q0 + pii_scrub_report
+# (both REWRITTEN this round — in-plan query-vector join / fan_out
+# before the regex stage — so they must re-certify).
 # All 50 emulator-preverified this round (sf0.01, bare session, values +
 # type families).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # anchors (flagship stays slot 1 for smoke)
     "flagship_leaderboard", "minhash32_band_pairs",
-    # rewritten this round (de-quadratic demos) — must re-certify
-    "jaccard_word_pairs_src0", "levenshtein_pairs_src0",
-    # r2 vintage (certified longest ago)
-    "corr_price_qty", "distinct_users_by_type", "json_extract_props",
-    "names_by_segment", "orders_per_month", "quantiles_by_type",
-    "revenue_by_priority", "running_sum_per_user", "size_class_counts",
-    "source_numeric_ids", "substr_format", "top3_orders_per_cust",
-    "value_histogram",
-    # r3 vintage
-    "derived_duration", "distinct_keys", "fk_scan", "in_list_filter",
-    "json_canonical_docs", "point_lookup", "prefix_exclusion",
-    "search_ci", "set_ops_users", "sha256_docs",
-    # r4 vintage (23 of 40; the rest rotate in r7)
-    "jaccard_verify_lsh", "levenshtein_verify_lsh", "minhash32_docs",
-    "simhash32_docs", "simhash32_band_pairs", "exact_dedup_docs",
-    "incremental_dedup_report", "contamination_by_source",
-    "bigram_lm_quality_by_lang", "sequence_packing_report",
-    "chunking_report", "corpus_mix_report", "corpus_resample_report",
-    "filter_funnel_report", "token_totals_by_source",
-    "metric_summary_stats", "metric_anomaly_report", "cosine_topk_q0",
-    "hypertable_rollup_day", "range_pairs_60s", "resample_purchase_1h",
-    "ema_smooth_5", "lead_lag_delta",
+    # rewritten this round (plan-build optimizations) — must re-certify
+    "cosine_topk_q0", "pii_scrub_report",
+    # r4 vintage (the 17 rows the r6 window deferred)
+    "anti_join_missing", "cube_orders", "grouping_sets_orders",
+    "large_order_customers_q18", "local_supplier_volume_q5",
+    "min_cost_supplier_q2", "pivot_user_by_type",
+    "priority_class_by_flag_q12", "profile_orders", "rollup_lineitem",
+    "salted_agg_by_user", "semi_join_active", "series_regroup",
+    "shipping_priority_q3", "tpch_q1", "unpivot_measures",
+    "waiting_supplier_q21",
+    # r5 vintage (29 of 46, alphabetical; the rest take the r8 window)
+    "agg_minmax_count", "asof_purchase_click", "cdc_changes_since",
+    "corpus_snapshot_diff", "customer_distribution_q13",
+    "dataset_split_report", "dim_join_agg", "disjunctive_revenue_q19",
+    "distribution_ranks_orders", "embedding_dim_stats",
+    "embedding_neardup_pairs", "embedding_norm_by_label",
+    "fingerprint_docs", "forecast_revenue_q6", "gopher_quality_report",
+    "idle_rich_customers_q22", "important_stock_q11", "lang_pred_matrix",
+    "last_per_group_ties", "locf_gap_fill", "market_share_q8",
+    "media_payload_stats", "order_priority_check_q4",
+    "passage_dedup_report", "potential_promotion_q20",
+    "product_profit_q9", "promo_revenue_q14", "repetition_filter_report",
+    "returned_items_q10",
 )
 
 
