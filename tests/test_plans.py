@@ -177,10 +177,15 @@ def test_stratified_sample_pre_limits_per_group(spark):
 
 
 def test_pii_scrub_is_map_only(spark):
-    # regex detection + redaction is a pure projection: the only exchange
-    # is the final tiny per-source aggregate
+    # regex detection + redaction is a pure projection: exactly one
+    # fan_out round-robin exchange BEFORE the regex map (the bench
+    # parquet scans as a single row group — without it the whole 6-regex
+    # pass serializes onto one core; round 7) plus the final tiny
+    # per-source aggregate exchange.  No join, no extra shuffle.
     df = q(spark, "pii_scrub_report")
-    assert count_op(df, "Exchange") == 1
+    assert count_op(df, "Exchange") == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "roundrobin" in plan.lower() or "RoundRobin" in plan
 
 
 def test_embedding_neardup_is_blocked_kernel_no_join(spark):

@@ -5,13 +5,11 @@ WS client — `{"type": "metric", run_id, key, step, ts, value}`
 (waddle/_server.py:115-124, built at waddle/_run.py:133-135) — and its
 bundled client consumes exactly that shape (waddle/static/index.html:448).
 
-Two server paths cover it:
-
-- the stdlib adapter's vendored RFC 6455 endpoint (server.py /ws) —
-  tested UNCONDITIONALLY below with a raw-socket client, so the true
-  wire protocol is exercised even in containers without starlette;
-- the starlette `create_app()` twin — gated on starlette+httpx being
-  installed (optional here, as in the reference CLI).
+The stdlib adapter's vendored RFC 6455 endpoint (server.py /ws) is
+tested UNCONDITIONALLY below with a raw-socket client, so the true wire
+protocol is exercised with zero optional dependencies.  (A formerly
+import-gated Starlette twin was removed in round 7: its deps are not
+installable in this container, so the gated path could never run.)
 
 The always-on SSE `/events` twin carries the same JSON and is covered
 in test_server_cli.py.
@@ -236,55 +234,6 @@ def test_stdlib_ws_rejects_non_upgrade_request(ws_server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(f"http://{host}:{port}/ws")
     assert exc.value.code == 400
-
-
-# --- starlette twin (optional in this container, as in the ref CLI) --------
-
-
-@pytest.fixture()
-def app_and_bus(spark, tmp_path):
-    pytest.importorskip("starlette")
-    pytest.importorskip("httpx")  # TestClient transport
-    import waddleml_spark as w
-    from waddleml_spark.server import create_app
-
-    state.set_active_run(None)
-    run = w.init(
-        project="wsp", name="r2", store_path=str(tmp_path / ".waddle"),
-        system_metrics=False, spark=spark,
-    )
-    run.finish()
-    bus = LiveBus()
-    yield create_app(run._store, bus=bus), bus
-    state.set_active_run(None)
-
-
-def test_starlette_ws_pushes_reference_metric_frames(app_and_bus):
-    from starlette.testclient import TestClient
-
-    app, bus = app_and_bus
-    with TestClient(app) as client:
-        with client.websocket_connect("/ws") as ws:
-            row = {"run_id": "r1", "key": "loss", "step": 3,
-                   "ts": 1700000000.25, "value": 0.125}
-            bus.publish([row, {**row, "step": 4, "value": 0.0625}])
-            first = json.loads(ws.receive_text())
-            second = json.loads(ws.receive_text())
-    assert first == {"type": "metric", **row}
-    assert second["step"] == 4 and second["type"] == "metric"
-    assert set(first) == {"type", "run_id", "key", "step", "ts", "value"}
-
-
-def test_starlette_ws_dead_client_pruned_without_killing_bus(app_and_bus):
-    from starlette.testclient import TestClient
-
-    app, bus = app_and_bus
-    row = {"run_id": "r1", "key": "m", "step": 1, "ts": 1.0, "value": 2.0}
-    with TestClient(app) as client:
-        with client.websocket_connect("/ws") as ws:
-            bus.publish([row])
-            assert json.loads(ws.receive_text())["type"] == "metric"
-        bus.publish([row])
 
 
 def test_oversize_frame_and_fragment_flood_fail_connection():

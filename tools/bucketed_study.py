@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Measure the bucketed-layout answer to the one deliberate fact-fact
+shuffle (SCALING.md: revenue_by_priority 100x = 28.4x).
+
+The catalog docstring for revenue_by_priority promises "at scale both
+sides should be bucketed by orderkey so this is a shuffle-free
+sort-merge join"; tests/test_bucketed.py proves the ZERO-Exchange plan
+on toy data.  This tool turns the claim into a measured number at the
+100x replica: write the replica's lineitem/orders bucketed by orderkey
+(sources/bucketed.write_bucketed — the one-time layout shuffle a 100 TB
+fact table pays at ingest), then time the identical join+agg on
+
+  - the plain parquet replica (both sides shuffle per query), vs
+  - the bucketed tables (co-located: the planner drops both Exchanges),
+
+asserting the bucketed executed plan really has no shuffle on the join
+keys.  Prints ONE JSON line; SCALING.md records the result.
+
+Usage:
+    python tools/bucketed_study.py [--replica /tmp/scale100] [--factor 100]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+N_BUCKETS = 32
+
+
+def revenue_query(li, o):
+    """The revenue_by_priority shape on explicit frames (identical
+    expressions to catalog.revenue_by_priority)."""
+    from pyspark.sql import functions as F
+
+    from waddleml_spark.catalog import _r
+
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(_r(F.sum(rev), 2).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replica", default="/tmp/scale100")
+    ap.add_argument("--factor", type=int, default=100)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--warehouse", default="/tmp/bucketed100")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    if SparkSession.getActiveSession() is not None:
+        print("bucketed_study: refusing a pre-built session (warehouse "
+              "conf must be set at startup)", file=sys.stderr)
+        return 2
+
+    from waddleml_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bucketed-study",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.driver.memory": "100g",
+            "spark.sql.warehouse.dir": args.warehouse,
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # replica (reuses scale_gate's; built once, factor-checked)
+    meta_p = Path(args.replica) / "_replica_meta.json"
+    meta = None
+    if meta_p.exists():
+        try:
+            meta = json.loads(meta_p.read_text())
+        except ValueError:
+            meta = None
+    if meta is None or meta.get("factor") != args.factor:
+        from scale_study import build_replica
+
+        print(f"bucketed_study: building {args.factor}x replica at "
+              f"{args.replica}", file=sys.stderr)
+        build_replica(spark, args.base, args.replica, args.factor)
+        meta_p.write_text(json.dumps({"factor": args.factor, "base": args.base}))
+
+    from waddleml_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    # one-time layout write (the ingest-side cost a real deployment pays
+    # once per fact table) — timed and reported, not hidden
+    li_plain = spark.read.parquet(f"{args.replica}/lineitem.parquet")
+    o_plain = spark.read.parquet(f"{args.replica}/orders.parquet")
+    t0 = time.perf_counter()
+    need_write = not (
+        spark.catalog.tableExists("li_b100") and spark.catalog.tableExists("o_b100")
+    )
+    if need_write:
+        write_bucketed(
+            li_plain, "li_b100", ["l_orderkey"], n_buckets=N_BUCKETS,
+            sort_by=["l_orderkey"],
+        )
+        write_bucketed(
+            o_plain, "o_b100", ["o_orderkey"], n_buckets=N_BUCKETS,
+            sort_by=["o_orderkey"],
+        )
+    layout_sec = round(time.perf_counter() - t0, 2) if need_write else None
+
+    li_b, o_b = read_bucketed(spark, "li_b100"), read_bucketed(spark, "o_b100")
+
+    # plan assertion: the bucketed join must carry ZERO Exchange below
+    # the aggregate's own shuffle (i.e. no exchange on the join keys)
+    plan = (
+        revenue_query(li_b, o_b)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    join_section = plan.split("HashAggregate")[-1]  # below the agg
+    zero_exchange_join = "Exchange" not in join_section
+    if not zero_exchange_join:
+        print("bucketed_study: join section still contains an Exchange",
+              file=sys.stderr)
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def best_of(mk, n=3):
+        force(mk())  # warm
+        best = float("inf")
+        for _ in range(n):
+            t = time.perf_counter()
+            force(mk())
+            best = min(best, time.perf_counter() - t)
+        return round(best, 2)
+
+    plain_sec = best_of(lambda: revenue_query(li_plain, o_plain))
+    bucketed_sec = best_of(lambda: revenue_query(li_b, o_b))
+
+    # sanity: identical results
+    a = sorted(map(tuple, revenue_query(li_plain, o_plain).collect()))
+    b = sorted(map(tuple, revenue_query(li_b, o_b).collect()))
+    print(json.dumps({
+        "study": "bucketed_join_100x",
+        "factor": args.factor,
+        "n_buckets": N_BUCKETS,
+        "layout_write_sec": layout_sec,
+        "plain_sec": plain_sec,
+        "bucketed_sec": bucketed_sec,
+        "speedup_x": round(plain_sec / bucketed_sec, 2) if bucketed_sec else None,
+        "zero_exchange_join": zero_exchange_join,
+        "results_match": a == b,
+    }))
+    spark.stop()
+    return 0 if (zero_exchange_join and a == b) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

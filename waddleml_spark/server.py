@@ -2,18 +2,19 @@
 (ref: waddle/_server.py:99-110 route table and response shapes).
 
 Framework-free core: `Routes` maps (method, path) → JSON-ready payloads by
-delegating to SparkDashboard — so any HTTP adapter can host it.  Bundled
-adapter uses the stdlib ThreadingHTTPServer (starlette/uvicorn are not in
-this container; `create_app()` returns a Starlette app when those libs ARE
-present, import-gated).
+delegating to SparkDashboard — so any HTTP adapter can host it.  The
+bundled (and only) adapter is the stdlib ThreadingHTTPServer: an earlier
+import-gated Starlette twin was removed in round 7 because its
+dependencies aren't installable here, making it permanently untestable
+surface — wrapping `Routes` in any ASGI framework remains a
+straightforward exercise for deployments that want one.
 
 Live updates: the reference pushes per-insert WebSocket messages
 {"type":"metric",...} (ref :115-124).  The stdlib adapter speaks that
 exact wire protocol at GET /ws via a vendored minimal RFC 6455 server
 (handshake + text frames + close/ping — the whole surface the reference
 client uses), and ALSO exposes Server-Sent Events at GET /events with
-the identical JSON payloads; create_app() wires starlette's /ws when
-those libs are present.
+the identical JSON payloads.
 """
 
 from __future__ import annotations
@@ -459,97 +460,3 @@ def serve_in_thread(store: WaddleStore, host="127.0.0.1", port=8000, bus=None):
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server
-
-
-def create_app(store: WaddleStore, bus: LiveBus | None = None):
-    """Starlette app with the reference's exact routes incl. /ws —
-    import-gated (those libs are optional here, as in the ref CLI).
-
-    WS wire parity: every LiveBus micro-batch is pushed to each
-    connected socket as the reference's per-insert frames
-    `{"type": "metric", run_id, key, step, ts, value}`
-    (waddle/_server.py:115-124, waddle/_run.py:133-135); bus publishes
-    arrive on worker threads, so sends hop to the app's event loop via
-    run_coroutine_threadsafe, and a failed send prunes the socket (the
-    reference's dead-client prune, T5)."""
-    import asyncio
-
-    from starlette.applications import Starlette
-    from starlette.responses import JSONResponse
-    from starlette.routing import Route, WebSocketRoute
-
-    routes = Routes(SparkDashboard(store), bus=bus)
-    sockets: list = []
-    state: dict = {"loop": None}
-
-    async def _capture_loop():
-        state["loop"] = asyncio.get_running_loop()
-
-    def _push(rows: list[dict]) -> None:
-        loop = state["loop"]
-        if loop is None:
-            return
-        payloads = [json.dumps(m) for m in _metric_messages(rows)]
-
-        def _prune(ws):
-            def cb(fut):
-                if fut.exception() is not None and ws in sockets:
-                    sockets.remove(ws)
-            return cb
-
-        for ws in list(sockets):
-            for p in payloads:
-                fut = asyncio.run_coroutine_threadsafe(ws.send_text(p), loop)
-                fut.add_done_callback(_prune(ws))
-
-    if bus is not None:
-        bus.subscribe(_push)
-
-    async def list_runs(request):
-        return JSONResponse(routes.list_runs(dict(request.query_params)))
-
-    async def get_run(request):
-        status, data = routes.get_run(request.path_params["run_id"])
-        return JSONResponse(data, status_code=status)
-
-    async def get_metrics(request):
-        return JSONResponse(
-            routes.get_metrics(request.path_params["run_id"], dict(request.query_params))
-        )
-
-    async def compare(request):
-        return JSONResponse(routes.compare(await request.json()))
-
-    async def delete_run(request):
-        status, data = routes.delete_run(request.path_params["run_id"])
-        return JSONResponse(data, status_code=status)
-
-    async def metric_keys(request):
-        return JSONResponse(routes.metric_keys())
-
-    async def metric_summary(request):
-        return JSONResponse(routes.metric_summary(dict(request.query_params)))
-
-    async def ws_endpoint(websocket):
-        await websocket.accept()
-        sockets.append(websocket)
-        try:
-            while True:
-                await websocket.receive_text()
-        except Exception:
-            if websocket in sockets:
-                sockets.remove(websocket)
-
-    return Starlette(
-        routes=[
-            Route("/api/runs", list_runs),
-            Route("/api/runs/{run_id}", get_run),
-            Route("/api/runs/{run_id}/metrics", get_metrics),
-            Route("/api/runs/{run_id}", delete_run, methods=["DELETE"]),
-            Route("/api/compare", compare, methods=["POST"]),
-            Route("/api/metric-keys", metric_keys),
-            Route("/api/metric-summary", metric_summary),
-            WebSocketRoute("/ws", ws_endpoint),
-        ],
-        on_startup=[_capture_loop],
-    )
