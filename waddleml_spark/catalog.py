@@ -107,17 +107,21 @@ def _r_nan_sql(expr: str, digits: int) -> str:
     """,
 )
 def flagship_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
+    # parsed expr strings: same plan as the Window-API build with ~15
+    # fewer py4j constructions per invocation (round 7)
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
+        t(spark, sf_dir, "events")
+        .where("event_type = 'purchase'")
+        .selectExpr(
             "user_id",
-            F.col("value").alias("last_value"),
-            _epoch("ts").alias("last_ts"),
+            "value",
+            "ts",
+            "row_number() OVER (PARTITION BY user_id"
+            " ORDER BY ts DESC, event_id DESC) AS rn",
+        )
+        .where("rn = 1")
+        .selectExpr(
+            "user_id", "value AS last_value", "CAST(ts AS DOUBLE) AS last_ts"
         )
         .orderBy(F.col("last_value").desc(), "user_id")
         .limit(20)
@@ -595,14 +599,16 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top3_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped top-N (standard OLAP top-k; extension of ref W1)."""
-    o = t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
     return (
-        o.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        t(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            "row_number() OVER (PARTITION BY o_custkey"
+            " ORDER BY o_totalprice DESC, o_orderkey) AS rk",
+        )
+        .where("rk <= 3")
     )
 
 
@@ -655,15 +661,22 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff flips the `> 3600` boundary when source data carries sub-µs
     precision (the round-2 red row).
     """
-    ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
-    gap = us - F.lag(us).over(w)
-    is_new = F.when(gap.isNull() | (gap > 3600 * 1_000_000), 1).otherwise(0)
+    gap = (
+        "unix_micros(ts) - lag(unix_micros(ts)) OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id)"
+    )
     return (
-        ev.withColumn("is_new", is_new)
+        t(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id",
+            f"CASE WHEN {gap} IS NULL OR {gap} > 3600000000"
+            " THEN 1 ELSE 0 END AS is_new",
+        )
         .groupBy("user_id")
-        .agg(F.sum("is_new").alias("n_sessions"), F.count("*").alias("n_events"))
+        .agg(
+            F.expr("sum(is_new) AS n_sessions"),
+            F.expr("count(*) AS n_events"),
+        )
     )
 
 
@@ -733,14 +746,15 @@ def revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def metric_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key summary stats (count/min/max/avg/stddev/last) — the metric
     overview panel the reference renders client-side, as one aggregate."""
-    ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.min("value").alias("vmin"),
-        F.max("value").alias("vmax"),
-        _r(F.avg("value"), 4).alias("vavg"),
-        _r(F.stddev_samp("value"), 4).alias("vstd"),
-        F.max_by("value", _epoch("ts")).alias("vlast"),
+    # F.expr aggregates share the oracle's _r_sql strings (one rounding
+    # source) and skip ~20 py4j constructions per invocation (round 7)
+    return t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.expr("count(*) AS n"),
+        F.expr("min(value) AS vmin"),
+        F.expr("max(value) AS vmax"),
+        F.expr(f"{_r_sql('avg(value)', 4)} AS vavg"),
+        F.expr(f"{_r_sql('stddev_samp(value)', 4)} AS vstd"),
+        F.expr("max_by(value, CAST(ts AS DOUBLE)) AS vlast"),
     )
 
 
