@@ -386,3 +386,21 @@ def test_pq_train_degenerate_fallback_is_bounded_and_deterministic(spark):
         id_col=None, fit_sample_rows=100,
     )
     assert np.array_equal(cb, cb2)
+
+
+def test_cosine_topk_lookup_matches_literal_path_and_empty_is_zero_rows(spark):
+    # the in-plan query-vector join (round 7) must be bit-identical to
+    # the literal-array path, and a missing id yields 0 rows (the SQL
+    # twin's semantics) instead of an error
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    lit_rows = [
+        (r.vec_id, r.cos_sim)
+        for r in similarity.cosine_topk(emb, qvec, k=10, exclude_id=0).collect()
+    ]
+    lookup_rows = [
+        (r.vec_id, r.cos_sim)
+        for r in similarity.cosine_topk_lookup(emb, 0, k=10).collect()
+    ]
+    assert lit_rows == lookup_rows
+    assert similarity.cosine_topk_lookup(emb, -999, k=10).count() == 0

@@ -256,3 +256,14 @@ def test_quality_features_zero_word_doc_yields_null_not_crash(spark):
     rows = {r.doc_id: r for r in textstats.quality_features(d).collect()}
     assert rows[1].q_avg_word_len is None
     assert rows[2].q_avg_word_len is not None
+
+
+def test_sql_str_literal_round_trips_regex_patterns(spark):
+    # expr-string plan builds embed WS_RE/WS_TRIM_RE as SQL literals;
+    # the PARSED value must be byte-identical to the Python pattern or
+    # the Java regex silently diverges from the Column-API path
+    from waddleml_spark.llmops import WS_RE, WS_TRIM_RE, sql_str
+
+    for pat in (WS_RE, WS_TRIM_RE, r"a\b'c\\d", "\t\x0b"):
+        got = spark.sql(f"SELECT {sql_str(pat)} AS s").head().s
+        assert got == pat, (got, pat)

@@ -157,7 +157,7 @@ def minhash_lsh_candidates(
     trim = sql_str(WS_TRIM_RE)
     base = src.selectExpr(
         "id",
-        f"split(regexp_replace(lower({text_col}), {trim}, ''), {ws}) AS __t",
+        f"split(regexp_replace(lower(`{text_col}`), {trim}, ''), {ws}) AS __t",
     ).selectExpr("id", "__t", "size(__t) AS __n")
     idx = base.selectExpr(
         "id", "__t", f"explode(sequence(0, greatest(__n - {k}, 0))) AS __i"

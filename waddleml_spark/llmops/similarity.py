@@ -244,19 +244,19 @@ def cosine_topk_lookup(
     # measured ~0.2 s of per-invocation build under the Column API.  The
     # parsed SQL lambdas produce the identical Catalyst expressions
     # (same left-fold order, same 0.0D seed), so cos_sim bits match.
-    ed = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    ed = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
 
     def dot_s(a: str, b: str) -> str:
         return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
 
-    q = corpus.where(f"{id_col} = {int(query_id)}").selectExpr(
+    q = corpus.where(f"`{id_col}` = {int(query_id)}").selectExpr(
         f"{ed} AS __q"
     ).selectExpr("__q", f"sqrt({dot_s('__q', '__q')}) AS __qn")
     sim = f"{dot_s(ed, '__q')} / (sqrt({dot_s(ed, ed)}) * __qn)"
     return (
-        corpus.where(f"{id_col} <> {int(query_id)}")
+        corpus.where(f"`{id_col}` <> {int(query_id)}")
         .crossJoin(F.broadcast(q))
-        .selectExpr(id_col, f"{sim} AS cos_sim")
+        .selectExpr(f"`{id_col}`", f"{sim} AS cos_sim")
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
