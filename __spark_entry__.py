@@ -46,21 +46,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver certification now spans ALL 113 oracle-paired queries.
 # Round-7 rotation (certification-AGE bound): the window re-verifies the
 # rows certified LONGEST ago so max age stays <= 3 rounds — all 17
-# remaining r4-vintage rows plus the 29 alphabetically-first r5-vintage
-# rows (the other 17 r5 rows are age 2 after this round and take the r8
-# window with the r6-vintage rows aging behind them).  Anchors:
-# flagship (slot 1, the smoke query), minhash32_band_pairs (the full
-# oracle-exact LSH chain), and cosine_topk_q0 + pii_scrub_report
-# (both REWRITTEN this round — in-plan query-vector join / fan_out
-# before the regex stage — so they must re-certify).
+# remaining r4-vintage rows plus the 25 alphabetically-first r5-vintage
+# rows (the remaining r5 rows are age 2 after this round and take the
+# r8 window with the r6-vintage rows aging behind them).  EVERY
+# oracle-paired query whose Spark plan was REBUILT this round holds a
+# slot regardless of vintage (the window's own rewrite rule): the
+# expr-string conversions (flagship anchor, tpch_q1, sessionize_users,
+# top3_orders_per_cust, metric_summary_stats, asof_purchase_click via
+# asof_join), the in-plan query-vector join (cosine_topk_q0), the
+# fan_out regex stage (pii_scrub_report), and the array-percentile
+# rewrite (quantiles_by_type).  Anchors: flagship (slot 1, the smoke
+# query) and minhash32_band_pairs (the full oracle-exact LSH chain).
 # All 50 emulator-preverified this round (sf0.01, bare session, values +
 # type families).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # anchors (flagship stays slot 1 for smoke)
+    # anchors (flagship stays slot 1 for smoke; flagship itself was
+    # rewritten this round so the anchor doubles as its re-cert slot)
     "flagship_leaderboard", "minhash32_band_pairs",
     # rewritten this round (plan-build optimizations) — must re-certify
-    "cosine_topk_q0", "pii_scrub_report",
-    # r4 vintage (the 17 rows the r6 window deferred)
+    "cosine_topk_q0", "pii_scrub_report", "sessionize_users",
+    "top3_orders_per_cust", "metric_summary_stats", "quantiles_by_type",
+    # r4 vintage (the 17 rows the r6 window deferred; tpch_q1 also
+    # rewritten this round)
     "anti_join_missing", "cube_orders", "grouping_sets_orders",
     "large_order_customers_q18", "local_supplier_volume_q5",
     "min_cost_supplier_q2", "pivot_user_by_type",
@@ -68,7 +75,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "salted_agg_by_user", "semi_join_active", "series_regroup",
     "shipping_priority_q3", "tpch_q1", "unpivot_measures",
     "waiting_supplier_q21",
-    # r5 vintage (29 of 46, alphabetical; the rest take the r8 window)
+    # r5 vintage (25 of 46, alphabetical; asof_purchase_click also
+    # rewritten this round via asof_join; the rest take the r8 window)
     "agg_minmax_count", "asof_purchase_click", "cdc_changes_since",
     "corpus_snapshot_diff", "customer_distribution_q13",
     "dataset_split_report", "dim_join_agg", "disjunctive_revenue_q19",
@@ -79,8 +87,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "last_per_group_ties", "locf_gap_fill", "market_share_q8",
     "media_payload_stats", "order_priority_check_q4",
     "passage_dedup_report", "potential_promotion_q20",
-    "product_profit_q9", "promo_revenue_q14", "repetition_filter_report",
-    "returned_items_q10",
 )
 
 

@@ -185,7 +185,7 @@ def test_pii_scrub_is_map_only(spark):
     df = q(spark, "pii_scrub_report")
     assert count_op(df, "Exchange") == 2
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "roundrobin" in plan.lower() or "RoundRobin" in plan
+    assert "roundrobin" in plan.lower()
 
 
 def test_embedding_neardup_is_blocked_kernel_no_join(spark):

@@ -104,6 +104,21 @@ def test_vacuum_reclaims_unreferenced_files(spark, tmp_path):
     assert st.vacuum(tbl, keep_versions=1, retain_minutes=0) == []  # idempotent
 
 
+def test_vacuum_removes_multilevel_empty_dirs_in_one_pass(spark, tmp_path):
+    # round-7 review find: deleting files bumps the parent dir's mtime
+    # and rmdir'ing an emptied subdir bumps the grandparent's, so a
+    # during-the-walk mtime check peeled ONE level per vacuum; the
+    # pre-deletion mtime snapshot must clear the whole expired tree at
+    # once (retain_minutes=0 -> everything is past the grace window)
+    tbl = str(tmp_path / "t6b")
+    st.write(_df(spark, 0, 10, "x"), tbl)
+    deep = os.path.join(tbl, st._DATA_DIR, "orphan", "a=1", "b=2")
+    os.makedirs(deep)
+    open(os.path.join(deep, "part-0.parquet"), "wb").close()
+    st.vacuum(tbl, keep_versions=1, retain_minutes=0)
+    assert not os.path.exists(os.path.join(tbl, st._DATA_DIR, "orphan"))
+
+
 def test_versioned_corpus_with_incremental_dedup(spark, tmp_path):
     """The production loop SnapTable exists for: each crawl batch is
     deduped against the PREVIOUS corpus snapshot (fingerprint anti-join —

@@ -236,6 +236,23 @@ def test_asof_join_null_right_value_is_the_match_not_stale(spark):
         asof_join(left, right, ["u"], "t", "t", ["v"], how="Inner")
 
 
+def test_asof_join_keyless_global_window(spark):
+    # round-7 review find: the expr-string rewrite emitted the
+    # unparseable 'PARTITION BY ORDER BY ...' for on=[]; a keyless
+    # as-of join is a valid global window and must keep working
+    from waddleml_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(10, 3.0), (11, 0.5)], "lid long, t double")
+    right = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 7.0)], "t double, v double"
+    )
+    rows = {
+        r.lid: (r.t_asof, r.v_asof)
+        for r in asof_join(left, right, [], "t", "t", ["v"], how="left").collect()
+    }
+    assert rows == {10: (2.0, 7.0), 11: (None, None)}
+
+
 def test_range_join_narrow_buckets_do_not_drop_matches(spark):
     # round-6 review find: the hardcoded +-1 neighbor explode dropped
     # pairs farther than one bucket whenever bucket_width < max_distance

@@ -141,9 +141,24 @@ def main() -> int:
     plain_sec = best_of(lambda: revenue_query(li_plain, o_plain))
     bucketed_sec = best_of(lambda: revenue_query(li_b, o_b))
 
-    # sanity: identical results
-    a = sorted(map(tuple, revenue_query(li_plain, o_plain).collect()))
-    b = sorted(map(tuple, revenue_query(li_b, o_b).collect()))
+    # sanity: same groups/counts exactly; revenue within relative
+    # tolerance.  The two layouts aggregate ~12M doubles per group in
+    # different orders at 100x, and summation-order error (~sqrt(n)·ulp
+    # of a ~1e11 sum) can legitimately cross the 2-digit floor-rounding
+    # grain — an exact compare would flake on a correct run.  Exactness
+    # vs the oracle is the driver gate's job at sf0.01; this check only
+    # guards against a wrong-plan blunder (missing rows, wrong join).
+    def rows(df):
+        return {
+            r.o_orderpriority: (r.n_items, r.revenue) for r in df.collect()
+        }
+
+    pa, pb = rows(revenue_query(li_plain, o_plain)), rows(revenue_query(li_b, o_b))
+    results_match = set(pa) == set(pb) and all(
+        pa[k][0] == pb[k][0]
+        and abs(pa[k][1] - pb[k][1]) <= 1e-9 * max(abs(pa[k][1]), 1.0)
+        for k in pa
+    )
     print(json.dumps({
         "study": "bucketed_join_100x",
         "factor": args.factor,
@@ -153,10 +168,10 @@ def main() -> int:
         "bucketed_sec": bucketed_sec,
         "speedup_x": round(plain_sec / bucketed_sec, 2) if bucketed_sec else None,
         "zero_exchange_join": zero_exchange_join,
-        "results_match": a == b,
+        "results_match": results_match,
     }))
     spark.stop()
-    return 0 if (zero_exchange_join and a == b) else 1
+    return 0 if (zero_exchange_join and results_match) else 1
 
 
 if __name__ == "__main__":

@@ -257,7 +257,7 @@ _COS_SQL = (
          c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings WHERE vec_id <> 0)
     SELECT vec_id, {_r_sql(_COS_SQL, 6)} AS cos_sim
     FROM c, q
-    ORDER BY cos_sim DESC, vec_id
+    ORDER BY {_COS_SQL} DESC, vec_id
     LIMIT 10
     """,
 )

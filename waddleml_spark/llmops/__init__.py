@@ -51,6 +51,21 @@ def sql_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+def tokens_sql(text_col: str) -> str:
+    """THE Spark-SQL expr-string form of the house tokenizer —
+    ``F.split(textstats.lower_trim(col), WS_RE)`` as one parsed string.
+
+    One definition, like the Column-API original: every expr-string
+    pipeline that tokenizes (minhash_lsh_candidates) must build on this
+    so a future change to the trim/whitespace rules can never silently
+    diverge between the parsed and Column paths.  Token-identity with
+    the Column build is pinned by the corpus-wide fuzz suite."""
+    return (
+        f"split(regexp_replace(lower(`{text_col}`), {sql_str(WS_TRIM_RE)}, ''),"
+        f" {sql_str(WS_RE)})"
+    )
+
+
 def round_floor(c, digits: int):
     """THE house cross-engine rounding: floor(x·10^d + 0.5) / 10^d —
     the identical IEEE op sequence in Spark and DuckDB (library round()

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from . import WS_RE, WS_TRIM_RE
+from . import WS_RE
 
 from waddleml_spark.llmops.textstats import fingerprint, lower_trim
 
@@ -128,7 +128,7 @@ def minhash_lsh_candidates(
     self-join on (band, signature).  All relational: explode + groupBy +
     join; no driver-side loops.  num_hashes/bands tune recall vs cost.
     """
-    from waddleml_spark.llmops import sql_str
+    from waddleml_spark.llmops import tokens_sql
     from waddleml_spark.session import fan_out
 
     rows_per_band = num_hashes // bands
@@ -153,11 +153,8 @@ def minhash_lsh_candidates(
     # (round-7 measurement; identical Catalyst plan, bit-identical
     # pairs).  At bench scale build time was HALF this operator's cost.
     k = 3
-    ws = sql_str(WS_RE)
-    trim = sql_str(WS_TRIM_RE)
     base = src.selectExpr(
-        "id",
-        f"split(regexp_replace(lower(`{text_col}`), {trim}, ''), {ws}) AS __t",
+        "id", f"{tokens_sql(text_col)} AS __t"
     ).selectExpr("id", "__t", "size(__t) AS __n")
     idx = base.selectExpr(
         "id", "__t", f"explode(sequence(0, greatest(__n - {k}, 0))) AS __i"

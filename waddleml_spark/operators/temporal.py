@@ -47,10 +47,14 @@ def asof_join(
     left placeholders.
     Output: all left columns + right_time+suffix + right_values+suffix.
 
-    Built from parsed expr strings (round 7): the Column-API version of
-    this plan cost ~0.27 s of driver-side py4j construction per
-    invocation at bench scale; the parsed build produces the identical
-    Catalyst plan for ~0.07 s.
+    Built from parsed expr strings where names/types don't have to be
+    re-parsed (round 7): the Column-API version of this plan cost
+    ~0.27 s of driver-side py4j construction per invocation at bench
+    scale vs ~0.07 s parsed.  NULL placeholders and the carried struct
+    stay Column-API on purpose — they take DataType objects and column
+    references directly, so exotic column names and struct field names
+    never round-trip through the SQL parser (a simpleString() CAST or a
+    named_struct literal would break on names needing quoting).
     """
     from pyspark.sql import types as T
 
@@ -66,28 +70,34 @@ def asof_join(
     )
 
     def bq(c: str) -> str:
-        return f"`{c}`"
+        return "`" + c.replace("`", "``") + "`"
 
-    l_tagged = left.selectExpr(
-        *[bq(c) for c in lcols],
-        f"{bq(left_time)} AS {time_col}",
-        f"1 AS {marker}",
-        f"CAST(NULL AS {rs_type.simpleString()}) AS __rs",
+    l_tagged = left.select(
+        *[F.col(c) for c in lcols],
+        F.expr(f"{bq(left_time)} AS {time_col}"),
+        F.expr(f"1 AS {marker}"),
+        F.lit(None).cast(rs_type).alias("__rs"),
     )
-    ltypes = {f.name: f.dataType.simpleString() for f in left.schema.fields}
-    r_tagged = right.selectExpr(
-        *[f"CAST(NULL AS {ltypes[c]}) AS {bq(c)}" for c in lcols if c not in on],
-        *[bq(c) for c in on],
-        f"{bq(right_time)} AS {time_col}",
-        f"0 AS {marker}",
-        "named_struct("
-        + ", ".join(f"'{c}', {bq(c)}" for c in carried)
-        + ") AS __rs",
-    ).selectExpr(*[bq(c) for c in l_tagged.columns])  # align column order
+    r_tagged = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in on
+        ],
+        *[F.col(c) for c in on],
+        F.expr(f"{bq(right_time)} AS {time_col}"),
+        F.expr(f"0 AS {marker}"),
+        F.struct(*[F.col(c) for c in carried]).alias("__rs"),
+    ).select(*l_tagged.columns)  # align column order
 
     unioned = l_tagged.unionByName(r_tagged)
+    # keyless as-of (on=[]) is a valid global window: omit PARTITION BY
+    # entirely rather than emitting the unparseable 'PARTITION BY ORDER BY'
+    part = (
+        f"PARTITION BY {', '.join(bq(c) for c in on)} " if on else ""
+    )
     over = (
-        f"OVER (PARTITION BY {', '.join(bq(c) for c in on)} "
+        f"OVER ({part}"
         f"ORDER BY {time_col}, {marker} "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )

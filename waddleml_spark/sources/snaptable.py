@@ -446,15 +446,20 @@ def vacuum(
         persist_stream_state(table)
         for v in drop:
             os.unlink(_manifest_path(table, v))
-    for dirpath, _dirs, names in os.walk(data_root, topdown=False):
-        # capture the dir mtime BEFORE the unlink loop: deleting a child
-        # bumps the parent's mtime to now, so a post-deletion getmtime
-        # would always fail the grace check and dirs emptied by this very
-        # pass would survive until a later vacuum
+    # capture EVERY dir mtime BEFORE any deletion: unlinking a child file
+    # bumps the parent's mtime, and rmdir'ing an emptied SUBDIRECTORY
+    # bumps the grandparent too (topdown=False reaches parents after
+    # children), so a during-the-walk getmtime would always fail the
+    # grace check and multi-level empty trees would peel one level per
+    # vacuum instead of disappearing in one pass
+    pre_mtimes: dict[str, float] = {}
+    for dirpath, _dirs, _names in os.walk(data_root):
         try:
-            dir_mtime = os.path.getmtime(dirpath)
+            pre_mtimes[dirpath] = os.path.getmtime(dirpath)
         except OSError:
-            dir_mtime = time.time()
+            pre_mtimes[dirpath] = time.time()
+    for dirpath, _dirs, names in os.walk(data_root, topdown=False):
+        dir_mtime = pre_mtimes.get(dirpath, time.time())
         for n in names:
             full = os.path.join(dirpath, n)
             rel = os.path.relpath(full, table)
