@@ -46,9 +46,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver certification now spans ALL 113 oracle-paired queries.
 # Round-7 rotation (certification-AGE bound): the window re-verifies the
 # rows certified LONGEST ago so max age stays <= 3 rounds — all 17
-# remaining r4-vintage rows plus the 25 alphabetically-first r5-vintage
+# remaining r4-vintage rows plus the 24 alphabetically-first r5-vintage
 # rows (the remaining r5 rows are age 2 after this round and take the
-# r8 window with the r6-vintage rows aging behind them).  EVERY
+# r8 window with the r6-vintage rows aging behind them).  The round's
+# NEW oracle-paired query (minhash_estimate_audit) takes a slot ahead
+# of any re-cert — it has never been driver-certified.  EVERY
 # oracle-paired query whose Spark plan was REBUILT this round holds a
 # slot regardless of vintage (the window's own rewrite rule): the
 # expr-string conversions (flagship anchor, tpch_q1, sessionize_users,
@@ -63,7 +65,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # anchors (flagship stays slot 1 for smoke; flagship itself was
     # rewritten this round so the anchor doubles as its re-cert slot)
     "flagship_leaderboard", "minhash32_band_pairs",
-    # rewritten this round (plan-build optimizations) — must re-certify
+    # rewritten this round (plan-build optimizations) — must re-certify —
+    # plus the round's NEW oracle-paired query (never certified before,
+    # so it outranks any re-cert for a slot)
+    "minhash_estimate_audit",
     "cosine_topk_q0", "pii_scrub_report", "sessionize_users",
     "top3_orders_per_cust", "metric_summary_stats", "quantiles_by_type",
     # r4 vintage (the 17 rows the r6 window deferred; tpch_q1 also
@@ -75,7 +80,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "salted_agg_by_user", "semi_join_active", "series_regroup",
     "shipping_priority_q3", "tpch_q1", "unpivot_measures",
     "waiting_supplier_q21",
-    # r5 vintage (25 of 46, alphabetical; asof_purchase_click also
+    # r5 vintage (24 of 46, alphabetical; asof_purchase_click also
     # rewritten this round via asof_join; the rest take the r8 window)
     "agg_minmax_count", "asof_purchase_click", "cdc_changes_since",
     "corpus_snapshot_diff", "customer_distribution_q13",
@@ -86,7 +91,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "idle_rich_customers_q22", "important_stock_q11", "lang_pred_matrix",
     "last_per_group_ties", "locf_gap_fill", "market_share_q8",
     "media_payload_stats", "order_priority_check_q4",
-    "passage_dedup_report", "potential_promotion_q20",
+    "passage_dedup_report",
 )
 
 

@@ -399,3 +399,25 @@ def test_corpus_text_is_ascii_levenshtein_parity_canary(spark):
         "levenshtein_verify_lsh / levenshtein_pairs_src0 oracle pairing "
         "(byte-based DuckDB vs char-based Spark) is no longer sound"
     )
+
+
+def test_minhash_estimate_audit_pairs_match_band_pairs_and_estimator_sane(spark):
+    # the audit (round 7) must cover EXACTLY the minhash32_band_pairs
+    # candidate set (same keys, same guards, signatures just ride along),
+    # estimate exact duplicates at 1.0 with zero error, and stay in [0,1]
+    from tests.conftest import SF_SMOKE
+    from waddleml_spark.session import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    audit = dedup.minhash_estimate_pairs(docs).collect()
+    got = {(r.id_a, r.id_b) for r in audit}
+    want = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash32_band_pairs(docs).collect()
+    }
+    assert got == want and got
+    for r in audit:
+        assert 0.0 <= r.est_jaccard <= 1.0 and 0.0 <= r.exact_jaccard <= 1.0
+        assert r.abs_err == abs(r.est_jaccard - r.exact_jaccard)
+        if r.exact_jaccard == 1.0:  # exact dup: all 32 minhashes collide
+            assert r.n_match == 32 and r.abs_err == 0.0

@@ -34,6 +34,9 @@ _WIDE_SCAN_BUDGET = {
     "incremental_dedup_report": 2,    # stored-index role vs incoming-batch role of the same table
     "jaccard_verify_lsh": 3,          # candidates + two hydration sides; persisting shingle sets
                                       # would materialize corpus-scale arrays (documented trade)
+    "minhash_estimate_audit": 3,      # same composition: signature-carrying candidate pipeline
+                                      # (one text pass) + the jaccard_verify_lsh hydration trade
+                                      # (two sides; corpus-scale shingle arrays don't persist)
     # levenshtein hydration persists BOTH the candidates frame (read 3x:
     # id-union twice + pair join) and the participant text frame (read
     # 2x: join sides) — the plan STRING prints the cached subtree's text

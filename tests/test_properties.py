@@ -356,6 +356,29 @@ def test_tokenizer_parity_spark_vs_duckdb_on_arbitrary_text(spark, texts):
 
 
 @SET
+@given(texts=text_st)
+def test_tokens_sql_matches_column_tokenizer(spark, texts):
+    # the parsed expr-string tokenizer (llmops.tokens_sql, round 7 —
+    # used by the expr-built minhash pipeline) must be token-identical
+    # to the Column-API split(lower_trim, WS_RE) on ANY input: sql_str's
+    # backslash doubling and the SQL parser's escape processing are the
+    # two places a regex literal could silently diverge between paths
+    from waddleml_spark.llmops import WS_RE, tokens_sql
+    from waddleml_spark.llmops.textstats import lower_trim
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string"
+    )
+    both = df.select(
+        "i",
+        F.split(lower_trim(F.col("t")), WS_RE).alias("col_api"),
+        F.expr(tokens_sql("t")).alias("parsed"),
+    ).collect()
+    for r in both:
+        assert r.col_api == r.parsed, (r.i, texts[r.i], r.col_api, r.parsed)
+
+
+@SET
 @given(
     pairs=st.lists(
         st.tuples(

@@ -2036,6 +2036,74 @@ def _jaccard_verify_lsh_oracle() -> str:
     """
 
 
+def _minhash_estimate_oracle(bands: int = 8, max_bucket: int = 64) -> str:
+    """SQL twin of dedup.minhash_estimate_pairs: the minhash32 candidate
+    CTEs (same band/guard shapes as _minhash32_pairs_oracle), then the
+    32-term signature match count joined against exact shingle Jaccard.
+    n_match is integer addition CAST to BIGINT (never SUM — DuckDB SUM
+    widens to HUGEINT and the driver hash is type-sensitive); /32.0 is
+    dyadic-exact, and the est−exact subtraction is the same IEEE op on
+    identical doubles in both engines, so nothing needs rounding."""
+    rpb = 32 // bands
+    cols = ", ".join(f"s{r}" for r in range(rpb))
+    band_sel = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {ms} FROM g".format(
+            b=b,
+            ms=", ".join(f"m{b * rpb + r} AS s{r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    on = " AND ".join(
+        [f"a.{c} = b.{c}" for c in ["band"] + [f"s{r}" for r in range(rpb)]]
+    )
+    nm = " + ".join(
+        f"(CASE WHEN ga.m{i} = gb.m{i} THEN 1 ELSE 0 END)" for i in range(32)
+    )
+    return f"""
+    WITH {_minhash32_ctes()}, bands AS (
+        {band_sel}
+    ), bsz AS (
+        SELECT band, {cols} FROM bands
+        GROUP BY band, {cols} HAVING COUNT(*) BETWEEN 2 AND {max_bucket}
+    ), kept AS (
+        SELECT bands.* FROM bands JOIN bsz USING (band, {cols})
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b ON {on} AND a.doc_id < b.doc_id
+    ), d AS (
+        {_shingle_cte_sql()}
+    ), scored AS (
+        SELECT c.id_a, c.id_b,
+               CAST({nm} AS BIGINT) AS n_match,
+               CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                   / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
+                   AS exact_jaccard
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.id_a
+        JOIN g gb ON gb.doc_id = c.id_b
+        JOIN d da ON da.doc_id = c.id_a
+        JOIN d db ON db.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, n_match,
+           n_match / 32.0 AS est_jaccard,
+           exact_jaccard,
+           abs(n_match / 32.0 - exact_jaccard) AS abs_err
+    FROM scored
+    """
+
+
+@_register("minhash_estimate_audit", _minhash_estimate_oracle())
+def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit (dedup.minhash_estimate_pairs): per banded-
+    MinHash candidate pair, the signature-ESTIMATED Jaccard (matching
+    positions / 32) vs the EXACT word-3-gram Jaccard and the absolute
+    error — the measured number that justifies budgeting or skipping
+    exact verify passes at 100 TB.  Every primitive is cross-engine
+    exact (md5-BE32, arithmetic rehash family, integer match counts,
+    dyadic /32), so the whole report hash-certifies with no rounding."""
+    return dedup.minhash_estimate_pairs(t(spark, sf_dir, "documents"))
+
+
 @_register("jaccard_verify_lsh", _jaccard_verify_lsh_oracle())
 def jaccard_verify_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE production near-dup verify shape: LSH candidate generation

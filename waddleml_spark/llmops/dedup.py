@@ -738,6 +738,114 @@ def minhash32_band_pairs(
     return _bucket_pairs(buckets)
 
 
+def minhash_estimate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 8,
+    max_bucket: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """Sketch-accuracy audit: for every banded-MinHash candidate pair,
+    the SIGNATURE-estimated Jaccard (matching minhash positions / 32 —
+    the estimator whose expectation IS the true Jaccard) next to the
+    EXACT word-k-gram Jaccard, plus the absolute error.  This is the
+    number that justifies trusting sketches at 100 TB: the verify pass
+    can be budgeted (or skipped above a high estimate) only if the
+    estimator's error is measured on the corpus at hand, not assumed.
+
+    Plan shape: ONE signature pipeline — the full 32-long signature
+    array RIDES THROUGH the band explode and bucket collect (Catalyst
+    does not dedupe common subtrees, so joining candidates back to a
+    signature frame would re-execute the whole md5/shingle pipeline per
+    reference; carrying ≤64×32 longs per bucket is the cheap side of
+    that trade) — then the standard bucket-group pair expansion with
+    the mega-bucket guard, then two inner shingle-hydration joins for
+    the exact side (the jaccard_pairs candidate shape).  Every
+    primitive is cross-engine exact: md5-BE32 shingle hashes, the
+    (a·x+b) mod 2^31−1 family, integer match counts, and dyadic /32
+    division, so the whole report is oracle-hashable with no rounding.
+    """
+    if 32 % bands != 0:
+        raise ValueError(f"bands must divide 32, got {bands}")
+    rpb = 32 // bands
+    wide = _minhash32_grouped(df, text_col, id_col)
+    sig = F.array(*[F.col(f"__m{i}") for i in range(32)])
+    rows = wide.select(
+        F.col(id_col).alias("id"),
+        sig.alias("__sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        *[
+                            F.col(f"__m{b * rpb + r}").alias(f"s{r}")
+                            for r in range(rpb)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "__sig", "bb.band", *[f"bb.s{r}" for r in range(rpb)])
+    key = ["band"] + [f"s{r}" for r in range(rpb)]
+    buckets = (
+        rows.groupBy(*key)
+        .agg(F.array_sort(F.collect_list(F.struct("id", "__sig"))).alias("xs"))
+        .filter((F.size("xs") > 1) & (F.size("xs") <= max_bucket))
+    )
+    expl = buckets.select("xs", F.posexplode("xs").alias("__i", "a"))
+    cand = (
+        expl.select(
+            "a",
+            F.explode(
+                F.slice(F.col("xs"), F.col("__i") + 2, F.size("xs"))
+            ).alias("b"),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.__sig").alias("__sa"),
+            F.col("b.__sig").alias("__sb"),
+        )
+        .distinct()  # across bands; sigs are functional on id, so this
+        # is exactly the (id_a, id_b) DISTINCT of minhash32_band_pairs
+    )
+    sh = (
+        shingle_rows(df, text_col, id_col, k, distinct=False)
+        .groupBy("id")
+        .agg(F.collect_set("__s").alias("sh"))
+        .withColumn("n", F.size("sh"))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = cand.join(a, cand.id_a == F.col("a.id")).join(
+        b, cand.id_b == F.col("b.id")
+    )
+    n_match = F.expr(
+        "CAST(aggregate(zip_with(__sa, __sb, (x, y) -> IF(x = y, 1, 0)),"
+        " 0, (acc, x) -> acc + x) AS BIGINT)"
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.col("a.n") + F.col("b.n") - inter
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        n_match.alias("n_match"),
+        (inter.cast("double") / union.cast("double")).alias("exact_jaccard"),
+    )
+    return scored.select(
+        "id_a",
+        "id_b",
+        "n_match",
+        (F.col("n_match") / F.lit(32.0)).alias("est_jaccard"),
+        "exact_jaccard",
+        F.abs(F.col("n_match") / F.lit(32.0) - F.col("exact_jaccard")).alias(
+            "abs_err"
+        ),
+    )
+
+
 def band_rows(
     sigs: DataFrame,
     band_bits: int,
