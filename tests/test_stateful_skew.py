@@ -236,6 +236,22 @@ def test_asof_join_null_right_value_is_the_match_not_stale(spark):
         asof_join(left, right, ["u"], "t", "t", ["v"], how="Inner")
 
 
+def test_asof_join_handles_dotted_column_names(spark):
+    # round-7 review find: bare F.col('user.id') / select('user.id')
+    # parse as MULTIPART references; every name-based reference in
+    # asof_join must go through backquoting so exotic names keep working
+    from waddleml_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 3.0, "x")], ["u", "t", "l.note"]
+    )
+    right = spark.createDataFrame(
+        [(1, 2.0, 7.0)], ["u", "t", "v.val"]
+    )
+    row = asof_join(left, right, ["u"], "t", "t", ["v.val"]).collect()[0]
+    assert row["v.val_asof"] == 7.0 and row["l.note"] == "x"
+
+
 def test_asof_join_keyless_global_window(spark):
     # round-7 review find: the expr-string rewrite emitted the
     # unparseable 'PARTITION BY ORDER BY ...' for on=[]; a keyless

@@ -1916,11 +1916,13 @@ def _minhash32_oracle() -> str:
     """
 
 
-def _minhash32_pairs_oracle(bands: int = 8, max_bucket: int = 64) -> str:
-    """SQL twin of dedup.minhash32_band_pairs: the shared signature CTEs,
-    then band rows via UNION ALL (band b groups on its rows_per_band raw
-    min values), the mega-bucket HAVING guard, and a self-join per shared
-    band key with DISTINCT across bands."""
+def _minhash32_band_cte(bands: int = 8, max_bucket: int = 64) -> str:
+    """ONE definition of the banded-minhash candidate CTE chain (band
+    rows via UNION ALL grouped on the rows_per_band raw min values, the
+    mega-bucket HAVING guard, the DISTINCT cross-band self-join ending
+    in ``cand``) — shared by the pairs oracle and the sketch-accuracy
+    audit oracle so the band/guard semantics can never drift between
+    them (round-7 review find; mirrors dedup._minhash32_band_buckets)."""
     rpb = 32 // bands
     cols = ", ".join(f"s{r}" for r in range(rpb))
     band_sel = "\n        UNION ALL ".join(
@@ -1933,17 +1935,25 @@ def _minhash32_pairs_oracle(bands: int = 8, max_bucket: int = 64) -> str:
     on = " AND ".join(
         [f"a.{c} = b.{c}" for c in ["band"] + [f"s{r}" for r in range(rpb)]]
     )
-    return f"""
-    WITH {_minhash32_ctes()}, bands AS (
+    return f"""{_minhash32_ctes()}, bands AS (
         {band_sel}
     ), bsz AS (
         SELECT band, {cols} FROM bands
         GROUP BY band, {cols} HAVING COUNT(*) BETWEEN 2 AND {max_bucket}
     ), kept AS (
         SELECT bands.* FROM bands JOIN bsz USING (band, {cols})
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM kept a JOIN kept b ON {on} AND a.doc_id < b.doc_id
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b ON {on} AND a.doc_id < b.doc_id
+    )"""
+
+
+def _minhash32_pairs_oracle(bands: int = 8, max_bucket: int = 64) -> str:
+    """SQL twin of dedup.minhash32_band_pairs — the shared candidate CTE
+    chain, selected as-is."""
+    return f"""
+    WITH {_minhash32_band_cte(bands, max_bucket)}
+    SELECT id_a, id_b FROM cand
     """
 
 
@@ -2037,40 +2047,19 @@ def _jaccard_verify_lsh_oracle() -> str:
 
 
 def _minhash_estimate_oracle(bands: int = 8, max_bucket: int = 64) -> str:
-    """SQL twin of dedup.minhash_estimate_pairs: the minhash32 candidate
-    CTEs (same band/guard shapes as _minhash32_pairs_oracle), then the
-    32-term signature match count joined against exact shingle Jaccard.
-    n_match is integer addition CAST to BIGINT (never SUM — DuckDB SUM
-    widens to HUGEINT and the driver hash is type-sensitive); /32.0 is
-    dyadic-exact, and the est−exact subtraction is the same IEEE op on
-    identical doubles in both engines, so nothing needs rounding."""
-    rpb = 32 // bands
-    cols = ", ".join(f"s{r}" for r in range(rpb))
-    band_sel = "\n        UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, {ms} FROM g".format(
-            b=b,
-            ms=", ".join(f"m{b * rpb + r} AS s{r}" for r in range(rpb)),
-        )
-        for b in range(bands)
-    )
-    on = " AND ".join(
-        [f"a.{c} = b.{c}" for c in ["band"] + [f"s{r}" for r in range(rpb)]]
-    )
+    """SQL twin of dedup.minhash_estimate_pairs: the SHARED minhash32
+    candidate CTE chain (_minhash32_band_cte — one definition with the
+    pairs oracle), then the 32-term signature match count joined against
+    exact shingle Jaccard.  n_match is integer addition CAST to BIGINT
+    (never SUM — DuckDB SUM widens to HUGEINT and the driver hash is
+    type-sensitive); /32.0 is dyadic-exact, and the est−exact
+    subtraction is the same IEEE op on identical doubles in both
+    engines, so nothing needs rounding."""
     nm = " + ".join(
         f"(CASE WHEN ga.m{i} = gb.m{i} THEN 1 ELSE 0 END)" for i in range(32)
     )
     return f"""
-    WITH {_minhash32_ctes()}, bands AS (
-        {band_sel}
-    ), bsz AS (
-        SELECT band, {cols} FROM bands
-        GROUP BY band, {cols} HAVING COUNT(*) BETWEEN 2 AND {max_bucket}
-    ), kept AS (
-        SELECT bands.* FROM bands JOIN bsz USING (band, {cols})
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM kept a JOIN kept b ON {on} AND a.doc_id < b.doc_id
-    ), d AS (
+    WITH {_minhash32_band_cte(bands, max_bucket)}, d AS (
         {_shingle_cte_sql()}
     ), scored AS (
         SELECT c.id_a, c.id_b,

@@ -60,8 +60,9 @@ def tokens_sql(text_col: str) -> str:
     so a future change to the trim/whitespace rules can never silently
     diverge between the parsed and Column paths.  Token-identity with
     the Column build is pinned by the corpus-wide fuzz suite."""
+    col = "`" + text_col.replace("`", "``") + "`"
     return (
-        f"split(regexp_replace(lower(`{text_col}`), {sql_str(WS_TRIM_RE)}, ''),"
+        f"split(regexp_replace(lower({col}), {sql_str(WS_TRIM_RE)}, ''),"
         f" {sql_str(WS_RE)})"
     )
 

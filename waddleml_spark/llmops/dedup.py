@@ -665,11 +665,11 @@ def minhash32_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def _minhash32_grouped(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """(id_col, __m0..__m31): the wide oracle-exact signature frame shared
     by minhash32_exact (long form) and minhash32_band_pairs (banding)."""
-    sh_rows = shingle_rows(df, text_col, id_col, distinct=False).select(
+    sh_rows = shingle_rows(df, text_col, id_col, k, distinct=False).select(
         F.col("id").alias(id_col), "__s"
     )
     h32 = F.conv(F.substring(F.md5(F.col("__s")), 1, 8), 16, 10).cast("long")
@@ -706,12 +706,41 @@ def minhash32_band_pairs(
     are dropped (mirrored in the oracle's HAVING) — identical mega-bucket
     semantics to simhash32_band_pairs.
     """
+    buckets = _minhash32_band_buckets(df, text_col, id_col, bands, max_bucket)
+    return _bucket_pairs(buckets)
+
+
+def _minhash32_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 8,
+    max_bucket: int | None = 64,
+    carry_sig: bool = False,
+    k: int = 3,
+) -> DataFrame:
+    """Shared banded-bucket stage of the oracle-exact minhash family:
+    signatures → per-band rows grouped on the rows_per_band RAW min
+    values → sorted bucket arrays ('ids') with the >1 and mega-bucket
+    guards.  ONE definition so the band/guard semantics can never drift
+    between minhash32_band_pairs and the sketch-accuracy audit (round-7
+    review find).  ``carry_sig=True`` rides the full 32-long signature
+    array into the bucket structs — the audit needs per-id signatures
+    downstream, and joining candidates back to a signature frame would
+    re-execute the whole md5/shingle pipeline per reference (Catalyst
+    has no common-subtree elimination)."""
     if 32 % bands != 0:
         raise ValueError(f"bands must divide 32, got {bands}")
     rpb = 32 // bands
-    wide = _minhash32_grouped(df, text_col, id_col)
+    wide = _minhash32_grouped(df, text_col, id_col, k)
+    extra = (
+        [F.array(*[F.col(f"__m{i}") for i in range(32)]).alias("__sig")]
+        if carry_sig
+        else []
+    )
     rows = wide.select(
         F.col(id_col).alias("id"),
+        *extra,
         F.explode(
             F.array(
                 *[
@@ -726,16 +755,22 @@ def minhash32_band_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", *[f"bb.s{r}" for r in range(rpb)])
+    ).select(
+        "id",
+        *(["__sig"] if carry_sig else []),
+        "bb.band",
+        *[f"bb.s{r}" for r in range(rpb)],
+    )
     key = ["band"] + [f"s{r}" for r in range(rpb)]
+    elem = F.struct("id", "__sig") if carry_sig else F.col("id")
     buckets = (
         rows.groupBy(*key)
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .agg(F.array_sort(F.collect_list(elem)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     if max_bucket is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket)
-    return _bucket_pairs(buckets)
+    return buckets
 
 
 def minhash_estimate_pairs(
@@ -766,41 +801,15 @@ def minhash_estimate_pairs(
     (a·x+b) mod 2^31−1 family, integer match counts, and dyadic /32
     division, so the whole report is oracle-hashable with no rounding.
     """
-    if 32 % bands != 0:
-        raise ValueError(f"bands must divide 32, got {bands}")
-    rpb = 32 // bands
-    wide = _minhash32_grouped(df, text_col, id_col)
-    sig = F.array(*[F.col(f"__m{i}") for i in range(32)])
-    rows = wide.select(
-        F.col(id_col).alias("id"),
-        sig.alias("__sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        *[
-                            F.col(f"__m{b * rpb + r}").alias(f"s{r}")
-                            for r in range(rpb)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "__sig", "bb.band", *[f"bb.s{r}" for r in range(rpb)])
-    key = ["band"] + [f"s{r}" for r in range(rpb)]
-    buckets = (
-        rows.groupBy(*key)
-        .agg(F.array_sort(F.collect_list(F.struct("id", "__sig"))).alias("xs"))
-        .filter((F.size("xs") > 1) & (F.size("xs") <= max_bucket))
+    buckets = _minhash32_band_buckets(
+        df, text_col, id_col, bands, max_bucket, carry_sig=True, k=k
     )
-    expl = buckets.select("xs", F.posexplode("xs").alias("__i", "a"))
+    expl = buckets.select("ids", F.posexplode("ids").alias("__i", "a"))
     cand = (
         expl.select(
             "a",
             F.explode(
-                F.slice(F.col("xs"), F.col("__i") + 2, F.size("xs"))
+                F.slice(F.col("ids"), F.col("__i") + 2, F.size("ids"))
             ).alias("b"),
         )
         .select(
@@ -822,9 +831,17 @@ def minhash_estimate_pairs(
     pairs = cand.join(a, cand.id_a == F.col("a.id")).join(
         b, cand.id_b == F.col("b.id")
     )
+    # plain 32-term CASE sum (the oracle's exact shape): an
+    # aggregate(zip_with(...)) HOF would evaluate INTERPRETED outside
+    # whole-stage codegen on a per-candidate-pair hot path (the repo's
+    # measured rule); bracket indexing is 0-based like the array
     n_match = F.expr(
-        "CAST(aggregate(zip_with(__sa, __sb, (x, y) -> IF(x = y, 1, 0)),"
-        " 0, (acc, x) -> acc + x) AS BIGINT)"
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN __sa[{i}] = __sb[{i}] THEN 1 ELSE 0 END)"
+            for i in range(32)
+        )
+        + " AS BIGINT)"
     )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.col("a.n") + F.col("b.n") - inter

@@ -72,8 +72,12 @@ def asof_join(
     def bq(c: str) -> str:
         return "`" + c.replace("`", "``") + "`"
 
+    # every name-based reference goes through bq(): a bare F.col("a.b")
+    # or select("a.b") parses as a MULTIPART reference and fails to
+    # resolve (round-7 review find, reproduced live) — the backquoted
+    # form is a single identifier everywhere
     l_tagged = left.select(
-        *[F.col(c) for c in lcols],
+        *[F.col(bq(c)) for c in lcols],
         F.expr(f"{bq(left_time)} AS {time_col}"),
         F.expr(f"1 AS {marker}"),
         F.lit(None).cast(rs_type).alias("__rs"),
@@ -84,11 +88,11 @@ def asof_join(
             for c in lcols
             if c not in on
         ],
-        *[F.col(c) for c in on],
+        *[F.col(bq(c)) for c in on],
         F.expr(f"{bq(right_time)} AS {time_col}"),
         F.expr(f"0 AS {marker}"),
-        F.struct(*[F.col(c) for c in carried]).alias("__rs"),
-    ).select(*l_tagged.columns)  # align column order
+        F.struct(*[F.col(bq(c)).alias(c) for c in carried]).alias("__rs"),
+    ).select(*[F.col(bq(c)) for c in l_tagged.columns])  # align column order
 
     unioned = l_tagged.unionByName(r_tagged)
     # keyless as-of (on=[]) is a valid global window: omit PARTITION BY
