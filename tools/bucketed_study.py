@@ -115,15 +115,38 @@ def main() -> int:
     li_b, o_b = read_bucketed(spark, "li_b100"), read_bucketed(spark, "o_b100")
 
     # plan assertion: the bucketed join must carry ZERO Exchange below
-    # the aggregate's own shuffle (i.e. no exchange on the join keys)
-    plan = (
-        revenue_query(li_b, o_b)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    join_section = plan.split("HashAggregate")[-1]  # below the agg
-    zero_exchange_join = "Exchange" not in join_section
+    # the join (i.e. no shuffle on the join keys).  Walk the actual
+    # plan TREE rather than grepping the rendered string — with AQE the
+    # pre-execution AdaptiveSparkPlan rendering and node naming
+    # (AQEShuffleRead, ReusedExchange) make substring slicing unreliable,
+    # so AQE is disabled for this shape check only (it cannot invent an
+    # exchange; it can only hide one in the rendering).
+    def _subtree(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from _subtree(ch.apply(i))
+
+    def _join_subtree_exchange_free(df) -> bool:
+        plan = df._jdf.queryExecution().executedPlan()
+        for n in _subtree(plan):
+            if "SortMergeJoin" in n.getClass().getSimpleName():
+                return not any(
+                    "ShuffleExchange" in m.getClass().getSimpleName()
+                    for m in _subtree(n)
+                )
+        return False  # no SMJ at all: not the layout-proof plan
+
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        zero_exchange_join = _join_subtree_exchange_free(
+            revenue_query(li_b, o_b)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     if not zero_exchange_join:
-        print("bucketed_study: join section still contains an Exchange",
+        print("bucketed_study: join subtree still contains an Exchange",
               file=sys.stderr)
 
     def force(df):

@@ -661,15 +661,20 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff flips the `> 3600` boundary when source data carries sub-µs
     precision (the round-2 red row).
     """
+    # Project the lag-window gap ONCE and reference the alias in the
+    # CASE: interpolating the window expression twice relied on Catalyst
+    # deduplicating identical window expressions (it does today, but a
+    # regression would silently compute the window twice).
     gap = (
         "unix_micros(ts) - lag(unix_micros(ts)) OVER"
         " (PARTITION BY user_id ORDER BY ts, event_id)"
     )
     return (
         t(spark, sf_dir, "events")
+        .selectExpr("user_id", f"{gap} AS __gap")
         .selectExpr(
             "user_id",
-            f"CASE WHEN {gap} IS NULL OR {gap} > 3600000000"
+            "CASE WHEN __gap IS NULL OR __gap > 3600000000"
             " THEN 1 ELSE 0 END AS is_new",
         )
         .groupBy("user_id")

@@ -249,7 +249,12 @@ def cosine_topk_lookup(
     def dot_s(a: str, b: str) -> str:
         return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
 
-    q = corpus.where(f"`{id_col}` = {int(query_id)}").selectExpr(
+    # limit(1) bounds the broadcast side BY CONSTRUCTION even if id_col
+    # carries duplicates (an equality filter alone only bounds it under a
+    # uniqueness precondition; duplicate ids would multiply every corpus
+    # row through the cross join).  With unique ids — the testdata and
+    # driver contract — the limit is a no-op on values.
+    q = corpus.where(f"`{id_col}` = {int(query_id)}").limit(1).selectExpr(
         f"{ed} AS __q"
     ).selectExpr("__q", f"sqrt({dot_s('__q', '__q')}) AS __qn")
     sim = f"{dot_s(ed, '__q')} / (sqrt({dot_s(ed, ed)}) * __qn)"

@@ -134,6 +134,23 @@ def ensure_shipped(spark: SparkSession) -> None:
 _FANOUT_MEMO: "WeakKeyDictionary" = WeakKeyDictionary()
 
 
+def reset_fan_out_memo(spark=None) -> None:
+    """Drop fan_out's partition-count memo (for one session, or all).
+
+    The memo keys on the ANALYZED plan's semanticHash, which never
+    changes when a table merely GAINS FILES — so a snapsink target or an
+    appended store table re-read with the same plan shape would keep the
+    stale (smaller) partition count for the life of the session and
+    under-parallelize.  Write paths (snaptable publish, store appends)
+    call this after committing; it costs one dict clear.
+    """
+    if spark is None:
+        for memo in _FANOUT_MEMO.values():
+            memo.clear()
+    else:
+        _FANOUT_MEMO.get(spark, {}).clear()
+
+
 def fan_out(df, min_partitions: int | None = None):
     """Round-robin repartition when the input has fewer partitions than
     cores — the local/small-file remedy for single-row-group parquet, where

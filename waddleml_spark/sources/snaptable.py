@@ -285,6 +285,12 @@ def _commit(
             version += 1
             continue
         os.unlink(tmp)
+        # the table just gained files: fan_out's semanticHash-keyed
+        # partition-count memo would otherwise keep the stale (smaller)
+        # count for re-reads of the same plan shape this session
+        from waddleml_spark.session import reset_fan_out_memo
+
+        reset_fan_out_memo()
         return version
 
 

@@ -178,6 +178,11 @@ class WaddleStore:
             self.duck.register("_batch", arrow_tbl)
             self.duck.execute(duck_sql or f"INSERT INTO {table} SELECT * FROM _batch")
             self.duck.unregister("_batch")
+        # the parquet dir just gained a file: drop fan_out's stale
+        # partition-count memo so same-shape re-reads re-probe
+        from waddleml_spark.session import reset_fan_out_memo
+
+        reset_fan_out_memo()
 
     def append(self, table: str, rows: list[dict]) -> None:
         """Plain append (D1/D2: metrics, artifacts, new runs/commits...)."""
