@@ -44,54 +44,47 @@ def entry(spark: SparkSession) -> DataFrame:
 # distinct_keys, sha256_docs, json_canonical_docs, set_ops_users.
 # Round-5 rotation covered the last never-certified rows: cumulative
 # driver certification now spans ALL 113 oracle-paired queries.
-# Round-7 rotation (certification-AGE bound): the window re-verifies the
-# rows certified LONGEST ago so max age stays <= 3 rounds — all 17
-# remaining r4-vintage rows plus the 24 alphabetically-first r5-vintage
-# rows (the remaining r5 rows are age 2 after this round and take the
-# r8 window with the r6-vintage rows aging behind them).  The round's
-# NEW oracle-paired query (minhash_estimate_audit) takes a slot ahead
-# of any re-cert — it has never been driver-certified.  EVERY
-# oracle-paired query whose Spark plan was REBUILT this round holds a
-# slot regardless of vintage (the window's own rewrite rule): the
-# expr-string conversions (flagship anchor, tpch_q1, sessionize_users,
-# top3_orders_per_cust, metric_summary_stats, asof_purchase_click via
-# asof_join), the in-plan query-vector join (cosine_topk_q0), the
-# fan_out regex stage (pii_scrub_report), and the array-percentile
-# rewrite (quantiles_by_type).  Anchors: flagship (slot 1, the smoke
+# Round-7 rotation (certification-AGE bound): re-verified the 17
+# r4-vintage rows + 24 alphabetically-first r5-vintage rows + the new
+# minhash_estimate_audit + every r7-rebuilt plan.
+# Round-8 rotation (same age rule): all 20 remaining r5-vintage rows
+# MUST take the window (age would hit 4) + the 23 alphabetically-first
+# r6-vintage rows (the remaining 18 r6 rows are age 3 at r9 and take
+# the r9 window).  EVERY oracle-paired query whose Spark plan was
+# REBUILT this round holds a slot regardless of vintage (the window's
+# own rewrite rule): the simhash expr-string conversion
+# (simhash32_docs + simhash32_band_pairs, which builds on the same
+# simhash32_jvm), the bounded-broadcast limit(1) on cosine_topk_q0, the
+# single-projection gap rewrite in sessionize_users, and the
+# revenue_join factoring behind revenue_by_priority (plan-identical
+# refactor, re-certified anyway).  Anchors: flagship (slot 1, the smoke
 # query) and minhash32_band_pairs (the full oracle-exact LSH chain).
 # All 50 emulator-preverified this round (sf0.01, bare session, values +
 # type families).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # anchors (flagship stays slot 1 for smoke; flagship itself was
-    # rewritten this round so the anchor doubles as its re-cert slot)
+    # anchors
     "flagship_leaderboard", "minhash32_band_pairs",
-    # rewritten this round (plan-build optimizations) — must re-certify —
-    # plus the round's NEW oracle-paired query (never certified before,
-    # so it outranks any re-cert for a slot)
-    "minhash_estimate_audit",
-    "cosine_topk_q0", "pii_scrub_report", "sessionize_users",
-    "top3_orders_per_cust", "metric_summary_stats", "quantiles_by_type",
-    # r4 vintage (the 17 rows the r6 window deferred; tpch_q1 also
-    # rewritten this round)
-    "anti_join_missing", "cube_orders", "grouping_sets_orders",
-    "large_order_customers_q18", "local_supplier_volume_q5",
-    "min_cost_supplier_q2", "pivot_user_by_type",
-    "priority_class_by_flag_q12", "profile_orders", "rollup_lineitem",
-    "salted_agg_by_user", "semi_join_active", "series_regroup",
-    "shipping_priority_q3", "tpch_q1", "unpivot_measures",
-    "waiting_supplier_q21",
-    # r5 vintage (24 of 46, alphabetical; asof_purchase_click also
-    # rewritten this round via asof_join; the rest take the r8 window)
-    "agg_minmax_count", "asof_purchase_click", "cdc_changes_since",
-    "corpus_snapshot_diff", "customer_distribution_q13",
-    "dataset_split_report", "dim_join_agg", "disjunctive_revenue_q19",
-    "distribution_ranks_orders", "embedding_dim_stats",
-    "embedding_neardup_pairs", "embedding_norm_by_label",
-    "fingerprint_docs", "forecast_revenue_q6", "gopher_quality_report",
-    "idle_rich_customers_q22", "important_stock_q11", "lang_pred_matrix",
-    "last_per_group_ties", "locf_gap_fill", "market_share_q8",
-    "media_payload_stats", "order_priority_check_q4",
-    "passage_dedup_report",
+    # rebuilt this round -> must re-certify
+    "simhash32_docs", "simhash32_band_pairs", "cosine_topk_q0",
+    "sessionize_users", "revenue_by_priority",
+    # r5 vintage (all 20 remaining -- age bound)
+    "potential_promotion_q20", "product_profit_q9", "promo_revenue_q14",
+    "repetition_filter_report", "returned_items_q10", "runs_list_page",
+    "series_downsample_50", "series_lttb_50", "small_quantity_revenue_q17",
+    "stale_reclass", "stratified_eval_sample", "supplier_part_counts_q16",
+    "text_quality_by_lang", "top_supplier_q15", "top_words_by_lang",
+    "topn_orders", "trigram_novelty_by_source", "type_token_ratio_by_lang",
+    "variant_props_stats", "volume_shipping_q7",
+    # r6 vintage (23 alphabetically-first; the remaining 18 take r9)
+    "bigram_lm_quality_by_lang", "chunking_report",
+    "contamination_by_source", "corpus_mix_report",
+    "corpus_resample_report", "corr_price_qty", "derived_duration",
+    "distinct_keys", "distinct_users_by_type", "ema_smooth_5",
+    "exact_dedup_docs", "filter_funnel_report", "fk_scan",
+    "hypertable_rollup_day", "in_list_filter", "incremental_dedup_report",
+    "jaccard_verify_lsh", "jaccard_word_pairs_src0", "json_canonical_docs",
+    "json_extract_props", "lead_lag_delta", "levenshtein_pairs_src0",
+    "levenshtein_verify_lsh",
 )
 
 

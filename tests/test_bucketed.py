@@ -95,3 +95,40 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     # and values survive the round trip
     expected = o.filter(F.col("order_month") == "1996-03").count()
     assert one_month.count() == expected > 0
+
+
+def test_bucket_facts_one_call_then_catalog_revenue_join_shuffle_free(spark):
+    """The layout API end-to-end: ONE bucket_facts call, then the
+    CATALOG's own revenue join (the shared revenue_join definition)
+    plans exchange-free on the published tables and matches the plain
+    catalog query's values."""
+    import waddleml_spark.catalog as catalog
+    from waddleml_spark.sources.bucketed import bucket_facts
+
+    names = bucket_facts(spark, SF_SMOKE, n_buckets=8, prefix="bf_")
+    try:
+        li = read_bucketed(spark, names["lineitem"])
+        o = read_bucketed(spark, names["orders"])
+        joined = catalog.revenue_join(li, o)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            assert_plan(joined, contains=["SortMergeJoin"])
+            # the join is exchange-free; the only exchange left is the
+            # final 5-key priority aggregate
+            assert count_op(joined, "Exchange") == 1
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        plain = catalog.QUERIES["revenue_by_priority"](spark, SF_SMOKE)
+        pb = {r.o_orderpriority: (r.n_items, r.revenue) for r in joined.collect()}
+        pp = {r.o_orderpriority: (r.n_items, r.revenue) for r in plain.collect()}
+        # counts exact; revenue within summation-order tolerance (the two
+        # layouts add the same doubles in different orders, and the _r
+        # floor-rounding grain can flip on the last ulp of a big sum)
+        assert set(pb) == set(pp)
+        for k in pb:
+            assert pb[k][0] == pp[k][0]
+            assert abs(pb[k][1] - pp[k][1]) <= 1e-9 * max(abs(pp[k][1]), 1.0)
+    finally:
+        for n in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {n}")

@@ -138,3 +138,30 @@ def test_write_batches_fill_ingest_observations(spark, tmp_path, monkeypatch):
     assert stats["metrics"]["rows"] == 2  # one row per metric key
     assert stats["runs"]["rows"] == 1
     run.finish()
+
+
+def test_store_bucket_table_publishes_zero_exchange_layout(spark, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    run = w.init(project="bkt", system_metrics=False, spark=spark)
+    for i in range(10):
+        run.log({"m": float(i)})
+    run.finish()
+    store = run._store
+    name = store.bucket_table("metrics", n_buckets=4)
+    try:
+        from pyspark.sql import functions as F
+
+        from waddleml_spark.plans.inspect import count_op
+        from waddleml_spark.sources.bucketed import read_bucketed
+
+        m = read_bucketed(spark, name)
+        agg = m.groupBy("run_id").agg(F.count("*").alias("n"))
+        # the bucket spec already satisfies the aggregate's distribution:
+        # run-grain rollups on the published layout never shuffle
+        assert count_op(agg, "Exchange") == 0
+        assert [r.n for r in agg.collect()] == [10]
+        with pytest.raises(ValueError):
+            store.bucket_table("runs")  # no default keys -> explicit keys required
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    store.close()

@@ -34,18 +34,12 @@ N_BUCKETS = 32
 
 
 def revenue_query(li, o):
-    """The revenue_by_priority shape on explicit frames (identical
-    expressions to catalog.revenue_by_priority)."""
-    from pyspark.sql import functions as F
+    """The revenue_by_priority shape on explicit frames — THE shared
+    definition (catalog.revenue_join), so the study can never measure a
+    shape that drifted from the certified catalog query."""
+    from waddleml_spark.catalog import revenue_join
 
-    from waddleml_spark.catalog import _r
-
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderpriority")
-        .agg(_r(F.sum(rev), 2).alias("revenue"), F.count("*").alias("n_items"))
-    )
+    return revenue_join(li, o)
 
 
 def main() -> int:

@@ -724,11 +724,21 @@ def revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact equi-join + aggregate — the big shuffle shape at 100 TB.
 
     orders/lineitem share the orderkey; at scale both sides should be
-    bucketed by orderkey so this is a shuffle-free sort-merge join.  AQE
+    bucketed by orderkey so this is a shuffle-free sort-merge join
+    (sources.bucketed.bucket_facts produces that layout in one call;
+    tools/bucketed_study.py measured it 3.3x at the 100x replica).  AQE
     handles skewed keys.  Locally Catalyst picks broadcast for orders.
     """
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
+    return revenue_join(li, o)
+
+
+def revenue_join(li: DataFrame, o: DataFrame) -> DataFrame:
+    """revenue_by_priority's join+agg on EXPLICIT frames — the one shared
+    definition the parquet catalog query, the bucketed-layout test, and
+    tools/bucketed_study.py all build on, so the layout proof can never
+    measure a drifted shape."""
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)

@@ -184,6 +184,16 @@ def minhash_lsh_candidates(
     # signature pipeline is computed once (a self-join would recompute it
     # for each side); pairs expand inside each bucket with generators.
     #
+    # Band-key PRE-AGGREGATION (count>1 keys → semi-join → collect_list)
+    # measured DEAD at sf0.1 (round 8): even with band_rows persisted —
+    # its best case, since Catalyst would otherwise re-execute the
+    # signature pipeline for the count branch — the pre-agg bucket stage
+    # ran 0.471 s vs 0.326 s for this plain collect_list+filter, and the
+    # signature stage (0.53 s of the 0.80 s total) dominates regardless.
+    # Singleton groups are near-free to collect; the extra aggregate +
+    # join is pure overhead at every scale where bands×docs rows fit a
+    # shuffle (they always do — that grain is ~bands longs per doc).
+    #
     # Mega-bucket guard: a bucket of b ids would expand b(b-1)/2 pairs —
     # a template repeated 10k times means 50M pairs in ONE task.  Above
     # `star_threshold` we emit the STAR pattern instead (min id ↔ each
@@ -601,29 +611,36 @@ def simhash32_jvm(
     token rows map-side, so only ~32 longs per doc per partition move —
     at 100 TB that is KBs per million docs, noise next to the text scan.
     """
-    toks = F.array_distinct(
-        F.split(lower_trim(F.col(text_col)), WS_RE)
+    # Built from parsed expr strings (llmops.tokens_sql + selectExpr):
+    # the 32-wide when/sum Column build paid ~0.9 s of driver py4j per
+    # invocation — more than the query's own execution at sf0.1
+    # (measured round 8: build 0.92 s, exec 0.70 s warm).  The parsed
+    # strings produce the identical Catalyst plan; token identity with
+    # the Column tokenizer is pinned by the fuzz suite via tokens_sql.
+    from waddleml_spark.llmops import tokens_sql
+
+    idq = "`" + id_col.replace("`", "``") + "`"
+    hashed = df.selectExpr(
+        idq,
+        f"explode(array_distinct({tokens_sql(text_col)})) AS __tok",
+    ).selectExpr(
+        idq,
+        "CAST(conv(substring(md5(__tok), 1, 8), 16, 10) AS BIGINT) AS __h",
     )
-    tok_rows = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
-    h = F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10).cast("long")
-    hashed = tok_rows.select(id_col, h.alias("__h"))
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"__s{b}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(__h, {b}) & 1) = 1"
+            f" THEN 1 ELSE -1 END) AS __s{b}"
+        )
         for b in range(32)
     ]
     grouped = hashed.groupBy(id_col).agg(*bit_sums)
-    sig = reduce(
-        lambda acc, b: acc
-        + F.when(F.col(f"__s{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
-        range(32),
-        F.lit(0).cast("long"),
+    sig = " + ".join(
+        f"(CASE WHEN __s{b} >= 0 THEN CAST({1 << b} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for b in range(32)
     )
-    return grouped.select(F.col(id_col), sig.alias("simhash32"))
+    return grouped.selectExpr(idq, f"({sig}) AS simhash32")
 
 
 # Fixed (a, b) pairs for the arithmetic minhash family h_i(x) = (a_i x + b_i)

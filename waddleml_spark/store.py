@@ -430,6 +430,41 @@ class WaddleStore:
             shutil.rmtree(d)
             os.rename(tmp, d)
 
+    def bucket_table(
+        self,
+        table: str,
+        keys: list[str] | None = None,
+        n_buckets: int = 32,
+        name: str | None = None,
+    ) -> str:
+        """Publish the CURRENT state of a store table as a BUCKETED
+        catalog table (opt-in layout; the store's parquet dirs stay the
+        write path).  Returns the catalog table name for
+        sources.bucketed.read_bucketed.
+
+        The 100 TB metrics layout in one call: bucketed+sorted by
+        (run_id, key, step) per sources.bucketed.FACT_KEYS, every
+        subsequent run-grain join/aggregate on the published table plans
+        with ZERO Exchange and point lookups prune row groups via the
+        in-bucket sort's min/max stats (the reference's B-tree index
+        role, waddle/_schema.py:59).  Re-run after ingest batches to
+        refresh — like compact, this is a periodic maintenance call.
+        """
+        from waddleml_spark.sources.bucketed import FACT_KEYS, write_bucketed
+
+        default_keys, default_sort = FACT_KEYS.get(table, (None, None))
+        keys = keys or default_keys
+        if not keys:
+            raise ValueError(
+                f"no default bucket keys for table {table!r}; pass keys="
+            )
+        sort_by = default_sort if keys == default_keys else keys
+        name = name or f"waddle_{table}_bucketed"
+        write_bucketed(
+            self.df(table), name, keys, n_buckets=n_buckets, sort_by=sort_by
+        )
+        return name
+
     def close(self) -> None:
         WaddleStore._registry.pop(self.root, None)
         self.duck.close()
