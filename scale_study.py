@@ -62,6 +62,12 @@ QUERIES = [
     "bloom_decontamination_report",
     "cms_heavy_hitters_report",
     "weighted_sample_report",
+    # round-8: rows the 100× table carried from ad-hoc --queries runs,
+    # folded into the default set so one full run IS the whole table
+    "trigram_novelty_by_source",
+    "temperature_mix_report",
+    "bpe_encode_report",
+    "perplexity_buckets_by_lang",
 ]
 
 

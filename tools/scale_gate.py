@@ -32,12 +32,15 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 # the standing worst-ratio set (SCALING.md 100× table): a deliberate
-# fact-fact shuffle, the heaviest text pipeline, and the two-pass BPE
-# encode whose checkpoint OOM motivated this gate
+# fact-fact shuffle, the heaviest text pipeline, the two-pass BPE
+# encode whose checkpoint OOM motivated this gate, and the sketch
+# audit that carries full per-doc shingle SETS through two hydration
+# joins (the row-width class the warm pass has twice caught OOMs in)
 DEFAULT_QUERIES = [
     "revenue_by_priority",
     "bloom_decontamination_report",
     "bpe_encode_report",
+    "minhash_estimate_audit",
 ]
 
 
