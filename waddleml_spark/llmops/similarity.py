@@ -249,12 +249,14 @@ def cosine_topk_lookup(
     def dot_s(a: str, b: str) -> str:
         return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
 
-    # limit(1) bounds the broadcast side BY CONSTRUCTION even if id_col
-    # carries duplicates (an equality filter alone only bounds it under a
-    # uniqueness precondition; duplicate ids would multiply every corpus
-    # row through the cross join).  With unique ids — the testdata and
-    # driver contract — the limit is a no-op on values.
-    q = corpus.where(f"`{id_col}` = {int(query_id)}").limit(1).selectExpr(
+    # PRECONDITION: id_col is unique (vec_id is the embeddings PK), so
+    # the equality filter bounds the broadcast side to exactly one row.
+    # A hard limit(1) guard was tried (round 8) and measured: the
+    # LocalLimit→Exchange→GlobalLimit it inserts costs a whole extra
+    # stage — 0.177→0.243 s at sf0.1, +37% of this query — to defend a
+    # data-contract violation (duplicate PKs) every other keyed operator
+    # here also assumes away; the precondition is documented instead.
+    q = corpus.where(f"`{id_col}` = {int(query_id)}").selectExpr(
         f"{ed} AS __q"
     ).selectExpr("__q", f"sqrt({dot_s('__q', '__q')}) AS __qn")
     sim = f"{dot_s(ed, '__q')} / (sqrt({dot_s(ed, ed)}) * __qn)"
