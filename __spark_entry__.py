@@ -54,17 +54,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # REBUILT this round holds a slot regardless of vintage (the window's
 # own rewrite rule): the simhash expr-string conversion
 # (simhash32_docs + simhash32_band_pairs, which builds on the same
-# simhash32_jvm), the bounded-broadcast limit(1) on cosine_topk_q0, the
-# single-projection gap rewrite in sessionize_users, and the
+# simhash32_jvm), cosine_topk_q0 (a limit(1) guard tried and reverted
+# to the documented-PK-precondition plan — re-certified either way),
+# the single-projection gap rewrite in sessionize_users, and the
 # revenue_join factoring behind revenue_by_priority (plan-identical
-# refactor, re-certified anyway).  Anchors: flagship (slot 1, the smoke
+# refactor, re-certified anyway).  The round's NEW oracle-paired query
+# (ngram_overlap_pairs, the exact-substring-dedup signal) outranks any
+# re-cert for a slot — it has never been driver-certified — so the
+# last alphabetical r6 row (levenshtein_verify_lsh) joins the 18 that
+# take the r9 window.  Anchors: flagship (slot 1, the smoke
 # query) and minhash32_band_pairs (the full oracle-exact LSH chain).
 # All 50 emulator-preverified this round (sf0.01, bare session, values +
 # type families).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # anchors
     "flagship_leaderboard", "minhash32_band_pairs",
-    # rebuilt this round -> must re-certify
+    # NEW oracle query this round + rebuilt plans -> must (re-)certify
+    "ngram_overlap_pairs",
     "simhash32_docs", "simhash32_band_pairs", "cosine_topk_q0",
     "sessionize_users", "revenue_by_priority",
     # r5 vintage (all 20 remaining -- age bound)
@@ -84,7 +90,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "hypertable_rollup_day", "in_list_filter", "incremental_dedup_report",
     "jaccard_verify_lsh", "jaccard_word_pairs_src0", "json_canonical_docs",
     "json_extract_props", "lead_lag_delta", "levenshtein_pairs_src0",
-    "levenshtein_verify_lsh",
 )
 
 

@@ -46,6 +46,8 @@ QUERIES = [
     "embedding_neardup_pairs",
     # round-5 additions: oracle-exact LSH candidates + rule/passage reports
     "minhash32_band_pairs",
+    # round-8 addition: exact n-gram overlap pairs (substring-dedup signal)
+    "ngram_overlap_pairs",
     # round-7 addition: the sketch-accuracy audit (est vs exact Jaccard)
     "minhash_estimate_audit",
     "gopher_quality_report",

@@ -421,3 +421,33 @@ def test_minhash_estimate_audit_pairs_match_band_pairs_and_estimator_sane(spark)
         assert r.abs_err == abs(r.est_jaccard - r.exact_jaccard)
         if r.exact_jaccard == 1.0:  # exact dup: all 32 minhashes collide
             assert r.n_match == 32 and r.abs_err == 0.0
+
+
+def test_ngram_overlap_pairs_exact_counts_and_df_cap(spark):
+    # docs 1/2 share exactly two trigrams ("alpha beta gamma",
+    # "beta gamma delta"); doc 3 shares nothing
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "zeta alpha beta gamma delta"),
+        (3, "completely unrelated words here now"),
+    ]
+    # plus 70 docs sharing ONLY one boilerplate trigram — its document
+    # frequency (70) exceeds max_df=64, so the cap must drop it and the
+    # 70 docs must produce ZERO pairs even at min_shared=1
+    rows += [(100 + i, f"common gram here u{i} v{i} w{i}") for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in dedup.ngram_overlap_pairs(df, min_shared=1).collect()
+    }
+    assert out == {(1, 2): 2}
+
+
+def test_ngram_overlap_min_shared_filters(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "zeta alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # the pair shares 2 trigrams; the default min_shared=3 excludes it
+    assert dedup.ngram_overlap_pairs(df).count() == 0

@@ -2005,6 +2005,43 @@ def _simhash32_pairs_oracle() -> str:
     """
 
 
+def _ngram_overlap_oracle(min_shared: int = 3, max_df: int = 64) -> str:
+    """SQL twin of dedup.ngram_overlap_pairs: distinct (doc, md5-BE32
+    trigram hash) rows, grams with document frequency outside
+    [2, max_df] dropped (the HAVING mirrors the Spark-side df cap), then
+    a self-join per shared hash with a pair-grain count.  Hash-grain
+    DISTINCT on both sides so a 32-bit collision behaves identically in
+    both engines."""
+    return rf"""
+    WITH t AS (
+        SELECT DISTINCT doc_id, {_md5_be32_sql('g')} AS h32
+        FROM ({_trigram_rows_clamped_sql()}) WHERE g IS NOT NULL
+    ), hot AS (
+        SELECT h32 FROM t GROUP BY h32 HAVING COUNT(*) BETWEEN 2 AND {max_df}
+    ), kept AS (
+        SELECT t.* FROM t JOIN hot USING (h32)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b ON a.h32 = b.h32 AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {min_shared}
+    """
+
+
+@_register("ngram_overlap_pairs", _ngram_overlap_oracle())
+def ngram_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-overlap pairs with shared-gram counts
+    (dedup.ngram_overlap_pairs) — the exact-substring-dedup signal
+    (Lee et al. 2022) as an oracle-exact operator: unlike the
+    MinHash/SimHash candidate generators, the overlap count here is
+    exact by construction, and the rare-gram df cap (not a star guard,
+    which would corrupt counts) bounds the quadratic term.  One gram
+    shuffle, generator pair expansion, pair-grain count — no join
+    operator in the Spark plan."""
+    return dedup.ngram_overlap_pairs(t(spark, sf_dir, "documents"))
+
+
 @_register("simhash32_band_pairs", _simhash32_pairs_oracle())
 def simhash32_band_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-exact near-dup CANDIDATE pairs (dedup.simhash32_band_pairs):

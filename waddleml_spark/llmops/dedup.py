@@ -698,6 +698,62 @@ def _minhash32_grouped(
     return hashed.groupBy(id_col).agg(*mins)
 
 
+def ngram_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 3,
+    max_df: int = 64,
+) -> DataFrame:
+    """Exact n-gram-overlap pairs (id_a < id_b, n_shared): document pairs
+    sharing at least ``min_shared`` distinct RARE word trigrams, with the
+    exact shared count — the exact-substring-dedup signal (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better")
+    at shingle grain, complementing the probabilistic MinHash/SimHash
+    candidate generators with a count that is exact by construction.
+
+    Grams with document frequency above ``max_df`` are dropped on BOTH
+    sides (boilerplate/stop-grams — an IDF-style cut, mirrored in the
+    oracle's HAVING): unlike the candidate generators, a star guard
+    cannot apply here because the output is an exact COUNT, so the df
+    cap is what bounds the quadratic term — each surviving gram expands
+    at most C(max_df,2) pairs, and the cap is also what makes the
+    result mean something (sharing 'the end of' says nothing; sharing
+    three rare trigrams does).
+
+    Shape: trigram rows → md5-BE32 gram hash → (doc, HASH)-grain
+    DISTINCT (8-byte key, codegen'd HashAggregate) → group by hash →
+    df-capped bucket arrays → generator pair expansion
+    (_bucket_pairs(distinct=False) — one row per shared hash) →
+    pair-grain count.  Linear in the corpus with a capped quadratic
+    term; no join operator anywhere.  Two measured design points
+    (round 8, sf0.1, best-of-3): deduping on the HASH rather than the
+    gram string keeps the engines identical under a 32-bit collision
+    (a string-grain distinct lets the bucket array carry a duplicated
+    id and emit a self-pair the SQL join excludes); and collect_SET
+    (which would fuse the dedup into the gram shuffle) measured SLOWER
+    than this distinct+collect_list — 1.60 s vs 1.26 s — because
+    collect_set plans as ObjectHashAggregate, outside whole-stage
+    codegen, while the extra distinct is a codegen'd HashAggregate.
+    """
+    sh = shingle_rows(df, text_col, id_col, k=3, distinct=False).select(
+        F.col("id"), F.col("__s")
+    )
+    h32 = F.conv(F.substring(F.md5(F.col("__s")), 1, 8), 16, 10).cast("long")
+    hashed = sh.select("id", h32.alias("__h")).distinct()
+    buckets = (
+        hashed.groupBy("__h")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
+    )
+    pairs = _bucket_pairs(buckets, distinct=False)
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def minhash32_band_pairs(
     df: DataFrame,
     text_col: str = "text",
