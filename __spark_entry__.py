@@ -58,11 +58,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # to the documented-PK-precondition plan — re-certified either way),
 # the single-projection gap rewrite in sessionize_users, and the
 # revenue_join factoring behind revenue_by_priority (plan-identical
-# refactor, re-certified anyway).  The round's NEW oracle-paired query
+# refactor, re-certified anyway), and the three expr-string plan
+# conversions late in the round (resample_purchase_1h via
+# resample_interpolate, profile_orders via profile_columns,
+# series_lttb_50 via lttb_downsample — the last already held an
+# r5-vintage slot).  The round's NEW oracle-paired query
 # (ngram_overlap_pairs, the exact-substring-dedup signal) outranks any
-# re-cert for a slot — it has never been driver-certified — so the
-# last alphabetical r6 row (levenshtein_verify_lsh) joins the 18 that
-# take the r9 window.  Anchors: flagship (slot 1, the smoke
+# re-cert for a slot — it has never been driver-certified.  To make
+# room, the three last alphabetical r6 rows (lead_lag_delta,
+# levenshtein_pairs_src0, levenshtein_verify_lsh) join the r9 set
+# (21 rows, age 3 at r9).  Anchors: flagship (slot 1, the smoke
 # query) and minhash32_band_pairs (the full oracle-exact LSH chain).
 # All 50 emulator-preverified this round (sf0.01, bare session, values +
 # type families).
@@ -73,6 +78,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ngram_overlap_pairs",
     "simhash32_docs", "simhash32_band_pairs", "cosine_topk_q0",
     "sessionize_users", "revenue_by_priority",
+    "resample_purchase_1h", "profile_orders",
     # r5 vintage (all 20 remaining -- age bound)
     "potential_promotion_q20", "product_profit_q9", "promo_revenue_q14",
     "repetition_filter_report", "returned_items_q10", "runs_list_page",
@@ -81,7 +87,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "text_quality_by_lang", "top_supplier_q15", "top_words_by_lang",
     "topn_orders", "trigram_novelty_by_source", "type_token_ratio_by_lang",
     "variant_props_stats", "volume_shipping_q7",
-    # r6 vintage (23 alphabetically-first; the remaining 18 take r9)
+    # r6 vintage (20 alphabetically-first; with the r6-vintage rows
+    # re-certified via the rebuilt group above, 20 r6 rows remain for
+    # the r9 window)
     "bigram_lm_quality_by_lang", "chunking_report",
     "contamination_by_source", "corpus_mix_report",
     "corpus_resample_report", "corr_price_qty", "derived_duration",
@@ -89,7 +97,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "exact_dedup_docs", "filter_funnel_report", "fk_scan",
     "hypertable_rollup_day", "in_list_filter", "incremental_dedup_report",
     "jaccard_verify_lsh", "jaccard_word_pairs_src0", "json_canonical_docs",
-    "json_extract_props", "lead_lag_delta", "levenshtein_pairs_src0",
+    "json_extract_props",
 )
 
 

@@ -320,69 +320,80 @@ def lttb_downsample(
     row_number ordered by (area DESC, order_col) — ties break on the
     x position, never on float identity.
     """
+    # Built from parsed expr strings (round-8 conversion): the Column-API
+    # build — two windows with seven window Columns, the area formula,
+    # three row_numbers — paid 0.37 s of driver py4j per invocation at
+    # sf0.1, half this query's wall; the parsed strings produce the
+    # identical Catalyst plan (oracle parity re-certified).  0.5D in the
+    # rounding literal: a bare SQL 0.5 parses as DECIMAL and would
+    # insert a cast the Column build never had.
+    def bq(c: str) -> str:
+        return "`" + c.replace("`", "``") + "`"
+
+    g = [bq(c) for c in group_cols]
+    gl = ", ".join(g)
+    x, y = bq(order_col), bq(value_col)
+    tp = int(target_points)
     # drop NULL-x rows up front: they belong to no bucket, and the
     # bucket expression would otherwise dump them into the LAST one
-    # (F.least SKIPS null args: least(NULL, tp-1) = tp-1 — round-6
+    # (least() SKIPS null args: least(NULL, tp-1) = tp-1 — round-6
     # review find), skewing its stats
-    df = df.filter(F.col(order_col).isNotNull())
+    df = df.filter(f"{x} IS NOT NULL")
     ext = df.groupBy(*group_cols).agg(
-        F.min(order_col).alias("__lo"), F.max(order_col).alias("__hi")
+        F.expr(f"min({x}) AS __lo"), F.expr(f"max({x}) AS __hi")
     )
     j = df.join(F.broadcast(ext), list(group_cols))
-    span = F.col("__hi") - F.col("__lo")
-    bucket = F.when(span <= 0, F.lit(0)).otherwise(
-        F.least(
-            F.floor(
-                (F.col(order_col) - F.col("__lo")) / span * target_points
-            ).cast("int"),
-            F.lit(target_points - 1),
-        )
+    bucket = (
+        "CASE WHEN __hi - __lo <= 0 THEN 0 ELSE least("
+        f"CAST(floor(({x} - __lo) / (__hi - __lo) * {tp}) AS INT), {tp - 1})"
+        " END"
     )
-    d = j.withColumn("__b", bucket).drop("__lo", "__hi")
-    p = 10**round_digits
-    rr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    d = j.selectExpr("*", f"{bucket} AS __b").drop("__lo", "__hi")
+    p = 10 ** int(round_digits)
+    rr = lambda e: f"floor(({e}) * {p} + 0.5D) / {p}"  # noqa: E731
     means = d.groupBy(*group_cols, "__b").agg(
-        rr(F.avg(order_col)).alias("__mx"),
-        rr(F.avg(value_col)).alias("__my"),
+        F.expr(f"{rr(f'avg({x})')} AS __mx"),
+        F.expr(f"{rr(f'avg({y})')} AS __my"),
     )
-    wb = Window.partitionBy(*group_cols).orderBy("__b")
-    anchors = (
-        means.withColumn("__px", F.lag("__mx").over(wb))
-        .withColumn("__py", F.lag("__my").over(wb))
-        .withColumn("__nx", F.lead("__mx").over(wb))
-        .withColumn("__ny", F.lead("__my").over(wb))
+    wb = ("PARTITION BY " + gl + " " if g else "") + "ORDER BY __b"
+    anchors = means.selectExpr(
+        "*",
+        f"lag(__mx) OVER ({wb}) AS __px",
+        f"lag(__my) OVER ({wb}) AS __py",
+        f"lead(__mx) OVER ({wb}) AS __nx",
+        f"lead(__my) OVER ({wb}) AS __ny",
     )
     cand = d.join(anchors, [*group_cols, "__b"])
-    x, y = F.col(order_col), F.col(value_col)
-    area = F.abs(
-        F.col("__px") * (y - F.col("__ny"))
-        + x * (F.col("__ny") - F.col("__py"))
-        + F.col("__nx") * (F.col("__py") - y)
+    area = (
+        f"abs(__px * ({y} - __ny) + {x} * (__ny - __py)"
+        f" + __nx * (__py - {y}))"
     )
-    interior = F.col("__px").isNotNull() & F.col("__nx").isNotNull()
+    interior = "(__px IS NOT NULL AND __nx IS NOT NULL)"
+    pb = "PARTITION BY " + (gl + ", __b" if g else "__b")
     # value_col joins every tie-break: duplicate timestamps must not make
     # the selection depend on row order
-    wsel = Window.partitionBy(*group_cols, "__b").orderBy(
-        F.col("__area").desc(), order_col, value_col
-    )
-    wfirst = Window.partitionBy(*group_cols, "__b").orderBy(order_col, value_col)
-    wlast = Window.partitionBy(*group_cols, "__b").orderBy(
-        F.col(order_col).desc(), F.col(value_col).desc()
-    )
+    wsel = f"{pb} ORDER BY __area DESC, {x}, {y}"
+    wfirst = f"{pb} ORDER BY {x}, {y}"
+    wlast = f"{pb} ORDER BY {x} DESC, {y} DESC"
     out = (
-        cand.withColumn("__area", F.when(interior, area))
-        .withColumn("__rsel", F.row_number().over(wsel))
-        .withColumn("__rfirst", F.row_number().over(wfirst))
-        .withColumn("__rlast", F.row_number().over(wlast))
+        cand.selectExpr(
+            "*", f"CASE WHEN {interior} THEN {area} END AS __area"
+        )
+        .selectExpr(
+            "*",
+            f"row_number() OVER ({wsel}) AS __rsel",
+            f"row_number() OVER ({wfirst}) AS __rfirst",
+            f"row_number() OVER ({wlast}) AS __rlast",
+        )
+        # no px-NOT-NULL requirement on the last-bucket branch: a
+        # group collapsing to ONE bucket (constant x / short series)
+        # has px AND nx NULL, and the docstring's endpoint rule must
+        # still keep BOTH its first and last points (round-6 fix,
+        # mirrored in the SQL oracle)
         .filter(
-            (interior & (F.col("__rsel") == 1))
-            | (F.col("__px").isNull() & (F.col("__rfirst") == 1))
-            # no px-NOT-NULL requirement on the last-bucket branch: a
-            # group collapsing to ONE bucket (constant x / short series)
-            # has px AND nx NULL, and the docstring's endpoint rule must
-            # still keep BOTH its first and last points (round-6 fix,
-            # mirrored in the SQL oracle)
-            | (F.col("__nx").isNull() & (F.col("__rlast") == 1))
+            f"({interior} AND __rsel = 1)"
+            " OR (__px IS NULL AND __rfirst = 1)"
+            " OR (__nx IS NULL AND __rlast = 1)"
         )
     )
-    return out.select(*group_cols, F.col("__b").alias("bucket"), order_col, value_col)
+    return out.selectExpr(*g, "__b AS bucket", x, y)

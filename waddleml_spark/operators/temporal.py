@@ -232,64 +232,62 @@ def resample_interpolate(
     ≤ span/step rows per key.  Interpolated values are floor-rounded to
     6 digits by the caller when cross-engine hashing matters.
     """
-    ep = F.col(ts_col).cast("double")
-    pts = df.select(
-        F.col(key_col).alias("k"), ep.alias("t"), F.col(value_col).alias("v")
+    # Built from parsed expr strings (the round-7/8 rule): the Column-API
+    # build of this plan — two windows, four ignore-nulls fills, the
+    # guarded sequence — paid 0.27 s of driver py4j per invocation, 44%
+    # of the query's wall at sf0.1; the parsed strings produce the
+    # identical Catalyst plan (oracle parity re-certified).
+    def bq(c: str) -> str:
+        return "`" + c.replace("`", "``") + "`"
+
+    s = int(step_seconds)
+    pts = df.selectExpr(
+        f"{bq(key_col)} AS k",
+        f"CAST({bq(ts_col)} AS DOUBLE) AS t",
+        f"{bq(value_col)} AS v",
     )
-    ext = pts.groupBy("k").agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    ext = pts.groupBy("k").agg(F.expr("min(t) AS lo"), F.expr("max(t) AS hi"))
     # guard start <= stop: Spark's sequence() AUTO-DESCENDS (sequence(1,0)
     # = [1,0]) where SQL generate_series returns empty — a key whose whole
     # span sits inside one grid interval with no grid point would emit
     # two extrapolated rows outside the series and diverge from the
     # oracle (round-6 review find)
-    g_lo = F.ceil(F.col("lo") / step_seconds).cast("long")
-    g_hi = F.floor(F.col("hi") / step_seconds).cast("long")
-    grid = ext.select(
+    g_lo = f"CAST(ceil(lo / {s}) AS BIGINT)"
+    g_hi = f"CAST(floor(hi / {s}) AS BIGINT)"
+    grid = ext.selectExpr(
         "k",
-        F.explode(
-            F.when(g_lo <= g_hi, F.sequence(g_lo, g_hi)).otherwise(
-                F.array().cast("array<bigint>")
-            )
-        ).alias("slot"),
-    ).select("k", (F.col("slot") * float(step_seconds)).alias("t"))
-    unioned = pts.select(
-        "k", "t", "v", F.lit(0).alias("is_grid")
-    ).unionByName(grid.select("k", "t", F.lit(None).cast("double").alias("v"), F.lit(1).alias("is_grid")))
+        f"explode(CASE WHEN {g_lo} <= {g_hi} THEN sequence({g_lo}, {g_hi})"
+        " ELSE CAST(array() AS ARRAY<BIGINT>) END) AS slot",
+    ).selectExpr("k", f"slot * CAST({s} AS DOUBLE) AS t")
+    unioned = pts.selectExpr("k", "t", "v", "0 AS is_grid").unionByName(
+        grid.selectExpr("k", "t", "CAST(NULL AS DOUBLE) AS v", "1 AS is_grid")
+    )
     # real points sort BEFORE the grid row at the same instant, so an
     # exact-hit grid row sees that point as its "previous" neighbor and
     # interpolation degenerates to the exact value
-    w_prev = (
-        Window.partitionBy("k")
-        .orderBy("t", "is_grid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = (
+        "PARTITION BY k ORDER BY t, is_grid"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     )
-    w_next = (
-        Window.partitionBy("k")
-        .orderBy("t", "is_grid")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    wn = (
+        "PARTITION BY k ORDER BY t, is_grid"
+        " ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
     )
-    pv = F.when(F.col("is_grid") == 0, F.col("v"))
-    pt = F.when(F.col("is_grid") == 0, F.col("t"))
-    filled = (
-        unioned.withColumn("py", F.last(pv, ignorenulls=True).over(w_prev))
-        .withColumn("pt", F.last(pt, ignorenulls=True).over(w_prev))
-        .withColumn("ny", F.first(pv, ignorenulls=True).over(w_next))
-        .withColumn("nt", F.first(pt, ignorenulls=True).over(w_next))
-        .filter(F.col("is_grid") == 1)
-    )
+    filled = unioned.selectExpr(
+        "k",
+        "t",
+        "is_grid",
+        f"last(CASE WHEN is_grid = 0 THEN v END, true) OVER ({wp}) AS py",
+        f"last(CASE WHEN is_grid = 0 THEN t END, true) OVER ({wp}) AS pt",
+        f"first(CASE WHEN is_grid = 0 THEN v END, true) OVER ({wn}) AS ny",
+        f"first(CASE WHEN is_grid = 0 THEN t END, true) OVER ({wn}) AS nt",
+    ).filter("is_grid = 1")
     y = (
-        F.when(F.col("py").isNull(), F.col("ny"))
-        .when(F.col("ny").isNull(), F.col("py"))
-        .when(F.col("nt") == F.col("pt"), F.col("py"))
-        .otherwise(
-            F.col("py")
-            + (F.col("ny") - F.col("py"))
-            * (F.col("t") - F.col("pt"))
-            / (F.col("nt") - F.col("pt"))
-        )
+        "CASE WHEN py IS NULL THEN ny"
+        " WHEN ny IS NULL THEN py"
+        " WHEN nt = pt THEN py"
+        " ELSE py + (ny - py) * (t - pt) / (nt - pt) END"
     )
-    return filled.select(
-        F.col("k").alias(key_col),
-        F.col("t").alias("grid_ts"),
-        y.alias("value_interp"),
+    return filled.selectExpr(
+        f"k AS {bq(key_col)}", "t AS grid_ts", f"{y} AS value_interp"
     )
