@@ -46,8 +46,11 @@ QUERIES = [
     "embedding_neardup_pairs",
     # round-5 additions: oracle-exact LSH candidates + rule/passage reports
     "minhash32_band_pairs",
-    # round-8 addition: exact n-gram overlap pairs (substring-dedup signal)
+    # round-8 additions: exact n-gram overlap pairs (substring-dedup
+    # signal) + doc-in-doc containment pairs (asymmetric quotation signal)
     "ngram_overlap_pairs",
+    "doc_containment_pairs",
+    "salient_terms_by_source",
     # round-7 addition: the sketch-accuracy audit (est vs exact Jaccard)
     "minhash_estimate_audit",
     "gopher_quality_report",

@@ -451,3 +451,43 @@ def test_ngram_overlap_min_shared_filters(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     # the pair shares 2 trigrams; the default min_shared=3 excludes it
     assert dedup.ngram_overlap_pairs(df).count() == 0
+
+
+def test_containment_pairs_doc_in_doc(spark):
+    # doc 1 is quoted verbatim inside doc 2: every one of doc 1's three
+    # trigrams appears in doc 2, so containment = 3/min(3, 9) = 1.0 even
+    # though Jaccard (3/9) would sit below any near-dup threshold
+    a = "alpha beta gamma delta epsilon"
+    b = "intro words here " + a + " closing words after"
+    rows = [
+        (1, a),
+        (2, b),
+        (3, "completely unrelated text about nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r for r in dedup.containment_pairs(df).collect()}
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    assert r.n_shared == 3 and r.n_a == 3  # all of doc 1 is inside doc 2
+    assert r.n_b == 9 and r.containment == 1.0
+
+
+def test_containment_threshold_and_df_cap(spark):
+    # the pair shares 3 grams but each doc is mostly unique content:
+    # unique (df=1) grams stay in the denominators, so containment =
+    # 3/15 = 0.2 — filtered at the default 0.5, kept at 0.1
+    filler_a = " ".join(f"ua{i}" for i in range(12))
+    filler_b = " ".join(f"ub{i}" for i in range(12))
+    rows = [
+        (1, "alpha beta gamma delta epsilon " + filler_a),
+        (2, "alpha beta gamma delta epsilon " + filler_b),
+    ]
+    # plus 70 docs sharing one boilerplate trigram: df = 70 > max_df=64
+    # drops it from numerators AND denominators on the flood docs, which
+    # then hold zero rare grams and can produce no pairs
+    rows += [(100 + i, f"common gram here u{i} v{i} w{i}") for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.containment_pairs(df).count() == 0
+    kept = dedup.containment_pairs(df, min_containment=0.1).collect()
+    assert [(r.id_a, r.id_b, r.n_shared) for r in kept] == [(1, 2, 3)]
+    assert kept[0].n_a == 15 and kept[0].containment == 3 / 15

@@ -42,6 +42,10 @@ PAIR_QUERIES = (
     # oracle HAVING guard is exercised against Spark's 64-cap here)
     "jaccard_word_pairs_src0",
     "levenshtein_pairs_src0",
+    # round-8: the exact-count pairings, whose df cap (not a star
+    # guard) must drop the flood's grams on both engines
+    "ngram_overlap_pairs",
+    "doc_containment_pairs",
 )
 
 

@@ -209,6 +209,57 @@ def test_temperature_mix_flattens_shares(spark):
     assert lo.upsample_factor >= 1.0 - 1e-9
 
 
+def test_salient_terms_exact_lift_and_floor(spark, tmp_path):
+    from waddleml_spark import catalog
+
+    # two balanced sources with one distinctive word each: lift(apple in
+    # srcA) = (6/16)/(6/32) = 2.0 EXACTLY (dyadic doubles), the shared
+    # word lifts to 1.0; source C holds only a below-floor word (4 < 5)
+    # so it vanishes from the report AND from the corpus total (the
+    # documented reported-sources T_g semantics — lift(apple) stays 2.0)
+    rows = [
+        (1, " ".join(["apple"] * 6 + ["common"] * 10), "en", "srcA", 0),
+        (2, " ".join(["banana"] * 6 + ["common"] * 10), "en", "srcB", 0),
+        (3, " ".join(["solo"] * 4), "en", "srcC", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    out = {
+        (r.source, r.word): r
+        for r in catalog.QUERIES["salient_terms_by_source"](spark, d).collect()
+    }
+    assert set(out) == {
+        ("srcA", "apple"), ("srcA", "common"),
+        ("srcB", "banana"), ("srcB", "common"),
+    }
+    assert out[("srcA", "apple")].rnk == 1 and out[("srcA", "apple")].lift == 2.0
+    assert out[("srcA", "common")].rnk == 2 and out[("srcA", "common")].lift == 1.0
+    assert out[("srcB", "banana")].lift == 2.0
+
+
+def test_salient_terms_shape_on_smoke_corpus(spark):
+    from waddleml_spark import catalog
+    from tests.conftest import SF_SMOKE
+
+    rows = catalog.QUERIES["salient_terms_by_source"](spark, SF_SMOKE).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        assert r.tf_src >= 5 and r.tf_src <= r.tf_all and r.lift > 0
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        # ranking follows the tf_src/tf_all over-representation ratio
+        ratios = [r.tf_src / r.tf_all for r in rs]
+        assert all(a >= b for a, b in zip(ratios, ratios[1:]))
+
+
 def test_temperature_one_is_identity(spark):
     import pyspark.sql.functions as F
     from pyspark.sql import Window

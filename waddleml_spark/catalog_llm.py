@@ -1085,6 +1085,92 @@ def top_words_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "salient_terms_by_source",
+    """
+    WITH wc AS (
+        SELECT source, w AS word, count(*) AS tf_src
+        FROM (SELECT source,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+              FROM documents)
+        GROUP BY source, w
+    ), g AS (
+        SELECT source, word, tf_src,
+               CAST(sum(tf_src) OVER (PARTITION BY word) AS BIGINT) AS tf_all,
+               CAST(sum(tf_src) OVER (PARTITION BY source) AS BIGINT) AS t_src
+        FROM wc
+    ), rk AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+                  ORDER BY CAST(tf_src AS DOUBLE) / tf_all DESC, word) AS rnk
+        FROM g WHERE tf_src >= 5
+    )
+    SELECT source, rnk, word, tf_src, tf_all,
+           (CAST(tf_src AS DOUBLE) / t_src)
+               / (CAST(tf_all AS DOUBLE)
+                  / CAST(sum(CASE WHEN rnk = 1 THEN t_src END) OVER ()
+                         AS BIGINT)) AS lift
+    FROM rk WHERE rnk <= 5
+    """,
+)
+def salient_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source: top-5 words by LIFT =
+    (tf_src/tokens_src) / (tf_all/tokens_corpus) — the TF-IDF-flavored
+    keyword signal a mixing/curation stage reads ("what is this source
+    actually about"), complementing top_words_by_lang's raw heavy
+    hitters (which a corpus-wide stopword dominates) with
+    over-representation relative to the whole corpus.  Oracle-exact
+    with no rounding helper: every count is an integer and lift is a
+    fixed tree of IEEE-double divisions over BIGINTs, bit-identical
+    cross-engine; ranking orders by the tf_src/tf_all double BOTH
+    engines compute identically (within a source, lift is that ratio
+    times a positive constant, and the constant factors out of the
+    ordering — word tie-break makes the cut deterministic).
+
+    Scale shape: occurrence rows collapse map-side into the
+    (source, word) aggregate; two vocabulary-grain count windows
+    (word grain, then source grain) and the rank window reuse the
+    source partitioning; the tf_src >= 5 hapax floor sits AFTER both
+    windows (totals must count the full source, candidacy only the
+    repeated words).  The corpus-total scalar is an unpartitioned
+    window over the ALREADY top-5-bounded frame (sum of each
+    reported source's rnk=1 total — ≤ 5·|sources| rows), never over
+    the vocabulary: the corpus_mix_report rule, kept safe here by
+    ranking first.  ONE linear chain — no branch re-references the
+    token pipeline."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    w = F.explode(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+    )
+    wc = (
+        d.select("source", w.alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("tf_src"))
+    )
+    g = wc.withColumn(
+        "tf_all", F.sum("tf_src").over(W.partitionBy("word"))
+    ).withColumn("t_src", F.sum("tf_src").over(W.partitionBy("source")))
+    ratio = F.col("tf_src").cast("double") / F.col("tf_all")
+    rk = (
+        g.filter(F.col("tf_src") >= 5)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(ratio.desc(), "word")
+            ),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+    t_g = F.sum(F.when(F.col("rnk") == 1, F.col("t_src"))).over(W.partitionBy())
+    lift = (F.col("tf_src").cast("double") / F.col("t_src")) / (
+        F.col("tf_all").cast("double") / t_g
+    )
+    return rk.select(
+        "source", "rnk", "word", "tf_src", "tf_all", lift.alias("lift")
+    )
+
+
+@_register(
     "embedding_dim_stats",
     f"""
     SELECT dim,
@@ -2027,6 +2113,54 @@ def _ngram_overlap_oracle(min_shared: int = 3, max_df: int = 64) -> str:
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= {min_shared}
     """
+
+
+def _containment_oracle(
+    min_shared: int = 3, min_containment: float = 0.5, max_df: int = 64
+) -> str:
+    """SQL twin of dedup.containment_pairs: distinct (doc, md5-BE32
+    trigram hash) rows, gram document frequency via a count window over
+    the hash, per-doc rare-gram counts via a count window over the doc
+    AFTER the df ≤ max_df cut (df = 1 grams stay in the denominators,
+    df > max_df boilerplate leaves both sides), then a self-join per
+    shared gram with pair-grain count and the containment division —
+    two exact BIGINTs through IEEE double, bit-identical cross-engine."""
+    return rf"""
+    WITH t AS (
+        SELECT DISTINCT doc_id, {_md5_be32_sql('g')} AS h32
+        FROM ({_trigram_rows_clamped_sql()}) WHERE g IS NOT NULL
+    ), d AS (
+        SELECT doc_id, h32, COUNT(*) OVER (PARTITION BY h32) AS df
+        FROM t
+    ), r AS (
+        SELECT doc_id, h32, df, COUNT(*) OVER (PARTITION BY doc_id) AS nd
+        FROM d WHERE df <= {max_df}
+    ), kept AS (
+        SELECT * FROM r WHERE df >= 2
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           CAST(MIN(a.nd) AS BIGINT) AS n_a,
+           CAST(MIN(b.nd) AS BIGINT) AS n_b,
+           CAST(COUNT(*) AS DOUBLE) / LEAST(MIN(a.nd), MIN(b.nd))
+               AS containment
+    FROM kept a JOIN kept b ON a.h32 = b.h32 AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {min_shared}
+       AND CAST(COUNT(*) AS DOUBLE) / LEAST(MIN(a.nd), MIN(b.nd))
+           >= {min_containment}
+    """
+
+
+@_register("doc_containment_pairs", _containment_oracle())
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc containment pairs (dedup.containment_pairs) —
+    containment = shared rare trigrams / min(|A|, |B|), the asymmetric
+    quotation/subset signal Jaccard misses when sizes differ (Broder
+    1997).  Oracle-exact: integer gram counts and one IEEE-exact
+    BIGINT-through-double division; the rare-gram df cap bounds the
+    quadratic term on both engines."""
+    return dedup.containment_pairs(t(spark, sf_dir, "documents"))
 
 
 @_register("ngram_overlap_pairs", _ngram_overlap_oracle())

@@ -754,6 +754,91 @@ def ngram_overlap_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 3,
+    min_containment: float = 0.5,
+    max_df: int = 64,
+) -> DataFrame:
+    """Asymmetric containment pairs (id_a < id_b, n_shared, n_a, n_b,
+    containment): document pairs where the SMALLER rare-trigram set is
+    at least ``min_containment`` inside the other —
+    containment = |A∩B| / min(|A|, |B|) over distinct rare word
+    trigrams.  This is the doc-in-doc / quotation signal Jaccard
+    structurally misses: a 200-word doc pasted verbatim into a
+    10k-word doc has Jaccard ≈ 0.02 (below any near-dup threshold)
+    but containment 1.0 (Broder 1997's containment coefficient; the
+    substring-dedup motivation of Lee et al. 2022).
+
+    "Rare" = document frequency ≤ ``max_df``: boilerplate grams held
+    by more docs are dropped from BOTH the intersection and the
+    denominators, so the score measures distinctive content, and —
+    as in ngram_overlap_pairs — the df cap is what bounds the
+    quadratic pair term (a star guard would corrupt the exact
+    counts).  Grams with df = 1 stay in the denominators: unique
+    content must dilute containment or every doc trivially contains
+    any doc it shares three grams with.
+
+    Shape — ONE linear chain, no branch ever re-references an
+    upstream frame (Catalyst re-executes shared subtrees; the
+    CLAUDE.md rule): distinct (doc, md5-BE32 gram hash) → gram df
+    via a count window over the hash → df ≤ max_df filter → per-doc
+    rare-gram count via a count window over the doc → df ≥ 2 filter
+    → bucket arrays of (id, n) structs per shared hash → generator
+    pair expansion (the structs ride the expansion like the
+    signatures in minhash_estimate_pairs) → pair-grain count +
+    containment.  Four gram-grain exchanges + the pair aggregate,
+    all linear in the corpus; no join operator anywhere.  The
+    division is two exact BIGINTs cast through IEEE double —
+    bit-identical cross-engine, no rounding helper needed.
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_rows(df, text_col, id_col, k=3, distinct=False).select(
+        F.col("id"), F.col("__s")
+    )
+    h32 = F.conv(F.substring(F.md5(F.col("__s")), 1, 8), 16, 10).cast("long")
+    hashed = sh.select("id", h32.alias("__h")).distinct()
+    with_df = hashed.withColumn(
+        "__df", F.count("*").over(Window.partitionBy("__h"))
+    )
+    rare = with_df.filter(F.col("__df") <= max_df).withColumn(
+        "__n", F.count("*").over(Window.partitionBy("id"))
+    )
+    kept = rare.filter(F.col("__df") >= 2)
+    buckets = kept.groupBy("__h").agg(
+        F.array_sort(F.collect_list(F.struct("id", "__n"))).alias("ms")
+    )
+    expl = buckets.select("ms", F.posexplode("ms").alias("__i", "a"))
+    pairs = expl.select(
+        "a",
+        F.explode(
+            F.slice(F.col("ms"), F.col("__i") + 2, F.size("ms"))
+        ).alias("b"),
+    )
+    shared = F.count("*")
+    cont = shared.cast("double") / F.least(
+        F.min("a.__n"), F.min("b.__n")
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(
+            shared.alias("n_shared"),
+            F.min("a.__n").alias("n_a"),
+            F.min("b.__n").alias("n_b"),
+            cont.alias("containment"),
+        )
+        .filter(
+            (F.col("n_shared") >= min_shared)
+            & (F.col("containment") >= min_containment)
+        )
+    )
+
+
 def minhash32_band_pairs(
     df: DataFrame,
     text_col: str = "text",
