@@ -48,9 +48,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # r4-vintage rows + 24 alphabetically-first r5-vintage rows + the new
 # minhash_estimate_audit + every r7-rebuilt plan.
 # Round-8 rotation (same age rule): all 20 remaining r5-vintage rows
-# MUST take the window (age would hit 4) + the 18 alphabetically-first
-# r6-vintage rows (the remaining 23 r6 rows are age 3 at r9 and take
-# the r9 window).  EVERY oracle-paired query whose Spark plan was
+# MUST take the window (age would hit 4) + 18 r6-vintage rows (17
+# alphabetically-first + levenshtein_verify_lsh via the rewrite rule
+# below; the remaining 23 r6 rows are age 3 at r9 and take the r9
+# window).  EVERY oracle-paired query whose Spark plan was
 # REBUILT this round holds a slot regardless of vintage (the window's
 # own rewrite rule): the simhash expr-string conversion
 # (simhash32_docs + simhash32_band_pairs, which builds on the same
@@ -67,10 +68,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # doc_containment_pairs, the doc-in-doc containment signal; and
 # salient_terms_by_source, the per-source keyword-lift signal) outrank
 # any re-cert for a slot — they have never been driver-certified.  To
-# make room, the five last alphabetical r6 rows (json_canonical_docs,
-# json_extract_props, lead_lag_delta, levenshtein_pairs_src0,
-# levenshtein_verify_lsh) join the r9 set (23 rows, age 3 at r9).
-# Anchors: flagship (slot 1, the smoke query) and
+# make room, five alphabetical-tail r6 rows (jaccard_word_pairs_src0,
+# json_canonical_docs, json_extract_props, lead_lag_delta,
+# levenshtein_pairs_src0) join the r9 set (23 rows, age 3 at r9).
+# levenshtein_verify_lsh KEEPS a slot despite its r6 vintage because
+# the second simhash fused-aggregate rebuild flows into its candidate
+# pipeline (the rewrite rule), alongside the other simhash consumers
+# (simhash32_docs, simhash32_band_pairs, jaccard_verify_lsh) already
+# holding slots.  Anchors: flagship (slot 1, the smoke query) and
 # minhash32_band_pairs (the full oracle-exact LSH chain).
 # All 50 emulator-preverified this round (sf0.01, bare session, values +
 # type families).
@@ -80,7 +85,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # NEW oracle queries this round + rebuilt plans -> must (re-)certify
     "ngram_overlap_pairs", "doc_containment_pairs",
     "salient_terms_by_source",
-    "simhash32_docs", "simhash32_band_pairs", "cosine_topk_q0",
+    "simhash32_docs", "simhash32_band_pairs", "levenshtein_verify_lsh",
+    "cosine_topk_q0",
     "sessionize_users", "revenue_by_priority",
     "resample_purchase_1h", "profile_orders",
     # r5 vintage (all 20 remaining -- age bound)
@@ -91,7 +97,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "text_quality_by_lang", "top_supplier_q15", "top_words_by_lang",
     "topn_orders", "trigram_novelty_by_source", "type_token_ratio_by_lang",
     "variant_props_stats", "volume_shipping_q7",
-    # r6 vintage (18 alphabetically-first; with the r6-vintage rows
+    # r6 vintage (17 alphabetically-first; with the r6-vintage rows
     # re-certified via the rebuilt group above, 23 r6 rows remain for
     # the r9 window)
     "bigram_lm_quality_by_lang", "chunking_report",
@@ -100,7 +106,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "distinct_keys", "distinct_users_by_type", "ema_smooth_5",
     "exact_dedup_docs", "filter_funnel_report", "fk_scan",
     "hypertable_rollup_day", "in_list_filter", "incremental_dedup_report",
-    "jaccard_verify_lsh", "jaccard_word_pairs_src0",
+    "jaccard_verify_lsh",
 )
 
 

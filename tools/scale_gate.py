@@ -33,14 +33,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 # the standing worst-ratio set (SCALING.md 100× table): a deliberate
 # fact-fact shuffle, the heaviest text pipeline, the two-pass BPE
-# encode whose checkpoint OOM motivated this gate, and the sketch
+# encode whose checkpoint OOM motivated this gate, the sketch
 # audit that carries full per-doc shingle SETS through two hydration
-# joins (the row-width class the warm pass has twice caught OOMs in)
+# joins (the row-width class the warm pass has twice caught OOMs in),
+# and the r8 containment op whose two gram-grain count windows sort
+# the full gram table twice (the only windowed occurrence-grain plan)
 DEFAULT_QUERIES = [
     "revenue_by_priority",
     "bloom_decontamination_report",
     "bpe_encode_report",
     "minhash_estimate_audit",
+    "doc_containment_pairs",
 ]
 
 

@@ -617,6 +617,11 @@ def simhash32_jvm(
     # (measured round 8: build 0.92 s, exec 0.70 s warm).  The parsed
     # strings produce the identical Catalyst plan; token identity with
     # the Column tokenizer is pinned by the fuzz suite via tokens_sql.
+    # Second r8 pass: the 32 separate F.expr aggregates + the sign-pack
+    # projection fuse into ONE parsed expression (the pack lives in the
+    # aggregate's result expression — 32 sums, same partial aggregation)
+    # — one py4j parse instead of 33, measured build 0.089 → 0.046 s and
+    # warm total 0.438 → 0.376 s at sf0.1, bit-identical signatures.
     from waddleml_spark.llmops import tokens_sql
 
     idq = "`" + id_col.replace("`", "``") + "`"
@@ -627,20 +632,13 @@ def simhash32_jvm(
         idq,
         "CAST(conv(substring(md5(__tok), 1, 8), 16, 10) AS BIGINT) AS __h",
     )
-    bit_sums = [
-        F.expr(
-            f"sum(CASE WHEN (shiftright(__h, {b}) & 1) = 1"
-            f" THEN 1 ELSE -1 END) AS __s{b}"
-        )
-        for b in range(32)
-    ]
-    grouped = hashed.groupBy(id_col).agg(*bit_sums)
     sig = " + ".join(
-        f"(CASE WHEN __s{b} >= 0 THEN CAST({1 << b} AS BIGINT)"
-        " ELSE CAST(0 AS BIGINT) END)"
+        f"(CASE WHEN sum(CASE WHEN (shiftright(__h, {b}) & 1) = 1"
+        f" THEN 1 ELSE -1 END) >= 0"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for b in range(32)
     )
-    return grouped.selectExpr(idq, f"({sig}) AS simhash32")
+    return hashed.groupBy(id_col).agg(F.expr(f"({sig}) AS simhash32"))
 
 
 # Fixed (a, b) pairs for the arithmetic minhash family h_i(x) = (a_i x + b_i)
