@@ -1,8 +1,9 @@
 """End-to-end LLM training-data pipeline over the documents table:
-exact dedup → quality gate (length + repetition) → corpus-mix resample →
-sequence packing — every stage a deterministic, engine-portable Spark
-plan (the catalog checks each one against a DuckDB oracle; this example
-just composes them).
+exact dedup → containment dedup (drop docs quoted inside longer docs) →
+quality gate (length + repetition) → corpus-mix resample → sequence
+packing — every stage a deterministic, engine-portable Spark plan (the
+catalog checks each one against a DuckDB oracle; this example just
+composes them).
 
 Run: PYTHONPATH=. python examples/training_data_pipeline.py
 """
@@ -14,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from waddleml_spark.llmops.dedup import exact_dedup_keep
+from waddleml_spark.llmops.dedup import containment_pairs, exact_dedup_keep
 from waddleml_spark.llmops.packing import packed_sequences, resample_to_mix
 from waddleml_spark.llmops.textstats import repetition_ratio
 from waddleml_spark.session import get_spark
@@ -31,10 +32,24 @@ n0 = docs.count()
 deduped = exact_dedup_keep(docs)
 n1 = deduped.count()
 
+# 1b. containment dedup: drop docs whose rare-trigram set is >= 90%
+#     inside another doc's (keep the larger side) — the quotation/subset
+#     redundancy exact dedup and symmetric Jaccard both miss
+cont = containment_pairs(deduped, min_containment=0.9)
+drop_ids = (
+    cont.select(
+        F.when(F.col("n_a") <= F.col("n_b"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("doc_id")
+    ).distinct()
+)
+uncontained = deduped.join(drop_ids, "doc_id", "left_anti")
+n1b = uncontained.count()
+
 # 2. quality gate: minimum length, then repetition ceiling (first-fail order)
-rep = repetition_ratio(deduped)
+rep = repetition_ratio(uncontained)
 gated = (
-    deduped.join(rep.withColumnRenamed("id", "doc_id"), "doc_id")
+    uncontained.join(rep.withColumnRenamed("id", "doc_id"), "doc_id")
     .filter((F.col("n_tok") >= 30) & (F.col("top_ratio") <= 0.12))
     .drop("n_tok", "top_ratio")
 )
@@ -51,6 +66,7 @@ n_seqs = total_tokens // 512 + (1 if total_tokens % 512 else 0)
 
 print(f"documents in          : {n0}")
 print(f"after exact dedup     : {n1}")
+print(f"after containment     : {n1b}")
 print(f"after quality gate    : {n2}")
 print(f"after mix resample    : {n3}")
 print(f"packed tokens         : {total_tokens} -> {n_seqs} sequences of 512")
