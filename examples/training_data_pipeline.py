@@ -34,20 +34,30 @@ n1 = deduped.count()
 
 # 1b. containment dedup: drop docs whose rare-trigram set is >= 90%
 #     inside another doc's (keep the larger side) — the quotation/subset
-#     redundancy exact dedup and symmetric Jaccard both miss
+#     redundancy exact dedup and symmetric Jaccard both miss.  The drop
+#     set is PERSISTED: Catalyst re-executes shared subtrees, and every
+#     downstream action references `uncontained` — uncached, the whole
+#     containment pipeline (count windows + pair expansion) would re-run
+#     once per action instead of once total.  The id frame is tiny.
 cont = containment_pairs(deduped, min_containment=0.9)
 drop_ids = (
     cont.select(
         F.when(F.col("n_a") <= F.col("n_b"), F.col("id_a"))
         .otherwise(F.col("id_b"))
         .alias("doc_id")
-    ).distinct()
+    )
+    .distinct()
+    .persist()
 )
 uncontained = deduped.join(drop_ids, "doc_id", "left_anti")
 n1b = uncontained.count()
 
-# 2. quality gate: minimum length, then repetition ceiling (first-fail order)
-rep = repetition_ratio(uncontained)
+# 2. quality gate: minimum length, then repetition ceiling (first-fail
+#    order).  `rep` is computed from the cheap pre-containment frame —
+#    the inner join restricts it to surviving docs anyway, and deriving
+#    it from `uncontained` would put the containment anti join on BOTH
+#    sides of this join (two executions per action)
+rep = repetition_ratio(deduped)
 gated = (
     uncontained.join(rep.withColumnRenamed("id", "doc_id"), "doc_id")
     .filter((F.col("n_tok") >= 30) & (F.col("top_ratio") <= 0.12))

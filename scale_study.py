@@ -47,7 +47,8 @@ QUERIES = [
     # round-5 additions: oracle-exact LSH candidates + rule/passage reports
     "minhash32_band_pairs",
     # round-8 additions: exact n-gram overlap pairs (substring-dedup
-    # signal) + doc-in-doc containment pairs (asymmetric quotation signal)
+    # signal), doc-in-doc containment pairs (asymmetric quotation
+    # signal), and the per-source keyword-lift report
     "ngram_overlap_pairs",
     "doc_containment_pairs",
     "salient_terms_by_source",

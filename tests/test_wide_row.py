@@ -39,6 +39,10 @@ WIDE_ROW_QUERIES = (
     "minhash32_docs",
     "simhash32_docs",
     "sha256_docs",
+    # round-8: the regexp_extract_all('[a-z0-9]+') tokenizer family was
+    # previously un-gated at this width
+    "salient_terms_by_source",
+    "top_words_by_lang",
 )
 
 

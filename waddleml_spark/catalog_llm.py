@@ -1113,11 +1113,14 @@ def top_words_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def salient_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinctive vocabulary per source: top-5 words by LIFT =
-    (tf_src/tokens_src) / (tf_all/tokens_corpus) — the TF-IDF-flavored
+    (tf_src/tokens_src) / (tf_all/tokens_reported) — the TF-IDF-flavored
     keyword signal a mixing/curation stage reads ("what is this source
     actually about"), complementing top_words_by_lang's raw heavy
     hitters (which a corpus-wide stopword dominates) with
-    over-representation relative to the whole corpus.  Oracle-exact
+    over-representation relative to the rest of the REPORTED corpus:
+    tokens_reported sums the sources that appear in the report (a
+    source whose every word sits under the hapax floor contributes no
+    rows AND no tokens — the unit test pins this).  Oracle-exact
     with no rounding helper: every count is an integer and lift is a
     fixed tree of IEEE-double divisions over BIGINTs, bit-identical
     cross-engine; ranking orders by the tf_src/tf_all double BOTH

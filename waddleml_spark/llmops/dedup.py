@@ -207,6 +207,37 @@ def minhash_lsh_candidates(
     return _bucket_pairs(buckets, star_threshold=64)
 
 
+def _bucket_pair_elems(
+    buckets: DataFrame,
+    ids_col: str = "ids",
+    star_threshold: int | None = None,
+) -> DataFrame:
+    """(a, b) element pairs from each bucket's SORTED array — THE shared
+    generator core (posexplode + slice + explode) behind every bucket
+    pair expansion in this module.  Elements may be plain ids
+    (_bucket_pairs) or structs whose payload rides the expansion
+    (minhash_estimate_pairs' signatures, containment_pairs' per-doc
+    counts); the a < b invariant comes from the caller's array_sort.
+
+    ``star_threshold``: buckets larger than it emit the STAR pattern
+    (min element ↔ each other element) instead of all pairs — exactly
+    the position-0 slice of the full expansion, so the guard is one
+    filter.  ONE definition so the slice arithmetic and the guard can
+    never drift between call sites.
+    """
+    expl = buckets.select(ids_col, F.posexplode(ids_col).alias("__i", "a"))
+    if star_threshold is not None:
+        expl = expl.filter(
+            (F.size(ids_col) <= star_threshold) | (F.col("__i") == 0)
+        )
+    return expl.select(
+        "a",
+        F.explode(
+            F.slice(F.col(ids_col), F.col("__i") + 2, F.size(ids_col))
+        ).alias("b"),
+    )
+
+
 def _bucket_pairs(
     buckets: DataFrame,
     star_threshold: int | None = None,
@@ -220,22 +251,11 @@ def _bucket_pairs(
     measured 0.955 → 0.806 s end-to-end on minhash_lsh_candidates at
     sf0.1 from this rewrite, bit-identical output.
 
-    ``star_threshold``: buckets larger than it emit the STAR pattern
-    (min id ↔ each other id) instead of all pairs — which is exactly the
-    position-0 slice of the full expansion, so the guard is one filter.
     ``distinct=False`` keeps one row per bucket co-occurrence (for
     callers that COUNT shared buckets per pair instead of deduping).
     """
-    expl = buckets.select("ids", F.posexplode("ids").alias("__i", "id_a"))
-    if star_threshold is not None:
-        expl = expl.filter(
-            (F.size("ids") <= star_threshold) | (F.col("__i") == 0)
-        )
-    pairs = expl.select(
-        "id_a",
-        F.explode(
-            F.slice(F.col("ids"), F.col("__i") + 2, F.size("ids"))
-        ).alias("id_b"),
+    pairs = _bucket_pair_elems(buckets, "ids", star_threshold).select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b")
     )
     return pairs.distinct() if distinct else pairs
 
@@ -809,13 +829,7 @@ def containment_pairs(
     buckets = kept.groupBy("__h").agg(
         F.array_sort(F.collect_list(F.struct("id", "__n"))).alias("ms")
     )
-    expl = buckets.select("ms", F.posexplode("ms").alias("__i", "a"))
-    pairs = expl.select(
-        "a",
-        F.explode(
-            F.slice(F.col("ms"), F.col("__i") + 2, F.size("ms"))
-        ).alias("b"),
-    )
+    pairs = _bucket_pair_elems(buckets, "ms")
     shared = F.count("*")
     cont = shared.cast("double") / F.least(
         F.min("a.__n"), F.min("b.__n")
@@ -960,14 +974,8 @@ def minhash_estimate_pairs(
     buckets = _minhash32_band_buckets(
         df, text_col, id_col, bands, max_bucket, carry_sig=True, k=k
     )
-    expl = buckets.select("ids", F.posexplode("ids").alias("__i", "a"))
     cand = (
-        expl.select(
-            "a",
-            F.explode(
-                F.slice(F.col("ids"), F.col("__i") + 2, F.size("ids"))
-            ).alias("b"),
-        )
+        _bucket_pair_elems(buckets, "ids")
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
