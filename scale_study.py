@@ -52,6 +52,7 @@ QUERIES = [
     "ngram_overlap_pairs",
     "doc_containment_pairs",
     "salient_terms_by_source",
+    "winnowing32_overlap_pairs",
     # round-7 addition: the sketch-accuracy audit (est vs exact Jaccard)
     "minhash_estimate_audit",
     "gopher_quality_report",

@@ -453,6 +453,39 @@ def test_ngram_overlap_min_shared_filters(spark):
     assert dedup.ngram_overlap_pairs(df).count() == 0
 
 
+def test_winnowing_overlap_guarantee_and_sampling(spark):
+    # the winnowing guarantee: any shared token run of >= w+k-1 = 6
+    # tokens yields at least one shared window-min fingerprint (docs 1/2
+    # share a 7-token run); doc 3 shares nothing
+    rows = [
+        (1, "pine quartz river stone tiger umbrella velvet walnut xenon yarn"),
+        (2, "apple bronze cedar pine quartz river stone tiger umbrella velvet zinc"),
+        (3, "completely disjoint vocabulary without any overlap here today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.winnowing32_overlap_pairs(df, min_shared=1).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_winnowing_samples_below_gram_volume(spark):
+    # fingerprints are a ~2/(w+1) SAMPLE of the gram volume: on a long
+    # doc the distinct fingerprint count must sit well under the
+    # distinct gram count (the whole point of winnowing at scale)
+    text = " ".join(f"tok{i}" for i in range(200))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n_grams = dedup.shingle_rows(df).count()  # 198 distinct trigrams
+    # each fingerprint of a duplicated doc is shared, so n_shared equals
+    # doc 1's distinct fingerprint count
+    two = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    n_fp = dedup.winnowing32_overlap_pairs(two, min_shared=1).collect()[0].n_shared
+    assert n_fp < n_grams / 2
+
+
 def test_containment_pairs_doc_in_doc(spark):
     # doc 1 is quoted verbatim inside doc 2: every one of doc 1's three
     # trigrams appears in doc 2, so containment = 3/min(3, 9) = 1.0 even

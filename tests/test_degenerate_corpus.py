@@ -46,6 +46,7 @@ PAIR_QUERIES = (
     # guard) must drop the flood's grams on both engines
     "ngram_overlap_pairs",
     "doc_containment_pairs",
+    "winnowing32_overlap_pairs",
 )
 
 

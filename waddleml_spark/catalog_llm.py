@@ -2118,6 +2118,56 @@ def _ngram_overlap_oracle(min_shared: int = 3, max_df: int = 64) -> str:
     """
 
 
+def _winnowing_overlap_oracle(
+    w: int = 4, min_shared: int = 2, max_df: int = 64
+) -> str:
+    """SQL twin of dedup.winnowing32_overlap_pairs: clamped trigram rows
+    with their word position, md5-BE32 gram hashes, sliding-window MIN
+    over each doc's ``w`` consecutive grams (ROWS BETWEEN CURRENT ROW
+    AND w−1 FOLLOWING — tie-free, i is unique per doc), truncated tail
+    windows dropped via the per-doc gram count, then the same df-capped
+    shared-hash pair count as the ngram-overlap oracle."""
+    return rf"""
+    WITH tr AS (
+        SELECT doc_id, i, g
+        FROM ({_trigram_rows_clamped_sql()}) WHERE g IS NOT NULL
+    ), h AS (
+        SELECT doc_id, i, {_md5_be32_sql('g')} AS hg,
+               count(*) OVER (PARTITION BY doc_id) AS ng
+        FROM tr
+    ), fp AS (
+        SELECT doc_id, i, ng,
+               min(hg) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+                   AS f
+        FROM h
+    ), t AS (
+        SELECT DISTINCT doc_id, f AS h32
+        FROM fp WHERE i <= greatest(ng - {w - 1}, 1)
+    ), hot AS (
+        SELECT h32 FROM t GROUP BY h32 HAVING COUNT(*) BETWEEN 2 AND {max_df}
+    ), kept AS (
+        SELECT t.* FROM t JOIN hot USING (h32)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b ON a.h32 = b.h32 AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {min_shared}
+    """
+
+
+@_register("winnowing32_overlap_pairs", _winnowing_overlap_oracle())
+def winnowing32_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs
+    (dedup.winnowing32_overlap_pairs) — the MOSS sampling construction
+    (Schleimer et al. 2003) certified value-exactly: window-min
+    fingerprints guarantee shared runs of ≥ w+k−1 tokens collide while
+    carrying ~2/(w+1) of the exhaustive gram volume, the scale-cheap
+    complement of ngram_overlap_pairs."""
+    return dedup.winnowing32_overlap_pairs(t(spark, sf_dir, "documents"))
+
+
 def _containment_oracle(
     min_shared: int = 3, min_containment: float = 0.5, max_df: int = 64
 ) -> str:

@@ -759,6 +759,16 @@ def ngram_overlap_pairs(
     )
     h32 = F.conv(F.substring(F.md5(F.col("__s")), 1, 8), 16, 10).cast("long")
     hashed = sh.select("id", h32.alias("__h")).distinct()
+    return _shared_hash_pair_counts(hashed, min_shared, max_df)
+
+
+def _shared_hash_pair_counts(
+    hashed: DataFrame, min_shared: int, max_df: int
+) -> DataFrame:
+    """(id_a < id_b, n_shared) from DISTINCT (id, __h) rows: df-capped
+    hash buckets → generator pair expansion → pair-grain count — the
+    shared tail of ngram_overlap_pairs and winnowing32_overlap_pairs
+    (one definition so the df-cap/count semantics can't drift)."""
     buckets = (
         hashed.groupBy("__h")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
@@ -770,6 +780,69 @@ def ngram_overlap_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def winnowing32_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 64,
+) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs (id_a < id_b, n_shared),
+    oracle-exact: MOSS-style winnowing (Schleimer et al. 2003) selects
+    the MINIMUM gram hash of every sliding window of ``w`` consecutive
+    word trigrams, guaranteeing any shared run of ≥ w+k−1 tokens
+    produces a shared fingerprint while keeping only ~2/(w+1) of the
+    gram volume — the sampled (cheaper) complement of
+    ngram_overlap_pairs' exhaustive counts, and the oracle-certifiable
+    twin of the xxhash-based winnowing_fingerprints production column
+    (same construction, md5-BE32 gram hashes both engines compute
+    identically).
+
+    Shape: the codegen'd position-explode gram rows (same clamped
+    construction as shingle_rows, positions kept) → per-doc sliding
+    window MIN over gram positions (ONE doc-grain window — plain
+    expressions, where winnowing_fingerprints' per-row HOF array
+    accumulator evaluates interpreted) → truncated tail windows
+    dropped (windows = max(G − w + 1, 1) like the array twin's
+    sequence clamp) → distinct (doc, fingerprint) → the shared
+    df-capped pair-count tail (_shared_hash_pair_counts).  All linear;
+    the df cap bounds the quadratic term exactly as in
+    ngram_overlap_pairs.
+    """
+    from pyspark.sql import Window
+
+    k = 3
+    toks = F.split(lower_trim(F.col(text_col)), WS_RE)
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("__t"), F.size(toks).alias("__n")
+    )
+    idx = base.select(
+        "id",
+        "__t",
+        "__n",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("__n") - k, F.lit(0)))
+        ).alias("__i"),
+    )
+    gram = F.concat_ws(
+        " ", *[F.get(F.col("__t"), F.col("__i") + j) for j in range(k)]
+    )
+    h32 = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    # G = number of gram positions per doc (the explode emits exactly
+    # greatest(n-k, 0)+1 of them); windows = max(G - w + 1, 1)
+    n_grams = F.greatest(F.col("__n") - k, F.lit(0)) + 1
+    rows = idx.select(
+        "id", "__i", n_grams.alias("__ng"), h32.alias("__h")
+    )
+    win = Window.partitionBy("id").orderBy("__i").rowsBetween(0, w - 1)
+    fps = rows.withColumn("__fp", F.min("__h").over(win)).filter(
+        F.col("__i") < F.greatest(F.col("__ng") - (w - 1), F.lit(1))
+    )
+    hashed = fps.select("id", F.col("__fp").alias("__h")).distinct()
+    return _shared_hash_pair_counts(hashed, min_shared, max_df)
 
 
 def containment_pairs(
