@@ -88,12 +88,35 @@ def main() -> int:
     from waddleml_spark.sources.bucketed import read_bucketed, write_bucketed
 
     # one-time layout write (the ingest-side cost a real deployment pays
-    # once per fact table) — timed and reported, not hidden
+    # once per fact table) — timed and reported, not hidden.  The
+    # default in-memory catalog forgets saveAsTable metadata when the
+    # session ends, but the bucketed FILES survive under the warehouse
+    # dir — re-registering an external table over them (bucket spec in
+    # the DDL) skips the ~85 s rewrite on every rerun.
     li_plain = spark.read.parquet(f"{args.replica}/lineitem.parquet")
     o_plain = spark.read.parquet(f"{args.replica}/orders.parquet")
+
+    def _register_existing(table: str, df, keys: list[str]) -> bool:
+        loc = Path(args.warehouse) / table
+        if spark.catalog.tableExists(table):
+            return True
+        if not (loc / "_SUCCESS").exists():
+            return False
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        kl = ", ".join(keys)
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING parquet "
+            f"CLUSTERED BY ({kl}) SORTED BY ({kl}) INTO {N_BUCKETS} BUCKETS "
+            f"LOCATION '{loc}'"
+        )
+        return True
+
     t0 = time.perf_counter()
     need_write = not (
-        spark.catalog.tableExists("li_b100") and spark.catalog.tableExists("o_b100")
+        _register_existing("li_b100", li_plain, ["l_orderkey"])
+        and _register_existing("o_b100", o_plain, ["o_orderkey"])
     )
     if need_write:
         write_bucketed(
@@ -146,17 +169,25 @@ def main() -> int:
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
-    def best_of(mk, n=3):
-        force(mk())  # warm
-        best = float("inf")
-        for _ in range(n):
-            t = time.perf_counter()
-            force(mk())
-            best = min(best, time.perf_counter() - t)
-        return round(best, 2)
-
-    plain_sec = best_of(lambda: revenue_query(li_plain, o_plain))
-    bucketed_sec = best_of(lambda: revenue_query(li_b, o_b))
+    # INTERLEAVED min-of-5: this host's noisy-neighbor bursts are
+    # bimodal (10-30 s swings in BOTH directions, measured r8) and do
+    # NOT always show in /proc/stat steal — consecutive best-of-3 on
+    # one arm can land entirely inside a burst and invert the verdict
+    # (one run recorded plain 9.2 s vs bucketed 20.7 s; the interleaved
+    # rerun minutes later: bucketed 2.6 s vs plain 9.2 s).  Alternating
+    # arms pass-by-pass and taking each arm's min makes a single burst
+    # hit both arms equally instead of one.
+    force(revenue_query(li_plain, o_plain))  # warm both
+    force(revenue_query(li_b, o_b))
+    plain_sec = bucketed_sec = float("inf")
+    for _ in range(5):
+        t = time.perf_counter()
+        force(revenue_query(li_plain, o_plain))
+        plain_sec = min(plain_sec, time.perf_counter() - t)
+        t = time.perf_counter()
+        force(revenue_query(li_b, o_b))
+        bucketed_sec = min(bucketed_sec, time.perf_counter() - t)
+    plain_sec, bucketed_sec = round(plain_sec, 2), round(bucketed_sec, 2)
 
     # sanity: same groups/counts exactly; revenue within relative
     # tolerance.  The two layouts aggregate ~12M doubles per group in
