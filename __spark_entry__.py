@@ -48,9 +48,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # r4-vintage rows + 24 alphabetically-first r5-vintage rows + the new
 # minhash_estimate_audit + every r7-rebuilt plan.
 # Round-8 rotation (same age rule): all 20 remaining r5-vintage rows
-# MUST take the window (age would hit 4) + 17 r6-vintage rows (16
+# MUST take the window (age would hit 4) + 16 r6-vintage rows (15
 # alphabetically-first + levenshtein_verify_lsh via the rewrite rule
-# below; the remaining 24 r6 rows are age 3 at r9 and take the r9
+# below; the remaining 25 r6 rows are age 3 at r9 and take the r9
 # window).  EVERY oracle-paired query whose Spark plan was
 # REBUILT this round holds a slot regardless of vintage (the window's
 # own rewrite rule): the simhash expr-string conversion
@@ -63,16 +63,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # conversions late in the round (resample_purchase_1h via
 # resample_interpolate, profile_orders via profile_columns,
 # series_lttb_50 via lttb_downsample — the last already held an
-# r5-vintage slot).  The round's FOUR NEW oracle-paired queries
+# r5-vintage slot).  The round's FIVE NEW oracle-paired queries
 # (ngram_overlap_pairs, the exact-substring-dedup signal;
 # doc_containment_pairs, the doc-in-doc containment signal;
-# salient_terms_by_source, the per-source keyword-lift signal; and
-# winnowing32_overlap_pairs, the MOSS sampled-fingerprint signal)
+# salient_terms_by_source, the per-source keyword-lift signal;
+# winnowing32_overlap_pairs, the MOSS sampled-fingerprint signal; and
+# self_repetition_report, the within-doc duplicate-passage signal)
 # outrank any re-cert for a slot — they have never been
-# driver-certified.  To make room, six alphabetical-tail r6 rows
-# (incremental_dedup_report, jaccard_word_pairs_src0,
+# driver-certified.  To make room, seven alphabetical-tail r6 rows
+# (in_list_filter, incremental_dedup_report, jaccard_word_pairs_src0,
 # json_canonical_docs, json_extract_props, lead_lag_delta,
-# levenshtein_pairs_src0) join the r9 set (24 rows, age 3 at r9).
+# levenshtein_pairs_src0) join the r9 set (25 rows, age 3 at r9).
 # levenshtein_verify_lsh KEEPS a slot despite its r6 vintage because
 # the second simhash fused-aggregate rebuild flows into its candidate
 # pipeline (the rewrite rule), alongside the other simhash consumers
@@ -87,6 +88,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # NEW oracle queries this round + rebuilt plans -> must (re-)certify
     "ngram_overlap_pairs", "doc_containment_pairs",
     "salient_terms_by_source", "winnowing32_overlap_pairs",
+    "self_repetition_report",
     "simhash32_docs", "simhash32_band_pairs", "levenshtein_verify_lsh",
     "cosine_topk_q0",
     "sessionize_users", "revenue_by_priority",
@@ -99,15 +101,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "text_quality_by_lang", "top_supplier_q15", "top_words_by_lang",
     "topn_orders", "trigram_novelty_by_source", "type_token_ratio_by_lang",
     "variant_props_stats", "volume_shipping_q7",
-    # r6 vintage (16 alphabetically-first; with the r6-vintage rows
-    # re-certified via the rebuilt group above, 24 r6 rows remain for
+    # r6 vintage (15 alphabetically-first; with the r6-vintage rows
+    # re-certified via the rebuilt group above, 25 r6 rows remain for
     # the r9 window)
     "bigram_lm_quality_by_lang", "chunking_report",
     "contamination_by_source", "corpus_mix_report",
     "corpus_resample_report", "corr_price_qty", "derived_duration",
     "distinct_keys", "distinct_users_by_type", "ema_smooth_5",
     "exact_dedup_docs", "filter_funnel_report", "fk_scan",
-    "hypertable_rollup_day", "in_list_filter",
+    "hypertable_rollup_day",
     "jaccard_verify_lsh",
 )
 

@@ -53,6 +53,7 @@ QUERIES = [
     "doc_containment_pairs",
     "salient_terms_by_source",
     "winnowing32_overlap_pairs",
+    "self_repetition_report",
     # round-7 addition: the sketch-accuracy audit (est vs exact Jaccard)
     "minhash_estimate_audit",
     "gopher_quality_report",

@@ -453,6 +453,28 @@ def test_ngram_overlap_min_shared_filters(spark):
     assert dedup.ngram_overlap_pairs(df).count() == 0
 
 
+def test_self_repetition_report_counts_internal_repeats(spark):
+    # doc 1 = the SAME 20-word chunk three times -> every chunk instance
+    # is an internal repeat (inst=3, ratio 1.0); doc 2 has no repeats
+    chunk = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, " ".join([chunk] * 3), "en", "srcA", 0),
+        (2, " ".join(f"u{i}" for i in range(40)), "en", "srcA", 0),
+        (3, " ".join(f"v{i}" for i in range(25)), "en", "srcB", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: r for r in dedup.self_repetition_report(df).collect()}
+    a = out["srcA"]
+    # srcA: doc1 3 chunks (all one hash, inst=3) + doc2 2 chunks
+    assert a.total_passages == 5 and a.self_dup_passages == 3
+    assert a.docs_with_internal_repeat == 1 and a.self_dup_ratio == 3 / 5
+    b = out["srcB"]
+    assert b.self_dup_passages == 0 and b.docs_with_internal_repeat == 0
+    assert b.self_dup_ratio == 0.0
+
+
 def test_winnowing_overlap_guarantee_and_sampling(spark):
     # the winnowing guarantee: any shared token run of >= w+k-1 = 6
     # tokens yields at least one shared window-min fingerprint (docs 1/2

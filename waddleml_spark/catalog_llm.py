@@ -706,6 +706,40 @@ def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "self_repetition_report",
+    rf"""
+    WITH p AS (
+        SELECT doc_id, source,
+               md5(string_agg(wd, ' ' ORDER BY i)) AS ph
+        FROM ({_word_pos_sql(", source")})
+        GROUP BY doc_id, source, CAST(floor((i - 1) / 20) AS BIGINT)
+    ), g AS (
+        SELECT ph, source, doc_id, count(*) AS inst
+        FROM p GROUP BY ph, source, doc_id
+    )
+    SELECT source,
+           CAST(sum(inst) AS BIGINT) AS total_passages,
+           CAST(coalesce(sum(CASE WHEN inst >= 2 THEN inst END), 0) AS BIGINT)
+               AS self_dup_passages,
+           count(DISTINCT CASE WHEN inst >= 2 THEN doc_id END)
+               AS docs_with_internal_repeat,
+           CAST(CAST(coalesce(sum(CASE WHEN inst >= 2 THEN inst END), 0)
+                     AS BIGINT) AS DOUBLE) / CAST(sum(inst) AS BIGINT)
+               AS self_dup_ratio
+    FROM g GROUP BY source
+    """,
+)
+def self_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document passage repetition (dedup.self_repetition_report):
+    the duplicate-paragraph quality signal — documents repeating their
+    OWN 20-word chunks (looped boilerplate, scraper stutter) — which the
+    cross-doc passage window ignores and the token-grain repetition
+    ratio under-detects.  Oracle-exact: integer chunk-instance counts
+    plus one BIGINT-through-double division."""
+    return dedup.self_repetition_report(t(spark, sf_dir, "documents"))
+
+
+@_register(
     "passage_dedup_report",
     rf"""
     WITH p AS (

@@ -1203,6 +1203,88 @@ def simhash32_band_pairs(
     return _bucket_pairs(buckets)
 
 
+def _passage_inst(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    passage_words: int,
+) -> DataFrame:
+    """(ph, grp, id, inst): per-document instance counts of each
+    non-overlapping ``passage_words``-word chunk's md5 — the shared
+    chunk grain behind passage_dup_report (cross-doc dups via a hash
+    window) and self_repetition_report (within-doc dups read straight
+    off ``inst``).  Chunking is a generator explode; counting is ONE
+    shuffle on the hash."""
+    toks = F.split(lower_trim(F.col(text_col)), WS_RE)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        toks.alias("__t"),
+        F.size(toks).alias("__n"),
+    )
+    n_chunks = F.ceil(F.col("__n") / F.lit(float(passage_words))).cast("long")
+    idx = base.select(
+        "id",
+        "grp",
+        "__t",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+        ).alias("__i"),
+    )
+    ph = F.md5(
+        F.concat_ws(
+            " ",
+            F.slice(F.col("__t"), F.col("__i") * passage_words + 1, passage_words),
+        )
+    )
+    return (
+        idx.select("id", "grp", ph.alias("ph"))
+        .groupBy("ph", "grp", "id")
+        .agg(F.count("*").alias("inst"))
+    )
+
+
+def self_repetition_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    passage_words: int = 20,
+) -> DataFrame:
+    """WITHIN-document passage repetition report — the duplicate-
+    paragraph signal of the Gopher repetition filters (Rae et al. 2021)
+    at chunk grain: a document that repeats its own 20-word chunks
+    (looped boilerplate, scraper stutter, templated listings) is low-
+    quality even when no OTHER document shares the text, which is
+    exactly the case passage_dup_report's cross-doc window ignores and
+    top_token_run's single-token grain under-detects.
+
+    Per group: total passage instances, instances of chunks repeated
+    INSIDE their own document (inst ≥ 2), documents carrying any such
+    repeat, and the repeated-instance share (two exact BIGINTs through
+    IEEE double — bit-identical cross-engine).
+
+    Scale shape: the shared _passage_inst chunk grain (one generator
+    explode + ONE hash-grain shuffle), then a group_col aggregate.  The
+    single count-DISTINCT rides the same aggregate (one Expand at the
+    already chunk-aggregated grain — far below corpus scale); no
+    second reference to the chunk pipeline anywhere.
+    """
+    inst = _passage_inst(df, text_col, id_col, group_col, passage_words)
+    rep = F.col("inst") >= 2
+    dup_sum = F.coalesce(F.sum(F.when(rep, F.col("inst"))), F.lit(0))
+    total = F.sum("inst")
+    return inst.groupBy(F.col("grp").alias(group_col)).agg(
+        total.alias("total_passages"),
+        dup_sum.alias("self_dup_passages"),
+        F.count_distinct(F.when(rep, F.col("id"))).alias(
+            "docs_with_internal_repeat"
+        ),
+        (dup_sum.cast("double") / total).alias("self_dup_ratio"),
+    )
+
+
 def passage_dup_report(
     df: DataFrame,
     text_col: str = "text",
@@ -1234,33 +1316,7 @@ def passage_dup_report(
     """
     from pyspark.sql import Window
 
-    toks = F.split(lower_trim(F.col(text_col)), WS_RE)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(group_col).alias("grp"),
-        toks.alias("__t"),
-        F.size(toks).alias("__n"),
-    )
-    n_chunks = F.ceil(F.col("__n") / F.lit(float(passage_words))).cast("long")
-    idx = base.select(
-        "id",
-        "grp",
-        "__t",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
-        ).alias("__i"),
-    )
-    ph = F.md5(
-        F.concat_ws(
-            " ",
-            F.slice(F.col("__t"), F.col("__i") * passage_words + 1, passage_words),
-        )
-    )
-    inst = (
-        idx.select("id", "grp", ph.alias("ph"))
-        .groupBy("ph", "grp", "id")
-        .agg(F.count("*").alias("inst"))
-    )
+    inst = _passage_inst(df, text_col, id_col, group_col, passage_words)
     nd = F.count("*").over(Window.partitionBy("ph"))
     flagged = inst.withColumn("nd", nd)
     dup = F.col("nd") >= 2
