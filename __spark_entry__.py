@@ -48,9 +48,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # r4-vintage rows + 24 alphabetically-first r5-vintage rows + the new
 # minhash_estimate_audit + every r7-rebuilt plan.
 # Round-8 rotation (same age rule): all 20 remaining r5-vintage rows
-# MUST take the window (age would hit 4) + 16 r6-vintage rows (15
-# alphabetically-first + levenshtein_verify_lsh via the rewrite rule
-# below; the remaining 25 r6 rows are age 3 at r9 and take the r9
+# MUST take the window (age would hit 4) + 16 r6-vintage rows (the 14
+# alphabetically-first, plus jaccard_verify_lsh AND
+# levenshtein_verify_lsh which keep slots out of alphabetical order via
+# the rewrite rule below — both consume the rebuilt simhash candidate
+# pipeline; the remaining 25 r6 rows are age 3 at r9 and take the r9
 # window).  EVERY oracle-paired query whose Spark plan was
 # REBUILT this round holds a slot regardless of vintage (the window's
 # own rewrite rule): the simhash expr-string conversion
@@ -70,8 +72,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # winnowing32_overlap_pairs, the MOSS sampled-fingerprint signal; and
 # self_repetition_report, the within-doc duplicate-passage signal)
 # outrank any re-cert for a slot — they have never been
-# driver-certified.  To make room, seven alphabetical-tail r6 rows
-# (in_list_filter, incremental_dedup_report, jaccard_word_pairs_src0,
+# driver-certified.  To make room, the seven r6 rows after the
+# alphabetical cut that are NOT rewrite-pinned (in_list_filter,
+# incremental_dedup_report, jaccard_word_pairs_src0,
 # json_canonical_docs, json_extract_props, lead_lag_delta,
 # levenshtein_pairs_src0) join the r9 set (25 rows, age 3 at r9).
 # levenshtein_verify_lsh KEEPS a slot despite its r6 vintage because
@@ -101,9 +104,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "text_quality_by_lang", "top_supplier_q15", "top_words_by_lang",
     "topn_orders", "trigram_novelty_by_source", "type_token_ratio_by_lang",
     "variant_props_stats", "volume_shipping_q7",
-    # r6 vintage (15 alphabetically-first; with the r6-vintage rows
-    # re-certified via the rebuilt group above, 25 r6 rows remain for
-    # the r9 window)
+    # r6 vintage (14 alphabetically-first + rewrite-pinned
+    # jaccard_verify_lsh; 25 r6 rows remain for the r9 window)
     "bigram_lm_quality_by_lang", "chunking_report",
     "contamination_by_source", "corpus_mix_report",
     "corpus_resample_report", "corr_price_qty", "derived_duration",

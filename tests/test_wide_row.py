@@ -43,6 +43,9 @@ WIDE_ROW_QUERIES = (
     # previously un-gated at this width
     "salient_terms_by_source",
     "top_words_by_lang",
+    # round-8: doc-grain chunk pairing (the fixture plants within-doc
+    # repeated phrases; its pair-grain siblings stay excluded)
+    "self_repetition_report",
 )
 
 

@@ -92,41 +92,59 @@ def main() -> int:
     # default in-memory catalog forgets saveAsTable metadata when the
     # session ends, but the bucketed FILES survive under the warehouse
     # dir — re-registering an external table over them (bucket spec in
-    # the DDL) skips the ~85 s rewrite on every rerun.
+    # the DDL) skips the ~85 s rewrite on every rerun.  Reuse is
+    # FACTOR-GUARDED per table via a marker file (a --factor change or
+    # replica rebuild must not time a stale layout), and recovery is
+    # PER TABLE: a run interrupted between the two writes leaves one
+    # complete table (reused) and one partial dir (cleared and
+    # rewritten) — write-both-on-any-miss would CTAS onto the surviving
+    # table's non-empty location and wedge every later run.
+    import shutil
+
     li_plain = spark.read.parquet(f"{args.replica}/lineitem.parquet")
     o_plain = spark.read.parquet(f"{args.replica}/orders.parquet")
 
-    def _register_existing(table: str, df, keys: list[str]) -> bool:
+    def _ensure_table(table: str, df, keys: list[str]) -> bool:
+        """Register the existing layout if complete and factor-matched,
+        else clear and rewrite.  Returns True if a write happened."""
         loc = Path(args.warehouse) / table
-        if spark.catalog.tableExists(table):
-            return True
-        if not (loc / "_SUCCESS").exists():
+        marker = loc / "_layout_meta.json"
+        complete = (loc / "_SUCCESS").exists() and marker.exists()
+        if complete:
+            try:
+                meta = json.loads(marker.read_text())
+            except ValueError:
+                meta = {}
+            complete = (
+                meta.get("factor") == args.factor
+                and meta.get("replica") == args.replica
+            )
+        if complete:
+            if not spark.catalog.tableExists(table):
+                cols = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in df.schema.fields
+                )
+                kl = ", ".join(keys)
+                spark.sql(
+                    f"CREATE TABLE {table} ({cols}) USING parquet "
+                    f"CLUSTERED BY ({kl}) SORTED BY ({kl}) "
+                    f"INTO {N_BUCKETS} BUCKETS LOCATION '{loc}'"
+                )
             return False
-        cols = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-        )
-        kl = ", ".join(keys)
-        spark.sql(
-            f"CREATE TABLE {table} ({cols}) USING parquet "
-            f"CLUSTERED BY ({kl}) SORTED BY ({kl}) INTO {N_BUCKETS} BUCKETS "
-            f"LOCATION '{loc}'"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if loc.exists():
+            shutil.rmtree(loc)
+        write_bucketed(df, table, keys, n_buckets=N_BUCKETS, sort_by=keys)
+        marker.write_text(
+            json.dumps({"factor": args.factor, "replica": args.replica})
         )
         return True
 
     t0 = time.perf_counter()
-    need_write = not (
-        _register_existing("li_b100", li_plain, ["l_orderkey"])
-        and _register_existing("o_b100", o_plain, ["o_orderkey"])
-    )
-    if need_write:
-        write_bucketed(
-            li_plain, "li_b100", ["l_orderkey"], n_buckets=N_BUCKETS,
-            sort_by=["l_orderkey"],
-        )
-        write_bucketed(
-            o_plain, "o_b100", ["o_orderkey"], n_buckets=N_BUCKETS,
-            sort_by=["o_orderkey"],
-        )
+    wrote_li = _ensure_table("li_b100", li_plain, ["l_orderkey"])
+    wrote_o = _ensure_table("o_b100", o_plain, ["o_orderkey"])
+    need_write = wrote_li or wrote_o
     layout_sec = round(time.perf_counter() - t0, 2) if need_write else None
 
     li_b, o_b = read_bucketed(spark, "li_b100"), read_bucketed(spark, "o_b100")

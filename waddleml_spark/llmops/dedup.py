@@ -81,6 +81,7 @@ def shingle_rows(
     id_col: str = "doc_id",
     k: int = 3,
     distinct: bool = True,
+    with_pos: bool = False,
 ) -> DataFrame:
     """(id, __s) rows: one distinct word-k-gram shingle per row —
     codegen-friendly twin of exploding shingles().
@@ -95,14 +96,23 @@ def shingle_rows(
     distinct=False for duplicate-insensitive consumers (MIN/MAX
     aggregates) — then nothing shuffles and the token array never
     leaves its scan partition.
+
+    ``with_pos=True`` returns (id, __i, __ng, __s) — each gram with its
+    0-based position and the doc's total gram count — for consumers
+    that window over gram order (winnowing).  ONE definition of the
+    tokenizer + clamp semantics for every gram-grain operator; never
+    re-implement this construction inline (the oracle twins depend on
+    its exact clamp behavior).
     """
     toks = F.split(lower_trim(F.col(text_col)), WS_RE)
     base = df.select(
         F.col(id_col).alias("id"), toks.alias("__t"), F.size(toks).alias("__n")
     )
+    pos_cols = ["__n"] if with_pos else []
     idx = base.select(
         "id",
         "__t",
+        *pos_cols,
         F.explode(
             F.sequence(F.lit(0), F.greatest(F.col("__n") - k, F.lit(0)))
         ).alias("__i"),
@@ -110,8 +120,20 @@ def shingle_rows(
     gram = F.concat_ws(
         " ", *[F.get(F.col("__t"), F.col("__i") + j) for j in range(k)]
     )
+    if with_pos:
+        n_grams = F.greatest(F.col("__n") - k, F.lit(0)) + 1
+        return idx.select(
+            "id", "__i", n_grams.alias("__ng"), gram.alias("__s")
+        )
     rows = idx.select("id", gram.alias("__s"))
     return rows.distinct() if distinct else rows
+
+
+def _md5_be32(col: F.Column) -> F.Column:
+    """Big-endian first 4 md5 bytes as a long — the ONE hash both
+    engines compute identically (DuckDB twin: _md5_be32_sql).  Shared
+    by every oracle-exact gram/shingle pairing."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
 def minhash_lsh_candidates(
@@ -287,7 +309,7 @@ def minhash_block_candidates(
     whole blocking chain is differentially checkable.
     """
     w = df.select(F.col(id_col).alias("id"), F.explode(words_col).alias("__w"))
-    h32 = F.conv(F.substring(F.md5(F.col("__w")), 1, 8), 16, 10).cast("long")
+    h32 = _md5_be32(F.col("__w"))
     keys = (
         w.select("id", h32.alias("__h"))
         .groupBy("id")
@@ -707,7 +729,7 @@ def _minhash32_grouped(
     sh_rows = shingle_rows(df, text_col, id_col, k, distinct=False).select(
         F.col("id").alias(id_col), "__s"
     )
-    h32 = F.conv(F.substring(F.md5(F.col("__s")), 1, 8), 16, 10).cast("long")
+    h32 = _md5_be32(F.col("__s"))
     hashed = sh_rows.select(id_col, h32.alias("__h"))
     mins = [
         F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(_MH_P)).alias(f"__m{i}")
@@ -757,7 +779,7 @@ def ngram_overlap_pairs(
     sh = shingle_rows(df, text_col, id_col, k=3, distinct=False).select(
         F.col("id"), F.col("__s")
     )
-    h32 = F.conv(F.substring(F.md5(F.col("__s")), 1, 8), 16, 10).cast("long")
+    h32 = _md5_be32(F.col("__s"))
     hashed = sh.select("id", h32.alias("__h")).distinct()
     return _shared_hash_pair_counts(hashed, min_shared, max_df)
 
@@ -814,29 +836,11 @@ def winnowing32_overlap_pairs(
     """
     from pyspark.sql import Window
 
-    k = 3
-    toks = F.split(lower_trim(F.col(text_col)), WS_RE)
-    base = df.select(
-        F.col(id_col).alias("id"), toks.alias("__t"), F.size(toks).alias("__n")
-    )
-    idx = base.select(
-        "id",
-        "__t",
-        "__n",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col("__n") - k, F.lit(0)))
-        ).alias("__i"),
-    )
-    gram = F.concat_ws(
-        " ", *[F.get(F.col("__t"), F.col("__i") + j) for j in range(k)]
-    )
-    h32 = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
-    # G = number of gram positions per doc (the explode emits exactly
-    # greatest(n-k, 0)+1 of them); windows = max(G - w + 1, 1)
-    n_grams = F.greatest(F.col("__n") - k, F.lit(0)) + 1
-    rows = idx.select(
-        "id", "__i", n_grams.alias("__ng"), h32.alias("__h")
-    )
+    # the shared clamped gram construction WITH positions: __ng = number
+    # of gram positions per doc; windows = max(__ng - w + 1, 1)
+    rows = shingle_rows(
+        df, text_col, id_col, k=3, distinct=False, with_pos=True
+    ).select("id", "__i", "__ng", _md5_be32(F.col("__s")).alias("__h"))
     win = Window.partitionBy("id").orderBy("__i").rowsBetween(0, w - 1)
     fps = rows.withColumn("__fp", F.min("__h").over(win)).filter(
         F.col("__i") < F.greatest(F.col("__ng") - (w - 1), F.lit(1))
@@ -890,7 +894,7 @@ def containment_pairs(
     sh = shingle_rows(df, text_col, id_col, k=3, distinct=False).select(
         F.col("id"), F.col("__s")
     )
-    h32 = F.conv(F.substring(F.md5(F.col("__s")), 1, 8), 16, 10).cast("long")
+    h32 = _md5_be32(F.col("__s"))
     hashed = sh.select("id", h32.alias("__h")).distinct()
     with_df = hashed.withColumn(
         "__df", F.count("*").over(Window.partitionBy("__h"))
