@@ -74,6 +74,12 @@ plan = packed_sequences(mixed.dropDuplicates(["doc_id"]), seq_len=512)
 total_tokens = plan.agg(F.max("end")).collect()[0][0] or 0
 n_seqs = total_tokens // 512 + (1 if total_tokens % 512 else 0)
 
+# release the cached drop set now that the LAST action flowing through
+# `uncontained`'s lineage (the packing collect above) has run — every
+# stage 2-4 action reads it, so unpersisting any earlier would re-run
+# the containment pipeline once per remaining action
+drop_ids.unpersist()
+
 print(f"documents in          : {n0}")
 print(f"after exact dedup     : {n1}")
 print(f"after containment     : {n1b}")

@@ -726,7 +726,9 @@ def revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders/lineitem share the orderkey; at scale both sides should be
     bucketed by orderkey so this is a shuffle-free sort-merge join
     (sources.bucketed.bucket_facts produces that layout in one call;
-    tools/bucketed_study.py measured it 3.3x at the 100x replica).  AQE
+    tools/bucketed_study.py measured it 5.93x — 5.34 s -> 0.90 s — at
+    the 100x replica, quiet-window interleaved min-of-5;
+    examples/bucketed_layout.py shows the user-facing flow).  AQE
     handles skewed keys.  Locally Catalyst picks broadcast for orders.
     """
     o = t(spark, sf_dir, "orders")

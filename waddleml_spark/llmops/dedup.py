@@ -99,11 +99,19 @@ def shingle_rows(
 
     ``with_pos=True`` returns (id, __i, __ng, __s) — each gram with its
     0-based position and the doc's total gram count — for consumers
-    that window over gram order (winnowing).  ONE definition of the
-    tokenizer + clamp semantics for every gram-grain operator; never
+    that window over gram order (winnowing).  Positioned rows are
+    inherently per-occurrence, so ``distinct`` does not apply: callers
+    must pass ``distinct=False`` explicitly (a silent ignore would let
+    a caller believe the default True deduplicated).  ONE definition of
+    the tokenizer + clamp semantics for every gram-grain operator; never
     re-implement this construction inline (the oracle twins depend on
     its exact clamp behavior).
     """
+    if with_pos and distinct:
+        raise ValueError(
+            "shingle_rows(with_pos=True) yields per-occurrence positioned "
+            "rows; dedup does not apply — pass distinct=False explicitly"
+        )
     toks = F.split(lower_trim(F.col(text_col)), WS_RE)
     base = df.select(
         F.col(id_col).alias("id"), toks.alias("__t"), F.size(toks).alias("__n")
