@@ -77,42 +77,50 @@ def entry(spark: SparkSession) -> DataFrame:
 # incremental_dedup_report, jaccard_word_pairs_src0,
 # json_canonical_docs, json_extract_props, lead_lag_delta,
 # levenshtein_pairs_src0) join the r9 set (25 rows, age 3 at r9).
-# levenshtein_verify_lsh KEEPS a slot despite its r6 vintage because
-# the second simhash fused-aggregate rebuild flows into its candidate
-# pipeline (the rewrite rule), alongside the other simhash consumers
-# (simhash32_docs, simhash32_band_pairs, jaccard_verify_lsh) already
-# holding slots.  Anchors: flagship (slot 1, the smoke query) and
-# minhash32_band_pairs (the full oracle-exact LSH chain).
+# levenshtein_verify_lsh KEPT a slot in r8 despite its r6 vintage
+# because the second simhash fused-aggregate rebuild flowed into its
+# candidate pipeline (the rewrite rule).
+# Round-9 rotation (same age rule): ALL 24 remaining r6-vintage rows
+# take slots (age 3 at r9 — the r8 deferral list plus the other 17
+# never re-certified since r6).  The round's NEW oracle query
+# (url_dedup_report — URL canonicalization dedup, llmops.urlnorm)
+# takes a slot (never certified), and doc_containment_pairs holds one
+# under the rewrite rule (its gram-grain window plan is this round's
+# top optimization candidate — re-certified whether or not the plan
+# changes).  The remaining 22 slots pull the alphabetically-first
+# r7-vintage rows FORWARD (age 2): 45 r7 rows would otherwise all hit
+# age 3 at r10 and overflow that window — splitting them 22/23 across
+# r9/r10 keeps both windows under 50 with room for new operators.
+# Anchors: flagship (slot 1, the smoke query) and minhash32_band_pairs
+# (the full oracle-exact LSH chain).
 # All 50 emulator-preverified this round (sf0.01, bare session, values +
 # type families).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # anchors
     "flagship_leaderboard", "minhash32_band_pairs",
-    # NEW oracle queries this round + rebuilt plans -> must (re-)certify
-    "ngram_overlap_pairs", "doc_containment_pairs",
-    "salient_terms_by_source", "winnowing32_overlap_pairs",
-    "self_repetition_report",
-    "simhash32_docs", "simhash32_band_pairs", "levenshtein_verify_lsh",
-    "cosine_topk_q0",
-    "sessionize_users", "revenue_by_priority",
-    "resample_purchase_1h", "profile_orders",
-    # r5 vintage (all 20 remaining -- age bound)
-    "potential_promotion_q20", "product_profit_q9", "promo_revenue_q14",
-    "repetition_filter_report", "returned_items_q10", "runs_list_page",
-    "series_downsample_50", "series_lttb_50", "small_quantity_revenue_q17",
-    "stale_reclass", "stratified_eval_sample", "supplier_part_counts_q16",
-    "text_quality_by_lang", "top_supplier_q15", "top_words_by_lang",
-    "topn_orders", "trigram_novelty_by_source", "type_token_ratio_by_lang",
-    "variant_props_stats", "volume_shipping_q7",
-    # r6 vintage (14 alphabetically-first + rewrite-pinned
-    # jaccard_verify_lsh; 25 r6 rows remain for the r9 window)
-    "bigram_lm_quality_by_lang", "chunking_report",
-    "contamination_by_source", "corpus_mix_report",
-    "corpus_resample_report", "corr_price_qty", "derived_duration",
-    "distinct_keys", "distinct_users_by_type", "ema_smooth_5",
-    "exact_dedup_docs", "filter_funnel_report", "fk_scan",
-    "hypertable_rollup_day",
-    "jaccard_verify_lsh",
+    # NEW oracle query this round + the rewrite-rule slot
+    "url_dedup_report", "doc_containment_pairs",
+    # r6 vintage (all 24 remaining -- age bound)
+    "in_list_filter", "incremental_dedup_report",
+    "jaccard_word_pairs_src0", "json_canonical_docs",
+    "json_extract_props", "lead_lag_delta", "levenshtein_pairs_src0",
+    "metric_anomaly_report", "minhash32_docs", "names_by_segment",
+    "orders_per_month", "point_lookup", "prefix_exclusion",
+    "range_pairs_60s", "running_sum_per_user", "search_ci",
+    "sequence_packing_report", "set_ops_users", "sha256_docs",
+    "size_class_counts", "source_numeric_ids", "substr_format",
+    "token_totals_by_source", "value_histogram",
+    # r7 vintage pulled forward (22 alphabetically-first; the other 23
+    # take the r10 window)
+    "agg_minmax_count", "anti_join_missing", "asof_purchase_click",
+    "cdc_changes_since", "corpus_snapshot_diff", "cube_orders",
+    "customer_distribution_q13", "dataset_split_report", "dim_join_agg",
+    "disjunctive_revenue_q19", "distribution_ranks_orders",
+    "embedding_dim_stats", "embedding_neardup_pairs",
+    "embedding_norm_by_label", "fingerprint_docs", "forecast_revenue_q6",
+    "gopher_quality_report", "grouping_sets_orders",
+    "idle_rich_customers_q22", "important_stock_q11", "lang_pred_matrix",
+    "large_order_customers_q18",
 )
 
 

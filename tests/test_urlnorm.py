@@ -1,0 +1,129 @@
+"""URL canonicalization: hand-pinned cases, cross-engine dialect fuzz
+(the CLAUDE.md regex rule: every regex shorthand / anchor / string
+builtin is engine-specific until fuzzed), and the shingle_rows
+positioned-rows guard."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from waddleml_spark.llmops import dedup, urlnorm
+
+SET = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+CASES = [
+    # scheme case + www + default port + fragment + tracking + order
+    (
+        "HTTPS://WWW.Example7.COM:443/page/3/?utm_source=feed&lang=en#top",
+        "https://example7.com/page/3?lang=en",
+    ),
+    # http collapses into https; :80 stripped; index.html stripped
+    (
+        "http://example7.com:80/page/3/index.html?lang=en&utm_campaign=x",
+        "https://example7.com/page/3?lang=en",
+    ),
+    # param sorting; ref dropped; no trailing slash to strip
+    (
+        "https://example1.com/a?z=1&ref=home&a=2",
+        "https://example1.com/a?a=2&z=1",
+    ),
+    # empty path renders as '/'; all params tracking -> no '?'
+    ("https://example.com?utm_source=x", "https://example.com/"),
+    # bare host, no scheme marker: treated as host
+    ("example.com/x/", "https://example.com/x"),
+    # root slash survives
+    ("https://example.com/", "https://example.com/"),
+]
+
+
+def test_canonical_url_hand_cases(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CASES)], "i int, url string"
+    )
+    got = {
+        r.i: r.canonical_url
+        for r in urlnorm.with_canonical_url(df).collect()
+    }
+    for i, (u, want) in enumerate(CASES):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_canonical_url_sql_twin_hand_cases():
+    con = duckdb.connect()
+    con.register(
+        "t", pd.DataFrame({"i": range(len(CASES)), "url": [u for u, _ in CASES]})
+    )
+    sql = urlnorm.canonical_url_subquery_sql("SELECT i, url FROM t")
+    got = dict(con.execute(f"SELECT i, canonical_url FROM ({sql})").fetchall())
+    for i, (u, want) in enumerate(CASES):
+        assert got[i] == want, (u, got[i], want)
+
+
+# URL-ish ASCII soup: delimiters in wrong places, repeated markers,
+# tracking-prefix fragments, case mixing — the canonicalization must be
+# TOTAL and the two engines must agree on any ASCII input, not only on
+# well-formed URLs.  ASCII-only by documented soundness (lower()
+# diverges beyond ASCII — CLAUDE.md).
+_url_st = st.lists(
+    st.text(
+        alphabet="abWw09.:/?&=#_-uTtMmRrEeFf",
+        min_size=0,
+        max_size=30,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SET
+@given(urls=_url_st)
+def test_canonical_url_parity_spark_vs_duckdb(spark, urls):
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i int, url string"
+    )
+    got = {
+        r.i: r.canonical_url
+        for r in urlnorm.with_canonical_url(df).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(urls)), "url": urls}))
+    sql = urlnorm.canonical_url_subquery_sql("SELECT i, url FROM t")
+    want = dict(con.execute(f"SELECT i, canonical_url FROM ({sql})").fetchall())
+    for i, u in enumerate(urls):
+        assert got[i] == want[i], (repr(u), got[i], want[i])
+
+
+def test_url_dedup_report_keeper_is_min_and_groups_collapse(spark):
+    """At smoke SF the report's groups obey the plant's arithmetic:
+    keeper_id == min over the group, and every group >= 2 collapses at
+    least one raw variant pair (n_variants <= n_docs)."""
+    from waddleml_spark import catalog
+
+    rows = catalog.QUERIES["url_dedup_report"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "plant should produce duplicate canonical groups"
+    for r in rows:
+        assert r.n_docs >= 2
+        assert 1 <= r.n_variants <= r.n_docs
+        assert r.canonical_url.startswith("https://example")
+        # tracking params and fragments never survive
+        assert "utm_" not in r.canonical_url
+        assert "#" not in r.canonical_url
+
+
+def test_shingle_rows_rejects_distinct_with_positions(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="with_pos"):
+        dedup.shingle_rows(df, with_pos=True)
+    # explicit distinct=False stays the supported path
+    assert dedup.shingle_rows(df, with_pos=True, distinct=False).count() == 2

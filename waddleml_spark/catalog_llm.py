@@ -2559,3 +2559,98 @@ def temperature_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- URL canonicalization dedup (crawl-pipeline stage; llmops.urlnorm) ---
+
+# Deterministic messy-URL plant, shared VERBATIM between engines (the
+# pii_scrub_report pattern): the corpus has no url column, so both sides
+# derive one from doc_id with every canonicalization-relevant variation —
+# scheme case, www prefix, host case, explicit default port, trailing
+# slash vs /index.html, tracking params in varying positions, param
+# order, fragment.  Canonical key dims: host (doc_id%10), page
+# (doc_id%8), lang param (doc_id%2), extra-params flag (doc_id%7=3) —
+# every other dim must collapse.  ASCII-only by construction (the lower()
+# dialect rule).
+_URL_PLANT = """
+concat(
+  CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'https' ELSE 'HTTPS' END,
+  '://',
+  CASE WHEN doc_id % 4 = 0 THEN 'WWW.'
+       WHEN doc_id % 4 = 2 THEN 'www.' ELSE '' END,
+  CASE WHEN doc_id % 2 = 0 THEN 'EXAMPLE' ELSE 'example' END,
+  CAST(doc_id % 10 AS STRING),
+  CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.com' END,
+  CASE doc_id % 5 WHEN 0 THEN ':443' WHEN 1 THEN ':80' ELSE '' END,
+  '/page/', CAST(doc_id % 8 AS STRING),
+  CASE WHEN doc_id % 9 < 3 THEN '/'
+       WHEN doc_id % 9 = 3 THEN '/index.html' ELSE '' END,
+  CASE doc_id % 7
+    WHEN 0 THEN concat('?utm_source=feed&lang=',
+                       CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END)
+    WHEN 1 THEN concat('?lang=',
+                       CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END,
+                       '&utm_campaign=x')
+    WHEN 2 THEN concat('?lang=',
+                       CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END,
+                       '&ref=home')
+    WHEN 3 THEN concat('?z=1&lang=',
+                       CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END,
+                       '&a=2')
+    ELSE concat('?lang=',
+                CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END)
+  END,
+  CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END
+)
+"""
+
+
+def _url_dedup_oracle() -> str:
+    from waddleml_spark.llmops import urlnorm
+
+    inner = f"SELECT doc_id, {_URL_PLANT} AS url FROM documents"
+    canon = urlnorm.canonical_url_subquery_sql(inner)
+    return f"""
+    SELECT canonical_url, count(*) AS n_docs,
+           count(DISTINCT url) AS n_variants,
+           min(doc_id) AS keeper_id
+    FROM ({canon}) GROUP BY canonical_url HAVING count(*) >= 2
+    """
+
+
+@_register("url_dedup_report", _url_dedup_oracle())
+def url_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup: collapse scheme/case/www/default-port/
+    trailing-slash/index.html/fragment/tracking-param/param-order
+    variants to one canonical URL, then report each canonical group
+    (>= 2 members) with its size, how many RAW variants collapsed into
+    it, and the keeper (min doc_id — exact_dedup's rule).
+
+    The canonicalization is one shared staged definition
+    (llmops.urlnorm._canon_stages) rendered per dialect, so Spark and
+    the DuckDB oracle cannot drift structurally; the regex/anchor/
+    lower() dialect rules are enforced there and fuzz-pinned in
+    tests/test_properties.py.
+
+    Scale shape: plant + canonicalization are ONE map-only projection
+    (no shuffle); the group-by on the canonical string is the single
+    exchange, with map-side partial aggregation collapsing each group's
+    variants before the shuffle — exact_dedup's posture with a derived
+    key.  The single count(DISTINCT url) rewrites to a two-phase
+    aggregate (no Expand: the multi-distinct rule needs >= 2 distincts
+    mixed with plain aggs)."""
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_URL_PLANT} AS url"
+    )
+    from waddleml_spark.llmops import urlnorm
+
+    return (
+        urlnorm.with_canonical_url(d)
+        .groupBy("canonical_url")
+        .agg(
+            F.expr("count(*) AS n_docs"),
+            F.expr("count(DISTINCT url) AS n_variants"),
+            F.expr("min(doc_id) AS keeper_id"),
+        )
+        .filter("n_docs >= 2")
+    )

@@ -1,0 +1,155 @@
+"""URL canonicalization dedup — the crawl-pipeline stage (CCNet /
+RefinedWeb-style) that collapses scheme/case/port/slash/tracking-param
+variants of the same page before content dedup ever runs.
+
+Canonical form (applied in this order, all JVM string built-ins — no
+Python in the data path):
+
+  1. drop the scheme, lowercase the host, strip a leading ``www.`` and
+     an explicit default port (``:80``/``:443``); re-emit as ``https://``
+  2. drop the fragment (``#...``)
+  3. path: strip a trailing ``/index.html``, then a trailing slash;
+     empty path renders as ``/``
+  4. query: drop tracking params (``utm_*``, ``fbclid``, ``gclid``,
+     ``ref``), sort the survivors bytewise, re-join with ``&``; an empty
+     survivor set drops the ``?`` entirely
+
+Dialect soundness: every regex uses explicit classes with ``\\A``/``\\z``
+anchors (Java ``$`` matches before a final line terminator, RE2's does
+not — CLAUDE.md rule), ``split_part`` has identical out-of-range/-absent
+semantics in Spark and DuckDB (both verified), and ``lower()`` is only
+ASCII-sound (Java full case mapping vs DuckDB utf8proc simple beyond
+ASCII) — hosts are ASCII by RFC and the fuzz test pins the ASCII domain
+(tests/test_properties.py).  The sort step is bytewise on ASCII params,
+where Spark ``sort_array`` and DuckDB ``list_sort`` agree.
+
+Scale: the canonicalization is map-only (one projection, no shuffle);
+the dedup grain is one hash-groupBy on the canonical string — the same
+single-shuffle posture as exact_dedup.  At 100 TB the group-by key is
+~a URL string per row; partial aggregation collapses each canonical
+group map-side before the exchange.
+
+Reference scope: briangu/waddleml has no URL operators — this is part
+of the §2.12 LLM-pipeline extension surface (SURVEY.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from . import sql_str
+
+# anchored, explicit — at most one occurrence, so no 'g' flag is needed
+# on the DuckDB side and Spark's always-global replace is equivalent
+RE_WWW = r"\Awww\."
+RE_PORT = r":(80|443)\z"
+RE_INDEX = r"/index\.html\z"
+RE_SLASH = r"/\z"
+
+# query params dropped before sorting; prefix match on "name=" except the
+# utm_ family, which is matched on the name prefix alone (utm_source,
+# utm_campaign, utm_medium, ...)
+TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "ref=")
+
+
+def _keep_param_pred(var: str, dialect: str) -> str:
+    starts = "startswith" if dialect == "spark" else "starts_with"
+    drops = " AND ".join(
+        f"NOT {starts}({var}, '{p}')" for p in TRACKING_PREFIXES
+    )
+    return f"{var} <> '' AND {drops}"
+
+
+def _canon_query_sql(q: str, dialect: str) -> str:
+    """Sorted, tracking-free re-join of the query string `q`.
+
+    The coalesce is load-bearing on the DuckDB side (fuzz-found):
+    array_to_string over an EMPTY list returns NULL where Spark's
+    array_join returns '' — without it an all-tracking query emits a
+    dangling '?' in the oracle only.  Applied to both dialects so the
+    stage text stays structurally identical."""
+    pred = _keep_param_pred("p", dialect)
+    if dialect == "spark":
+        return (
+            f"coalesce(array_join(sort_array(filter(split({q}, '&'), "
+            f"p -> {pred})), '&'), '')"
+        )
+    return (
+        f"coalesce(array_to_string(list_sort(list_filter("
+        f"string_split({q}, '&'), p -> {pred})), '&'), '')"
+    )
+
+
+def _re(pattern: str, dialect: str) -> str:
+    """Pattern as a string literal for the dialect: Spark's SQL parser
+    eats backslashes (sql_str doubles them); DuckDB's single-quoted
+    literals are raw."""
+    return sql_str(pattern) if dialect == "spark" else f"'{pattern}'"
+
+
+def _canon_stages(url: str, dialect: str) -> list[tuple[str, str]]:
+    """(name, expr) stages shared verbatim between the Spark selectExpr
+    chain and the DuckDB nested-SELECT oracle — ONE definition of the
+    canonicalization so the dialects cannot drift structurally."""
+    return [
+        # scheme off, fragment off — BEFORE host extraction: a query can
+        # attach directly to the host ("example.com?x=1"), so '?'/'#'
+        # must be peeled before the first '/' split
+        ("__rest",
+         f"CASE WHEN {url} LIKE '%://%' "
+         f"THEN split_part({url}, '://', 2) ELSE {url} END"),
+        ("__nf", "split_part(__rest, '#', 1)"),
+        # host+path vs query split is LIKE-guarded: split_part(x,'?',2)
+        # is '' when '?' is absent in both engines, but the guard keeps
+        # the two sides textually identical and total
+        ("__hpath",
+         "CASE WHEN __nf LIKE '%?%' "
+         "THEN split_part(__nf, '?', 1) ELSE __nf END"),
+        ("__q",
+         "CASE WHEN __nf LIKE '%?%' "
+         "THEN split_part(__nf, '?', 2) ELSE '' END"),
+        ("__hp", "split_part(__hpath, '/', 1)"),
+        ("__host",
+         f"regexp_replace(regexp_replace(lower(__hp), "
+         f"{_re(RE_WWW, dialect)}, ''), {_re(RE_PORT, dialect)}, '')"),
+        ("__path0", "substr(__hpath, length(__hp) + 1)"),
+        ("__path1",
+         f"regexp_replace(regexp_replace(__path0, "
+         f"{_re(RE_INDEX, dialect)}, ''), {_re(RE_SLASH, dialect)}, '')"),
+        ("__qc", _canon_query_sql("__q", dialect)),
+        ("canonical_url",
+         "concat('https://', __host, "
+         "CASE WHEN __path1 = '' THEN '/' ELSE __path1 END, "
+         "CASE WHEN __qc = '' THEN '' ELSE concat('?', __qc) END)"),
+    ]
+
+
+def with_canonical_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """Append `out_col` — the canonical form of `url_col` — as a map-only
+    projection chain (parsed expr strings: ~10 stages, no py4j Column
+    graph; the intermediates never leave the projection)."""
+    out = df
+    names: list[str] = []
+    for name, expr in _canon_stages(url_col, "spark"):
+        target = out_col if name == "canonical_url" else name
+        out = out.selectExpr("*", f"{expr} AS {target}")
+        if name != "canonical_url":
+            names.append(name)
+    return out.drop(*names)
+
+
+def canonical_url_subquery_sql(inner_sql: str, url_expr: str = "url") -> str:
+    """DuckDB twin: wrap `inner_sql` (which must yield `url_expr`) in the
+    same staged canonicalization, exposing every inner column plus
+    canonical_url.  Stage grain matches _canon_stages exactly."""
+    q = f"({inner_sql})"
+    for name, expr in _canon_stages(url_expr, "duckdb"):
+        q = f"(SELECT *, {expr} AS {name} FROM {q} AS _u_{name.strip('_')})"
+    # peel the scratch columns off the outermost layer
+    scratch = ", ".join(
+        n for n, _ in _canon_stages(url_expr, "duckdb")
+        if n != "canonical_url"
+    )
+    return f"SELECT * EXCLUDE ({scratch}) FROM {q} AS _u_final"
