@@ -886,16 +886,30 @@ def containment_pairs(
 
     Shape — ONE linear chain, no branch ever re-references an
     upstream frame (Catalyst re-executes shared subtrees; the
-    CLAUDE.md rule): distinct (doc, md5-BE32 gram hash) → gram df
-    via a count window over the hash → df ≤ max_df filter → per-doc
-    rare-gram count via a count window over the doc → df ≥ 2 filter
-    → bucket arrays of (id, n) structs per shared hash → generator
-    pair expansion (the structs ride the expansion like the
-    signatures in minhash_estimate_pairs) → pair-grain count +
-    containment.  Four gram-grain exchanges + the pair aggregate,
+    CLAUDE.md rule): collect_set of doc ids per md5-BE32 gram hash
+    (ONE gram-grain shuffle fusing the old distinct + df-window pair
+    — the dedup and the df are both properties of the per-hash id
+    set) → size ≤ max_df filter → explode the now-tiny rare arrays →
+    per-doc rare-gram count via a count window over the doc →
+    df ≥ 2 filter → bucket arrays of (id, n) structs per shared hash
+    → generator pair expansion (the structs ride the expansion like
+    the signatures in minhash_estimate_pairs) → pair-grain count +
+    containment.  Three gram-grain exchanges + the pair aggregate,
     all linear in the corpus; no join operator anywhere.  The
     division is two exact BIGINTs cast through IEEE double —
     bit-identical cross-engine, no rounding helper needed.
+
+    Round-9 measurement (interleaved min-of-5/3, steal-quiet; see
+    SCALING.md): this fused shape beats the previous two-window plan
+    at every scale (sf0.1 1.11 vs 1.20 s, 10x 3.71 vs 3.85, 100x
+    4.70 vs 5.62) and the aggregate+re-join alternative (persisted
+    hashed frame) loses everywhere it was proposed to win (sf0.1
+    2.63 s, 100x 6.63 s — retired).  collect_set fuses the dedup
+    into the shuffle's partial aggregate; the mega-gram caveat
+    (a boilerplate gram's id set materializes before the size
+    filter) is the same collect-then-cap posture every band-bucket
+    path here already has, and the degenerate-corpus flood test
+    gates it.
     """
     from pyspark.sql import Window
 
@@ -903,13 +917,15 @@ def containment_pairs(
         F.col("id"), F.col("__s")
     )
     h32 = _md5_be32(F.col("__s"))
-    hashed = sh.select("id", h32.alias("__h")).distinct()
-    with_df = hashed.withColumn(
-        "__df", F.count("*").over(Window.partitionBy("__h"))
+    per_hash = (
+        sh.select("id", h32.alias("__h"))
+        .groupBy("__h")
+        .agg(F.collect_set("id").alias("ids"))
+        .filter(F.size("ids") <= max_df)
     )
-    rare = with_df.filter(F.col("__df") <= max_df).withColumn(
-        "__n", F.count("*").over(Window.partitionBy("id"))
-    )
+    rare = per_hash.select(
+        "__h", F.size("ids").alias("__df"), F.explode("ids").alias("id")
+    ).withColumn("__n", F.count("*").over(Window.partitionBy("id")))
     kept = rare.filter(F.col("__df") >= 2)
     buckets = kept.groupBy("__h").agg(
         F.array_sort(F.collect_list(F.struct("id", "__n"))).alias("ms")
