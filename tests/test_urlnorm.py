@@ -127,3 +127,32 @@ def test_shingle_rows_rejects_distinct_with_positions(spark):
         dedup.shingle_rows(df, with_pos=True)
     # explicit distinct=False stays the supported path
     assert dedup.shingle_rows(df, with_pos=True, distinct=False).count() == 2
+
+
+def test_training_shard_plan_invariants(spark):
+    """Shard placement: pos is 1..n contiguous per shard, cum_size is the
+    running sum of sizes in pos order, assignment is deterministic
+    across invocations, and every doc lands in exactly one shard."""
+    from waddleml_spark.llmops.packing import training_shard_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = training_shard_plan(docs, n_shards=4)
+    rows = plan.collect()
+    assert len(rows) == docs.count()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(4))
+    sizes = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r.pos)
+        assert [m.pos for m in members] == list(range(1, len(members) + 1))
+        run = 0
+        for m in members:
+            run += sizes[m.doc_id]
+            assert m.cum_size == run, (shard, m.pos)
+    again = {
+        (r.doc_id, r.shard, r.pos)
+        for r in training_shard_plan(docs, n_shards=4).collect()
+    }
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}

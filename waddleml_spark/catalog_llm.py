@@ -2654,3 +2654,30 @@ def url_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter("n_docs >= 2")
     )
+
+
+def _shard_plan_oracle(n_shards: int = 8) -> str:
+    h = _md5_be32_sql("CAST(doc_id AS STRING)")
+    return f"""
+    SELECT doc_id,
+           CAST(h % {n_shards} AS BIGINT) AS shard,
+           CAST(COUNT(*) OVER w AS BIGINT) AS pos,
+           CAST(SUM(n_chars) OVER w AS BIGINT) AS cum_size
+    FROM (SELECT doc_id, n_chars, {h} AS h FROM documents)
+    WINDOW w AS (PARTITION BY h % {n_shards} ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+@_register("training_shard_plan", _shard_plan_oracle())
+def training_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard+shuffle export plan (packing.training_shard_plan):
+    md5-keyed shard assignment, reproducible in-shard training order, and
+    a per-shard running size budget — the writer-facing stage after
+    packing/resampling.  Oracle-exact: the shared md5-BE32 key, integer
+    modulo, and ROWS-frame count/sum windows are bit-identical
+    cross-engine (pos via COUNT(*) OVER the ROWS frame — both engines
+    type it BIGINT, where row_number() is INT in Spark)."""
+    from waddleml_spark.llmops.packing import training_shard_plan as _plan
+
+    return _plan(t(spark, sf_dir, "documents"))

@@ -322,3 +322,49 @@ def weighted_sample_per_group(
         .filter(F.col("__rk") <= k_per_group)
         .drop("__rk")
     )
+
+
+def training_shard_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic shard + shuffle placement for a training export:
+    (doc_id, shard, pos, cum_size) — every doc hashed to one of
+    ``n_shards`` shards, globally shuffled WITHIN its shard by the same
+    md5 key, with a running size budget per shard (where to cut an
+    epoch's token/byte budget without a second pass).
+
+    This is the export-side stage downstream of packing: writers pull
+    shard s in pos order and get a reproducible, engine-independent
+    training order (no RNG, no partition dependence — the
+    resample_to_mix argument).  The hash key is the shared md5-BE32
+    (dedup._md5_be32) over the stringified id, so shard assignment and
+    in-shard order come from one draw and any engine can reproduce both.
+
+    Scale shape: map-only hash + ONE shuffle on the shard key; each
+    shard's window (row_number + running sum over the same frame) runs
+    in its own partition — parallelism = n_shards, so size n_shards to
+    the cluster (thousands at 100 TB), never 1.  No global window
+    anywhere.
+    """
+    from waddleml_spark.llmops.dedup import _md5_be32
+
+    h = _md5_be32(F.col(id_col).cast("string"))
+    d = df.select(
+        F.col(id_col),
+        F.col(size_col).cast("long").alias("__sz"),
+        h.alias("__h"),
+    ).withColumn("shard", F.col("__h") % n_shards)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        id_col,
+        "shard",
+        F.count("*").over(w).alias("pos"),
+        F.sum("__sz").over(w).alias("cum_size"),
+    )
