@@ -331,6 +331,12 @@ def bigram_lm_scores(
     # ln(c2/c1) per distinct bigram joined back to occurrences: the same
     # double every occurrence row would compute — value-identical to the
     # oracle's per-occurrence JOIN bg JOIN ug formulation.
+    # (Round 9: a doc-bigram-grain rewrite — collapse to (id,w1,w2,m)
+    # first, score as Σ m·lp / Σ m — measured SLOWER at sf0.1 (exec
+    # 1.008 vs 0.926 s min-of-7 interleaved, build 0.196 vs 0.125):
+    # this corpus's ~50-word vocabulary leaves almost no within-doc
+    # duplicate bigrams for the extra aggregate to collapse.  Retired;
+    # revisit only on a corpus where m >> 1.)
     scored = pairs.join(lp_tbl, ["w1", "w2"]).select("id", "lp")
     from . import round_floor
 
