@@ -156,3 +156,25 @@ def test_training_shard_plan_invariants(spark):
         for r in training_shard_plan(docs, n_shards=4).collect()
     }
     assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+
+
+def test_source_overlap_matrix_semantics(spark):
+    """Hand corpus: doc pairs sharing a 20-word passage across sources
+    produce exactly one matrix cell; a source repeating a passage
+    internally produces its diagonal cell; unrelated docs none."""
+    from waddleml_spark.llmops.dedup import source_overlap_matrix
+
+    passage = " ".join(f"w{i}" for i in range(20))
+    other = " ".join(f"x{i}" for i in range(20))
+    rows = [
+        (1, passage, "srcA"),          # shared passage, source A
+        (2, passage, "srcB"),          # same passage, source B
+        (3, other + " " + other, "srcC"),  # internal repeat in C
+        (4, "lonely unique words here", "srcD"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.source_a, r.source_b): r.n_shared_passages
+        for r in source_overlap_matrix(df).collect()
+    }
+    assert got == {("srcA", "srcB"): 1, ("srcC", "srcC"): 1}

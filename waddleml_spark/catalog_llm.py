@@ -2681,3 +2681,33 @@ def training_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from waddleml_spark.llmops.packing import training_shard_plan as _plan
 
     return _plan(t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "source_overlap_matrix",
+    rf"""
+    WITH p AS (
+        SELECT doc_id, source,
+               md5(string_agg(wd, ' ' ORDER BY i)) AS ph
+        FROM ({_word_pos_sql(", source")})
+        GROUP BY doc_id, source, CAST(floor((i - 1) / 20) AS BIGINT)
+    ), g AS (
+        SELECT ph, source, count(*) AS c FROM p GROUP BY ph, source
+    ), x AS (
+        SELECT a.source AS source_a, b.source AS source_b
+        FROM g a JOIN g b ON a.ph = b.ph AND a.source < b.source
+        UNION ALL
+        SELECT source, source FROM g WHERE c >= 2
+    )
+    SELECT source_a, source_b, count(*) AS n_shared_passages
+    FROM x GROUP BY source_a, source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source passage-duplication matrix
+    (dedup.source_overlap_matrix): distinct 20-word chunk hashes shared
+    by each source pair — the syndication/mirror curation signal; the
+    diagonal is each source's internal duplication mass at the same
+    grain.  Oracle-exact integer counts on the shared _passage_inst /
+    _word_pos_sql chunk grain (one tokenizer definition both sides)."""
+    return dedup.source_overlap_matrix(t(spark, sf_dir, "documents"))

@@ -1355,3 +1355,50 @@ def passage_dup_report(
         ),
         F.count_distinct(F.when(dup, F.col("id"))).alias("docs_affected"),
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    passage_words: int = 20,
+) -> DataFrame:
+    """Cross-source duplication matrix (source_a <= source_b,
+    n_shared_passages): how many distinct 20-word passage hashes two
+    sources share — the curation signal for "which feeds copy from
+    which" (syndication, mirrors, scraped re-posts) that per-source
+    dedup reports cannot show.  The diagonal (source_a = source_b)
+    counts passages appearing >= 2 times WITHIN the source (its
+    internal duplication mass at the same grain).
+
+    Shape — ONE linear chain on the shared _passage_inst grain:
+    (hash, source) instance counts via one more tiny aggregate, then
+    per-hash sorted source arrays and a generator expansion that emits
+    each cross-source pair PLUS the self-pair when the source holds
+    the passage twice (one definition, so the diagonal never needs a
+    second branch re-reading the chunk pipeline — the Catalyst no-CSE
+    rule).  Arrays are bounded by the SOURCE COUNT, not the corpus
+    (no star guard needed — the mega-bucket rule applies to keys whose
+    population grows with data; |sources| does not).
+    """
+    inst = _passage_inst(df, text_col, id_col, group_col, passage_words)
+    g = inst.groupBy("ph", "grp").agg(F.sum("inst").alias("c"))
+    per = g.groupBy("ph").agg(
+        F.array_sort(F.collect_list(F.struct("grp", "c"))).alias("ss")
+    )
+    expl = per.select("ss", F.posexplode("ss").alias("__i", "a"))
+    partners = F.concat(
+        # the self-pair, present iff this source holds the passage twice
+        F.slice(
+            F.array(F.col("a")),
+            1,
+            F.when(F.col("a.c") >= 2, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        # every later source sharing the hash (array_sort -> grp asc)
+        F.slice(F.col("ss"), F.col("__i") + 2, F.size("ss")),
+    )
+    pairs = expl.select("a", F.explode(partners).alias("b"))
+    return pairs.groupBy(
+        F.col("a.grp").alias("source_a"), F.col("b.grp").alias("source_b")
+    ).agg(F.count("*").alias("n_shared_passages"))
