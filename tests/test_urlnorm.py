@@ -178,3 +178,26 @@ def test_source_overlap_matrix_semantics(spark):
         for r in source_overlap_matrix(df).collect()
     }
     assert got == {("srcA", "srcB"): 1, ("srcC", "srcC"): 1}
+
+
+def test_dsir_scores_separate_target_from_rest(spark):
+    """The importance weight must rank target-distribution docs above
+    the rest: mean score of lang='en' docs > mean of non-en docs (the
+    en bigram distribution IS the target multinomial), and every score
+    is finite (add-one smoothing covers empty buckets)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from waddleml_spark.llmops.textstats import dsir_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = dsir_scores(docs, F.col("lang").eqNullSafe("en")).join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    rows = scored.collect()
+    assert all(math.isfinite(r.importance) for r in rows)
+    en = [r.importance for r in rows if r.lang == "en"]
+    rest = [r.importance for r in rows if r.lang != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)

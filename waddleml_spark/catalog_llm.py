@@ -2711,3 +2711,62 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain.  Oracle-exact integer counts on the shared _passage_inst /
     _word_pos_sql chunk grain (one tokenizer definition both sides)."""
     return dedup.source_overlap_matrix(t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dsir_importance_by_source",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+               generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        FROM documents),
+    big AS (
+        SELECT doc_id, lang, tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks),
+    feat AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+               {_md5_be32_sql("concat(w1, ' ', w2)")} % 1024 AS bkt
+        FROM big WHERE w2 IS NOT NULL),
+    bt AS (
+        SELECT bkt, CAST(count(*) AS BIGINT) AS c_r,
+               CAST(sum(tgt) AS BIGINT) AS c_t
+        FROM feat GROUP BY bkt),
+    tot AS (
+        SELECT bkt, c_r, c_t,
+               CAST(SUM(c_r) OVER () AS BIGINT) AS t_r,
+               CAST(SUM(c_t) OVER () AS BIGINT) AS t_t
+        FROM bt),
+    lw AS (
+        SELECT bkt,
+               ln(((c_t + 1) * 1.0 / (t_t + 1024))
+                  / ((c_r + 1) * 1.0 / (t_r + 1024))) AS lw
+        FROM tot),
+    doc_scores AS (
+        SELECT f.doc_id, {_r_sql('sum(lw)', 6)} AS importance
+        FROM feat f JOIN lw ON lw.bkt = f.bkt
+        GROUP BY f.doc_id)
+    SELECT d.source, count(*) AS n_docs,
+           {_r_sql('avg(s.importance)', 6)} AS avg_importance
+    FROM doc_scores s JOIN documents d ON d.doc_id = s.doc_id
+    GROUP BY d.source
+    """,
+)
+def dsir_importance_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection importance (textstats.dsir_scores) aggregated
+    per source, target = English docs: the Xie et al. 2023 hashed-bigram
+    importance-resampling weight — which sources look most like the
+    target distribution and deserve upsampling.  Oracle pattern is
+    bigram_lm's: integer bucket counts, ln through the _r(6) floor
+    rounding, per-source mean of the rounded per-doc scores."""
+    d = t(spark, sf_dir, "documents")
+    scores = textstats.dsir_scores(d, F.col("lang").eqNullSafe("en"))
+    return (
+        scores.join(d.select(F.col("doc_id").alias("id"), "source"), "id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            _r(F.avg("importance"), 6).alias("avg_importance"),
+        )
+    )

@@ -544,3 +544,89 @@ def shingle_novelty_report(
     return out.withColumn(
         "dup_ratio", F.col("dup_slots") / F.col("shingle_slots")
     ).orderBy(group_col)
+
+
+def dsir_scores(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per document, the
+    log-likelihood ratio of a hashed-bigram multinomial fit on the
+    TARGET subset (rows where ``target_pred`` holds) vs one fit on the
+    whole corpus — the standard cheap proxy for "does this doc look
+    like the data I want more of".  score(doc) = Σ over its bigram
+    occurrences of ln(p_target(bucket)/p_raw(bucket)), add-one
+    smoothed over ``n_buckets`` hashed feature buckets.
+
+    Returns (id, n_bigrams, importance) with importance floor-rounded
+    to 6 digits — the bigram_lm_scores rule: ln may differ in the last
+    ulp and the per-doc sum is order-nondeterministic, so the rounded
+    value is what hashes identically cross-engine.
+
+    Shape mirrors bigram_lm_scores (the same three-exchange posture):
+    bigrams via zip-against-tail (no window, no shuffle before
+    counting), ONE bucket-grain aggregate for both multinomials (the
+    target count is a conditional sum in the same pass — never a
+    second corpus branch), corpus totals via an unpartitioned window
+    over the ALREADY bucket-grain table (≤ n_buckets rows — the
+    corpus_mix rule), and the ≤ n_buckets-row log-weight table joins
+    back to occurrences on the bucket key.  The feature hash is the
+    shared md5-BE32, so a DuckDB oracle reproduces every bucket.
+    """
+    from waddleml_spark.llmops.dedup import _md5_be32
+    from waddleml_spark.session import fan_out
+    from . import round_floor
+
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    base = fan_out(
+        df.select(
+            F.col(id_col).alias("id"),
+            target_pred.cast("int").alias("tgt"),
+            toks.alias("tk"),
+        ).filter(F.size(toks) >= 2)
+    )
+    n = F.size(F.col("tk"))
+    rows = base.select(
+        "id",
+        "tgt",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, n - 1).alias("w1"),
+                F.slice(F.col("tk"), 2, n - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select(
+        "id",
+        "tgt",
+        (
+            _md5_be32(F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")))
+            % n_buckets
+        ).alias("bkt"),
+    )
+    bt = rows.groupBy("bkt").agg(
+        F.count("*").alias("c_r"), F.sum("tgt").alias("c_t")
+    )
+    w_all = Window.partitionBy()
+    totals = bt.select(
+        "bkt",
+        "c_r",
+        "c_t",
+        F.sum("c_r").over(w_all).alias("t_r"),
+        F.sum("c_t").over(w_all).alias("t_t"),
+    )
+    lw = F.log(
+        ((F.col("c_t") + 1) / (F.col("t_t") + n_buckets))
+        / ((F.col("c_r") + 1) / (F.col("t_r") + n_buckets))
+    )
+    lw_tbl = totals.select("bkt", lw.alias("lw"))
+    scored = rows.join(lw_tbl, "bkt").select("id", "lw")
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        round_floor(F.sum("lw"), 6).alias("importance"),
+    )
