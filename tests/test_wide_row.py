@@ -46,6 +46,13 @@ WIDE_ROW_QUERIES = (
     # round-8: doc-grain chunk pairing (the fixture plants within-doc
     # repeated phrases; its pair-grain siblings stay excluded)
     "self_repetition_report",
+    # round-9: the new tokenizing operators — DSIR rides the bigram
+    # tokenizer at occurrence grain; the overlap matrix rides the
+    # _word_pos_sql chunk grain (its cross-source pair term is
+    # source-bounded, so the giant doc only stresses the linear chunk
+    # SQL, which is exactly what this gate exists to pin)
+    "dsir_importance_by_source",
+    "source_overlap_matrix",
 )
 
 
