@@ -508,6 +508,17 @@ def shingle_novelty_report(
     vocabulary-grain partition key (one more vocab-scale exchange, one
     sort), and the final group rollup is tiny.  Nothing is ever
     pairwise and nothing returns to occurrence grain.
+
+    Round-9 note: this is the one shingling hot path where the
+    interpreted HOF WINS.  Two codegen'd generator rewrites were
+    measured against it at sf0.1 (interleaved min-of-7, steal-quiet):
+    generator rows + countDistinct(id) in the aggregate (1.002 s) and
+    generator rows + a distinct shuffle (0.977 s) both lose to the HOF
+    plan (0.880 s) — array_distinct collapses each doc's repeats
+    IN PLACE before anything shuffles, and that saved exchange volume
+    outweighs the interpreter.  The shingle_rows 6x-HOF-loss rule
+    applies to NON-distinct consumers; per-doc-distinct consumers
+    should keep this shape.
     """
     from waddleml_spark.session import fan_out
 
