@@ -1,9 +1,10 @@
 """End-to-end LLM training-data pipeline over the documents table:
 exact dedup → containment dedup (drop docs quoted inside longer docs) →
-quality gate (length + repetition) → corpus-mix resample → sequence
-packing — every stage a deterministic, engine-portable Spark plan (the
-catalog checks each one against a DuckDB oracle; this example just
-composes them).
+quality gate (length + repetition) → DSIR importance scoring (keep docs
+that look like the target distribution) → corpus-mix resample →
+sequence packing → shard/shuffle export plan — every stage a
+deterministic, engine-portable Spark plan (the catalog checks each one
+against a DuckDB oracle; this example just composes them).
 
 Run: PYTHONPATH=. python examples/training_data_pipeline.py
 """
@@ -16,8 +17,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from waddleml_spark.llmops.dedup import containment_pairs, exact_dedup_keep
-from waddleml_spark.llmops.packing import packed_sequences, resample_to_mix
-from waddleml_spark.llmops.textstats import repetition_ratio
+from waddleml_spark.llmops.packing import (
+    packed_sequences,
+    resample_to_mix,
+    training_shard_plan,
+)
+from waddleml_spark.llmops.textstats import dsir_scores, repetition_ratio
 from waddleml_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -65,8 +70,20 @@ gated = (
 )
 n2 = gated.count()
 
+# 2b. DSIR data selection (Xie et al. 2023): hashed-bigram importance
+#     weight vs the English target distribution; keep docs whose score
+#     clears a floor.  Like `rep`, scores come from the cheap
+#     pre-containment frame — the inner join restricts to survivors.
+dsir = dsir_scores(deduped, F.col("lang").eqNullSafe("en"))
+selected = (
+    gated.join(dsir.withColumnRenamed("id", "doc_id"), "doc_id")
+    .filter(F.col("importance") >= -5.0)
+    .drop("n_bigrams", "importance")
+)
+n2b = selected.count()
+
 # 3. deterministic corpus-mix resample (upsample src0, drop src3)
-mixed = resample_to_mix(gated, {"src0": 2.0, "src3": 0.0})
+mixed = resample_to_mix(selected, {"src0": 2.0, "src3": 0.0})
 n3 = mixed.count()
 
 # 4. pack into fixed-length training sequences (distributed prefix sum)
@@ -74,9 +91,15 @@ plan = packed_sequences(mixed.dropDuplicates(["doc_id"]), seq_len=512)
 total_tokens = plan.agg(F.max("end")).collect()[0][0] or 0
 n_seqs = total_tokens // 512 + (1 if total_tokens % 512 else 0)
 
+# 5. shard/shuffle export plan: deterministic md5-keyed placement with a
+#    per-shard running size budget — what a writer pulls to emit shards
+shards = training_shard_plan(mixed.dropDuplicates(["doc_id"]), n_shards=4)
+shard_sizes = {r.shard: r.pos for r in shards.groupBy("shard")
+               .agg(F.max("pos").alias("pos")).collect()}
+
 # release the cached drop set now that the LAST action flowing through
-# `uncontained`'s lineage (the packing collect above) has run — every
-# stage 2-4 action reads it, so unpersisting any earlier would re-run
+# `uncontained`'s lineage (the shard collect above) has run — every
+# stage 2-5 action reads it, so unpersisting any earlier would re-run
 # the containment pipeline once per remaining action
 drop_ids.unpersist()
 
@@ -84,5 +107,7 @@ print(f"documents in          : {n0}")
 print(f"after exact dedup     : {n1}")
 print(f"after containment     : {n1b}")
 print(f"after quality gate    : {n2}")
+print(f"after DSIR selection  : {n2b}")
 print(f"after mix resample    : {n3}")
 print(f"packed tokens         : {total_tokens} -> {n_seqs} sequences of 512")
+print(f"export shards         : {shard_sizes}")
