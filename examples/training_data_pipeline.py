@@ -92,8 +92,12 @@ total_tokens = plan.agg(F.max("end")).collect()[0][0] or 0
 n_seqs = total_tokens // 512 + (1 if total_tokens % 512 else 0)
 
 # 5. shard/shuffle export plan: deterministic md5-keyed placement with a
-#    per-shard running size budget — what a writer pulls to emit shards
-shards = training_shard_plan(mixed.dropDuplicates(["doc_id"]), n_shards=4)
+#    per-shard running size budget — what a writer pulls to emit shards.
+#    The resampled frame flows through WITH its upsample repeats (the
+#    mix is the point; repeats share a hash, land in one shard, and get
+#    distinct positions) — only the packing step dedups, for its own
+#    unique-offset contract.
+shards = training_shard_plan(mixed, n_shards=4)
 shard_sizes = {r.shard: r.pos for r in shards.groupBy("shard")
                .agg(F.max("pos").alias("pos")).collect()}
 

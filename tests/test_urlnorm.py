@@ -42,6 +42,17 @@ CASES = [
     ("example.com/x/", "https://example.com/x"),
     # root slash survives
     ("https://example.com/", "https://example.com/"),
+    # review find: an embedded URL in a query param must survive whole —
+    # only the LEADING scheme is stripped, never a second '://'
+    (
+        "https://example.com/r?url=https://other.com/a",
+        "https://example.com/r?url=https://other.com/a",
+    ),
+    # review find: '?' is legal inside a query (RFC 3986) — everything
+    # after the FIRST '?' is the query, nothing past a second '?' drops
+    ("https://example.com/p?a=1?v=2", "https://example.com/p?a=1?v=2"),
+    # review find: tracking-param drop is case-insensitive
+    ("https://example.com/a?UTM_SOURCE=feed", "https://example.com/a"),
 ]
 
 

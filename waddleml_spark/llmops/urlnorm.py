@@ -45,6 +45,12 @@ RE_WWW = r"\Awww\."
 RE_PORT = r":(80|443)\z"
 RE_INDEX = r"/index\.html\z"
 RE_SLASH = r"/\z"
+# leading scheme only (review find: split_part(url,'://',2) truncated
+# the URL at any SECOND '://' — embedded-URL query params like
+# ?url=https://other.com collapsed distinct pages into one canonical
+# form).  RFC 3986 scheme chars, case-insensitive spelled explicitly
+# (the raw url is not lowercased yet at this stage).
+RE_SCHEME = r"\A[A-Za-z][A-Za-z0-9+.-]*://"
 
 # query params dropped before sorting; prefix match on "name=" except the
 # utm_ family, which is matched on the name prefix alone (utm_source,
@@ -53,9 +59,15 @@ TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "ref=")
 
 
 def _keep_param_pred(var: str, dialect: str) -> str:
+    # prefix match on lower(param): tracking params appear case-varied
+    # in real crawls (UTM_SOURCE=...) while the drop list is lowercase
+    # (review find: a case-sensitive match let uppercase trackers
+    # survive and blocked the collapse).  The param VALUE keeps its
+    # case — only the drop decision is case-folded.  ASCII-sound per
+    # the module's documented domain.
     starts = "startswith" if dialect == "spark" else "starts_with"
     drops = " AND ".join(
-        f"NOT {starts}({var}, '{p}')" for p in TRACKING_PREFIXES
+        f"NOT {starts}(lower({var}), '{p}')" for p in TRACKING_PREFIXES
     )
     return f"{var} <> '' AND {drops}"
 
@@ -92,22 +104,20 @@ def _canon_stages(url: str, dialect: str) -> list[tuple[str, str]]:
     chain and the DuckDB nested-SELECT oracle — ONE definition of the
     canonicalization so the dialects cannot drift structurally."""
     return [
-        # scheme off, fragment off — BEFORE host extraction: a query can
-        # attach directly to the host ("example.com?x=1"), so '?'/'#'
-        # must be peeled before the first '/' split
+        # LEADING scheme off (anchored — never split_part, which eats a
+        # second '://'), fragment off — BEFORE host extraction: a query
+        # can attach directly to the host ("example.com?x=1"), so
+        # '?'/'#' must be peeled before the first '/' split
         ("__rest",
-         f"CASE WHEN {url} LIKE '%://%' "
-         f"THEN split_part({url}, '://', 2) ELSE {url} END"),
+         f"regexp_replace({url}, {_re(RE_SCHEME, dialect)}, '')"),
         ("__nf", "split_part(__rest, '#', 1)"),
-        # host+path vs query split is LIKE-guarded: split_part(x,'?',2)
-        # is '' when '?' is absent in both engines, but the guard keeps
-        # the two sides textually identical and total
-        ("__hpath",
-         "CASE WHEN __nf LIKE '%?%' "
-         "THEN split_part(__nf, '?', 1) ELSE __nf END"),
-        ("__q",
-         "CASE WHEN __nf LIKE '%?%' "
-         "THEN split_part(__nf, '?', 2) ELSE '' END"),
+        # host+path = before the FIRST '?'; query = everything AFTER it
+        # (review find: split_part(x,'?',2) dropped text past a second
+        # '?', legal inside a query per RFC 3986).  substr past the end
+        # is '' in both engines, so no guard is needed for '?'-less
+        # input.
+        ("__hpath", "split_part(__nf, '?', 1)"),
+        ("__q", "substr(__nf, length(__hpath) + 2)"),
         ("__hp", "split_part(__hpath, '/', 1)"),
         ("__host",
          f"regexp_replace(regexp_replace(lower(__hp), "
