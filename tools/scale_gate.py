@@ -44,6 +44,9 @@ DEFAULT_QUERIES = [
     "bpe_encode_report",
     "minhash_estimate_audit",
     "doc_containment_pairs",
+    # r9: worst new-operator 100x ratio (4.6x) — two occurrence-grain
+    # passes (bucket counts + the scoring join back to occurrences)
+    "dsir_importance_by_source",
 ]
 
 
