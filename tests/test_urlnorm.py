@@ -212,3 +212,22 @@ def test_dsir_scores_separate_target_from_rest(spark):
     rest = [r.importance for r in rows if r.lang != "en"]
     assert en and rest
     assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_canonical_url_is_a_fixed_point_on_canonical_output(spark):
+    """canonical(canonical(u)) == canonical(u) for the planted corpus:
+    the canonical form must be stable under re-canonicalization (a
+    crawler re-ingesting its own canonical URLs must not re-dedup them
+    into new groups)."""
+    from pyspark.sql import functions as F
+
+    from waddleml_spark import catalog
+    from waddleml_spark.llmops import urlnorm
+
+    once = catalog.QUERIES["url_dedup_report"](
+        spark, "/root/testdata/sf0.001"
+    ).select(F.col("canonical_url").alias("url"))
+    twice = urlnorm.with_canonical_url(once).collect()
+    assert twice
+    for r in twice:
+        assert r.canonical_url == r.url, (r.url, r.canonical_url)
