@@ -587,6 +587,15 @@ def dsir_scores(
     corpus_mix rule), and the ≤ n_buckets-row log-weight table joins
     back to occurrences on the bucket key.  The feature hash is the
     shared md5-BE32, so a DuckDB oracle reproduces every bucket.
+
+    The occurrence frame IS evaluated twice (the bucket-count branch
+    and the broadcast-join scan — Catalyst no-CSE); a rotate_persist
+    of the (id, tgt, bkt) rows was measured (r9) at sf0.1 0.909 vs
+    0.855 s (loses — cache write/read ≈ the recompute) and at 100×
+    1.88 vs 2.03 s min but with inverted medians in a steal-noisy
+    window: under ±10% and unclear, not worth pinning a corpus-scale
+    frame.  Retired; the honest cost is the two passes the SCALING
+    rows record.
     """
     from waddleml_spark.llmops.dedup import _md5_be32
     from waddleml_spark.session import fan_out
