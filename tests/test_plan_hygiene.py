@@ -28,6 +28,12 @@ _PY_MARKERS = ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "FlatMapGrou
 # localCheckpoint).
 _WIDE_SCAN_BUDGET = {
     "bigram_lm_quality_by_lang": 2,   # train the LM, then score (two passes by definition)
+    # same fit-then-score class as the bigram LM: one pass counts the
+    # target/raw bucket multinomials, one scores occurrences against the
+    # <=1024-row weight table; a rotate_persist of the occurrence frame
+    # was measured NOT better (r9: 0.909 vs 0.855 s at sf0.1, ambiguous
+    # at 100x — textstats.dsir_scores docstring)
+    "dsir_importance_by_source": 2,
     "perplexity_buckets_by_lang": 2,  # same bigram-LM train-then-score core; the bucketing
                                       # join reads only doc_id/lang/n_chars (pruned, no text)
     "contamination_by_source": 2,     # corpus shingles vs eval-set shingles (different filters)
