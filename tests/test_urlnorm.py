@@ -53,6 +53,18 @@ CASES = [
     ("https://example.com/p?a=1?v=2", "https://example.com/p?a=1?v=2"),
     # review find: tracking-param drop is case-insensitive
     ("https://example.com/a?UTM_SOURCE=feed", "https://example.com/a"),
+    # review find: repeated suffix/prefix runs strip in ONE pass
+    # (idempotence — a re-ingested canonical URL must not re-group)
+    ("https://example.com/a//", "https://example.com/a"),
+    (
+        "https://example.com/a/index.html/index.html",
+        "https://example.com/a",
+    ),
+    ("http://www.www.example.com:443:443/a", "https://example.com/a"),
+    # review find: NULL url folds to '' identically on both engines
+    # (Spark concat propagates NULL, DuckDB concat skips it — without
+    # the coalesce the oracle emitted a phantom group)
+    (None, "https:///"),
 ]
 
 
@@ -111,6 +123,13 @@ def test_canonical_url_parity_spark_vs_duckdb(spark, urls):
     want = dict(con.execute(f"SELECT i, canonical_url FROM ({sql})").fetchall())
     for i, u in enumerate(urls):
         assert got[i] == want[i], (repr(u), got[i], want[i])
+    # idempotence on ARBITRARY input, not just the plant: canonical is a
+    # fixed point (probed over 5000 random-soup inputs before pinning)
+    con.register("t2", pd.DataFrame({"i": list(want), "url": list(want.values())}))
+    sql2 = urlnorm.canonical_url_subquery_sql("SELECT i, url FROM t2")
+    twice = dict(con.execute(f"SELECT i, canonical_url FROM ({sql2})").fetchall())
+    for i, u in enumerate(urls):
+        assert twice[i] == want[i], (repr(u), want[i], twice[i])
 
 
 def test_url_dedup_report_keeper_is_min_and_groups_collapse(spark):
@@ -119,13 +138,32 @@ def test_url_dedup_report_keeper_is_min_and_groups_collapse(spark):
     least one raw variant pair (n_variants <= n_docs)."""
     from waddleml_spark import catalog
 
+    from pyspark.sql import functions as F
+
+    from waddleml_spark.catalog_llm import _URL_PLANT
+    from waddleml_spark.llmops import urlnorm
+
     rows = catalog.QUERIES["url_dedup_report"](
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert rows, "plant should produce duplicate canonical groups"
+    # recompute the true per-group min doc_id from the canonicalized
+    # frame — the keeper RULE itself, not just the group shape (review
+    # find: the rule was asserted by name only)
+    planted = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).selectExpr("doc_id", f"{_URL_PLANT} AS url")
+    true_min = {
+        r.canonical_url: r.m
+        for r in urlnorm.with_canonical_url(planted)
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("m"))
+        .collect()
+    }
     for r in rows:
         assert r.n_docs >= 2
         assert 1 <= r.n_variants <= r.n_docs
+        assert r.keeper_id == true_min[r.canonical_url]
         assert r.canonical_url.startswith("https://example")
         # tracking params and fragments never survive
         assert "utm_" not in r.canonical_url

@@ -270,6 +270,49 @@ def ngram_collision_report(
     )
 
 
+def _bigram_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    extra: dict[str, Column] | None = None,
+) -> DataFrame:
+    """(id, *extra, w1, w2) bigram-occurrence rows — ONE definition of
+    the [a-z0-9]+ tokenizer + the zip-against-tail construction (array
+    slices exploded, no window, no shuffle) shared by every bigram
+    consumer (bigram_lm_scores, dsir_scores).  The construction is
+    parity-sensitive: each consumer has a hand-matched unnest+lead
+    DuckDB twin, so never re-implement it inline (the shingle_rows
+    rule).  `extra` columns (e.g. a target flag) are computed BEFORE
+    the fan_out exchange and ride every bigram row."""
+    from waddleml_spark.session import fan_out
+
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    extra = extra or {}
+    base = fan_out(
+        df.select(
+            F.col(id_col).alias("id"),
+            *[c.alias(a) for a, c in extra.items()],
+            toks.alias("tk"),
+        ).filter(F.size(toks) >= 2)
+    )
+    n = F.size(F.col("tk"))
+    return base.select(
+        "id",
+        *extra.keys(),
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, n - 1).alias("w1"),
+                F.slice(F.col("tk"), 2, n - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select(
+        "id", *extra.keys(),
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"),
+    )
+
+
 def bigram_lm_scores(
     df: DataFrame,
     text_col: str = "text",
@@ -296,24 +339,7 @@ def bigram_lm_scores(
     ln() may differ between engines in the last ulp, and the per-doc
     mean must hash identically cross-engine.
     """
-    from waddleml_spark.session import fan_out
-
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
-    base = fan_out(
-        df.select(F.col(id_col).alias("id"), toks.alias("tk")).filter(
-            F.size(toks) >= 2
-        )
-    )
-    n = F.size(F.col("tk"))
-    pairs = base.select(
-        "id",
-        F.explode(
-            F.arrays_zip(
-                F.slice(F.col("tk"), 1, n - 1).alias("w1"),
-                F.slice(F.col("tk"), 2, n - 1).alias("w2"),
-            )
-        ).alias("p"),
-    ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pairs = _bigram_rows(df, text_col, id_col)
     # (An explicit shared repartition("w1","w2") was tried here so the
     # count branch and the scoring join would read one exchange — column
     # pruning strips `id` below the exchange on the count branch only,
@@ -598,34 +624,15 @@ def dsir_scores(
     rows record.
     """
     from waddleml_spark.llmops.dedup import _md5_be32
-    from waddleml_spark.session import fan_out
     from . import round_floor
 
-    toks = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
-    )
-    base = fan_out(
-        df.select(
-            F.col(id_col).alias("id"),
-            target_pred.cast("int").alias("tgt"),
-            toks.alias("tk"),
-        ).filter(F.size(toks) >= 2)
-    )
-    n = F.size(F.col("tk"))
-    rows = base.select(
-        "id",
-        "tgt",
-        F.explode(
-            F.arrays_zip(
-                F.slice(F.col("tk"), 1, n - 1).alias("w1"),
-                F.slice(F.col("tk"), 2, n - 1).alias("w2"),
-            )
-        ).alias("p"),
+    rows = _bigram_rows(
+        df, text_col, id_col, extra={"tgt": target_pred.cast("int")}
     ).select(
         "id",
         "tgt",
         (
-            _md5_be32(F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")))
+            _md5_be32(F.concat_ws(" ", F.col("w1"), F.col("w2")))
             % n_buckets
         ).alias("bkt"),
     )

@@ -40,11 +40,15 @@ from pyspark.sql import DataFrame
 from . import sql_str
 
 # anchored, explicit — at most one occurrence, so no 'g' flag is needed
-# on the DuckDB side and Spark's always-global replace is equivalent
-RE_WWW = r"\Awww\."
-RE_PORT = r":(80|443)\z"
-RE_INDEX = r"/index\.html\z"
-RE_SLASH = r"/\z"
+# on the DuckDB side and Spark's always-global replace is equivalent.
+# The www/tail strips consume a REPEATED run in one anchored match
+# (review find: single-pass strips were not idempotent — 'a//',
+# 'a/index.html/index.html', 'www.www.host' canonicalized to forms
+# that re-canonicalized differently, so a crawler re-ingesting its own
+# canonical URLs would re-group them).
+RE_WWW = r"\A(www\.)+"
+RE_PORT = r"(:(80|443))+\z"
+RE_TAIL = r"(/index\.html|/)+\z"
 # leading scheme only (review find: split_part(url,'://',2) truncated
 # the URL at any SECOND '://' — embedded-URL query params like
 # ?url=https://other.com collapsed distinct pages into one canonical
@@ -108,8 +112,13 @@ def _canon_stages(url: str, dialect: str) -> list[tuple[str, str]]:
         # second '://'), fragment off — BEFORE host extraction: a query
         # can attach directly to the host ("example.com?x=1"), so
         # '?'/'#' must be peeled before the first '/' split
+        # coalesce first (review find): Spark's concat propagates a NULL
+        # url to canonical_url=NULL while DuckDB's concat SKIPS NULLs
+        # and emitted a phantom 'https:///' group — NULL folds to ''
+        # (-> 'https:///') identically on both sides
         ("__rest",
-         f"regexp_replace({url}, {_re(RE_SCHEME, dialect)}, '')"),
+         f"regexp_replace(coalesce({url}, ''), "
+         f"{_re(RE_SCHEME, dialect)}, '')"),
         ("__nf", "split_part(__rest, '#', 1)"),
         # host+path = before the FIRST '?'; query = everything AFTER it
         # (review find: split_part(x,'?',2) dropped text past a second
@@ -123,9 +132,11 @@ def _canon_stages(url: str, dialect: str) -> list[tuple[str, str]]:
          f"regexp_replace(regexp_replace(lower(__hp), "
          f"{_re(RE_WWW, dialect)}, ''), {_re(RE_PORT, dialect)}, '')"),
         ("__path0", "substr(__hpath, length(__hp) + 1)"),
+        # ONE anchored strip of the whole trailing /index.html//... run
+        # (idempotence: '/a//' and '/a/index.html/index.html' both land
+        # on '/a' in a single pass)
         ("__path1",
-         f"regexp_replace(regexp_replace(__path0, "
-         f"{_re(RE_INDEX, dialect)}, ''), {_re(RE_SLASH, dialect)}, '')"),
+         f"regexp_replace(__path0, {_re(RE_TAIL, dialect)}, '')"),
         ("__qc", _canon_query_sql("__q", dialect)),
         ("canonical_url",
          "concat('https://', __host, "
