@@ -269,3 +269,27 @@ def test_canonical_url_is_a_fixed_point_on_canonical_output(spark):
     assert twice
     for r in twice:
         assert r.canonical_url == r.url, (r.url, r.canonical_url)
+
+
+def test_hard_negative_topk_excludes_anchor_label(spark):
+    """Every mined negative has a label DIFFERENT from its anchor's, rnk
+    is 1..k contiguous per anchor, and similarities are non-increasing
+    in rank (the kernel's deterministic ordering)."""
+    from waddleml_spark.llmops.similarity import hard_negative_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    anchor_label = {
+        r.vec_id: r.label
+        for r in emb.filter("vec_id < 8").select("vec_id", "label").collect()
+    }
+    rows = hard_negative_topk(emb, n_queries=8, k=3).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.label != anchor_label[r.qid], (r.qid, r.vec_id)
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == set(anchor_label)
+    for qid, members in by_q.items():
+        members.sort(key=lambda r: r.rnk)
+        assert [m.rnk for m in members] == [1, 2, 3]
+        sims = [m.cos_sim for m in members]
+        assert sims == sorted(sims, reverse=True)

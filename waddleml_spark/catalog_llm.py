@@ -2770,3 +2770,37 @@ def dsir_importance_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.avg("importance"), 6).alias("avg_importance"),
         )
     )
+
+
+@_register(
+    "hard_negatives_b8",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS qid, label AS qlabel,
+               CAST(embedding AS DOUBLE[]) AS qd
+        FROM embeddings WHERE vec_id < 8),
+    c AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed
+        FROM embeddings),
+    s AS (
+        SELECT qid, vec_id, label, {_COS_SQL} AS cs,
+               CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY {_COS_SQL} DESC, vec_id
+               ) AS BIGINT) AS rnk
+        FROM c JOIN q ON c.label <> q.qlabel)
+    SELECT qid, rnk, vec_id, label, {_r_sql('cs', 6)} AS cos_sim
+    FROM s WHERE rnk <= 3
+    """,
+)
+def hard_negatives_b8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negative_topk): for each of
+    8 anchor vectors, the 3 most-similar DIFFERENT-label vectors — the
+    contrastive-training negatives a retrieval trainer wants.
+    Oracle-exact: the left-fold cosine kernel is bit-identical to
+    DuckDB's list_dot_product, so ranking on it is deterministic; the
+    rank is CAST to BIGINT on both sides (Spark row_number is INT)."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = similarity.hard_negative_topk(emb, n_queries=8, k=3)
+    return out.select(
+        "qid", "rnk", "vec_id", "label", _r(F.col("cos_sim"), 6).alias("cos_sim")
+    )

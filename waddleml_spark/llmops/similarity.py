@@ -908,3 +908,53 @@ def domain_mix_report(
         )
         .orderBy("domain")
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    n_queries: int = 8,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector
+    (``id < n_queries``), the top-``k`` most-similar vectors with a
+    DIFFERENT label — the highest-value negatives (similar but wrong)
+    a retrieval/embedding trainer pairs with each anchor.
+
+    Oracle-exact by the cosine_topk rule: the expression kernel's
+    left-fold dot product is bit-identical to DuckDB list_dot_product,
+    so the per-query ranking (cos desc, id tiebreak) is deterministic
+    cross-engine — unlike ntile-over-ln scores, nothing here is
+    transcendental-boundary-sensitive.  The r9 batched-BLAS kernel
+    stays the production path for many queries (cosine_topk_batch);
+    this is the certifiable expression twin.
+
+    Scale shape: the n_queries-row side is BROADCAST (bounded by
+    construction — an id-range filter), so the corpus crosses ONE
+    window shuffle on qid with WindowGroupLimit pre-limiting each
+    task's contribution to k before the exchange (top3_orders_per_cust
+    posture); nothing pairwise beyond corpus x n_queries.
+    """
+    from pyspark.sql import Window
+
+    q = corpus.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"),
+        F.col(label_col).alias("qlabel"),
+        as_double(F.col(vec_col)).alias("qd"),
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(label_col), as_double(F.col(vec_col)).alias("ed")
+    )
+    joined = c.join(F.broadcast(q), F.col(label_col) != F.col("qlabel"))
+    sim = cosine(F.col("ed"), F.col("qd"))
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    return (
+        joined.select("qid", F.col(id_col), F.col(label_col), sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", id_col, label_col, "cos_sim")
+    )
