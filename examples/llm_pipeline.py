@@ -69,6 +69,14 @@ batched = similarity.cosine_topk_batch(emb, queries, k=3).collect()
 print("batched top-3 per query:",
       {qid: [r.vec_id for r in batched if r.qid == qid] for qid, _ in queries})
 
+# 5c. hard-negative mining: per anchor, the most-similar DIFFERENT-label
+# vectors — the contrastive-training negatives a retrieval trainer pairs
+# with each anchor (similar but wrong beats random negatives)
+negs = similarity.hard_negative_topk(emb, n_queries=4, k=2).collect()
+print("hard negatives per anchor:",
+      {qid: [(r.vec_id, r.label) for r in negs if r.qid == qid]
+       for qid in sorted({r.qid for r in negs})})
+
 # 6. learned corpus filter: distill the lang-ID-confidence teacher into
 # a linear student, then score the corpus as a pure projection
 from waddleml_spark.llmops import quality_model
