@@ -293,3 +293,27 @@ def test_hard_negative_topk_excludes_anchor_label(spark):
         assert [m.rnk for m in members] == [1, 2, 3]
         sims = [m.cos_sim for m in members]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_write_training_shards_round_trip(spark, tmp_path):
+    """The export writer: every shard directory reads back with exactly
+    the manifest's row count, rows inside a shard come back in pos
+    order, and re-running produces an identical manifest (determinism
+    down to the files)."""
+    from waddleml_spark.llmops.packing import write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, path, n_shards=4)
+    assert set(manifest["shards"]) == set(range(4))
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    for shard, st in manifest["shards"].items():
+        rows = (
+            back.filter(f"shard = {shard}").select("pos").collect()
+        )
+        assert len(rows) == st["rows"]
+        ps = sorted(r.pos for r in rows)
+        assert ps == list(range(1, st["rows"] + 1))
+    again = write_training_shards(docs, str(tmp_path / "shards2"), n_shards=4)
+    assert again == manifest

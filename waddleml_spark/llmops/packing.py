@@ -368,3 +368,62 @@ def training_shard_plan(
         F.count("*").over(w).alias("pos"),
         F.sum("__sz").over(w).alias("cum_size"),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    n_shards: int = 8,
+) -> dict:
+    """Materialize a training export: compute the deterministic
+    :func:`training_shard_plan`, join the payload back on, and write one
+    Hive partition per shard (``shard=N/``) with rows ordered by the
+    plan's ``pos`` inside each shard file — the on-disk layout a data
+    loader streams sequentially per worker.  Returns the manifest that
+    is also written to ``<path>/_shard_manifest.json``: per-shard row
+    counts and size totals, plus the layout parameters, so a consumer
+    can validate completeness without listing files.
+
+    Scale shape: the plan costs one shard-key shuffle; the payload join
+    is on the id key; ``repartition(n_shards, shard)`` + in-partition
+    sort gives each shard exactly one task writing one ordered file
+    run.  At 100 TB size n_shards to the cluster and the same plan
+    holds (the write is embarrassingly parallel across shards).
+
+    Determinism: re-running over the same input produces byte-identical
+    shard assignment and order (md5 keys, no RNG) — the
+    resample_to_mix/ training_shard_plan reproducibility contract
+    extended to the files themselves.
+    """
+    import json as _json
+
+    plan = training_shard_plan(df, id_col, size_col, n_shards)
+    payload = df.join(plan.select(id_col, "shard", "pos"), id_col)
+    (
+        payload.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    stats = {
+        int(r.shard): {"rows": r.rows, "total_size": r.total_size}
+        for r in plan.groupBy("shard")
+        .agg(
+            F.count("*").alias("rows"),
+            F.max("cum_size").alias("total_size"),
+        )
+        .collect()
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "id_col": id_col,
+        "size_col": size_col,
+        "shards": stats,
+    }
+    from pathlib import Path as _Path
+
+    _Path(path, "_shard_manifest.json").write_text(_json.dumps(manifest))
+    return manifest
