@@ -21,6 +21,7 @@ from waddleml_spark.llmops.packing import (
     packed_sequences,
     resample_to_mix,
     training_shard_plan,
+    write_training_shards,
 )
 from waddleml_spark.llmops.textstats import dsir_scores, repetition_ratio
 from waddleml_spark.session import get_spark
@@ -101,6 +102,14 @@ shards = training_shard_plan(mixed, n_shards=4)
 shard_sizes = {r.shard: r.pos for r in shards.groupBy("shard")
                .agg(F.max("pos").alias("pos")).collect()}
 
+# 6. materialize the export: one Hive partition per shard, rows in pos
+#    order inside each file run, manifest for completeness validation
+import tempfile
+
+with tempfile.TemporaryDirectory() as td:
+    manifest = write_training_shards(mixed, f"{td}/shards", n_shards=4)
+    written = {s: st["rows"] for s, st in sorted(manifest["shards"].items())}
+
 # release the cached drop set now that the LAST action flowing through
 # `uncontained`'s lineage (the shard collect above) has run — every
 # stage 2-5 action reads it, so unpersisting any earlier would re-run
@@ -115,3 +124,4 @@ print(f"after DSIR selection  : {n2b}")
 print(f"after mix resample    : {n3}")
 print(f"packed tokens         : {total_tokens} -> {n_seqs} sequences of 512")
 print(f"export shards         : {shard_sizes}")
+print(f"written shard rows    : {written}")

@@ -317,3 +317,26 @@ def test_write_training_shards_round_trip(spark, tmp_path):
         assert ps == list(range(1, st["rows"] + 1))
     again = write_training_shards(docs, str(tmp_path / "shards2"), n_shards=4)
     assert again == manifest
+
+
+def test_write_training_shards_preserves_upsample_repeats(spark, tmp_path):
+    """An upsampled (repeat-carrying) frame exports one file row per
+    PLAN row — repeats ride the plan side with distinct positions; the
+    payload join must not square the multiplicity."""
+    from waddleml_spark.llmops.packing import write_training_shards
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(50)
+    doubled = docs.union(docs)  # every doc twice
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(doubled, path, n_shards=2)
+    back = spark.read.parquet(path)
+    assert back.count() == 100  # NOT 200 (the squared-join bug)
+    assert sum(st["rows"] for st in manifest["shards"].values()) == 100
+    # each doc appears exactly twice, at two distinct positions
+    per_doc = {
+        r.doc_id: r.n
+        for r in back.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert set(per_doc.values()) == {2}

@@ -400,7 +400,14 @@ def write_training_shards(
     import json as _json
 
     plan = training_shard_plan(df, id_col, size_col, n_shards)
-    payload = df.join(plan.select(id_col, "shard", "pos"), id_col)
+    # the plan has one row per INPUT ROW (upsample repeats included,
+    # each with its own pos), so the payload side must be UNIQUE per id
+    # before the join — joining two repeat-carrying sides on the id key
+    # would square the multiplicity (plan-side repeats alone carry the
+    # mix into the files)
+    payload = plan.select(id_col, "shard", "pos").join(
+        df.dropDuplicates([id_col]), id_col
+    )
     (
         payload.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "pos")
