@@ -396,6 +396,12 @@ def write_training_shards(
     shard assignment and order (md5 keys, no RNG) — the
     resample_to_mix/ training_shard_plan reproducibility contract
     extended to the files themselves.
+
+    Deployment note: the manifest is written with a LOCAL filesystem
+    Path — on an object store route it through the cluster's FileSystem
+    API or publish it via sources.snaptable (DEPLOY.md's commit-protocol
+    section); the parquet write itself already goes through Spark's
+    committer and is object-store-safe.
     """
     import json as _json
 
