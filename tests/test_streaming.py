@@ -296,3 +296,69 @@ def test_streaming_cms_accumulates_to_whole_corpus_sketch(spark, tmp_path):
     exact = df.groupBy("v").agg(F.count("*").alias("n"))
     est = sketches.cms_estimates(exact, "v", acc).collect()
     assert all(r.cms_est >= r.n for r in est)
+
+
+def test_stream_url_dedup_collapses_canonical_variants(spark, tmp_path):
+    """Streaming crawl-frontier dedup: scheme/tracking/slash variants of
+    one page collapse to the first arrival within the watermark; a
+    genuinely different page passes; a later-batch variant (inside the
+    watermark) is dropped too."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import types as T
+
+    from waddleml_spark.streaming.live import stream_url_dedup
+
+    src = tmp_path / "urls_in"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("ingest_time", T.TimestampType()),
+        ]
+    )
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    write_batch(
+        [
+            (1, "https://example.com/page/1", t0),
+            # scheme/case/www/port/slash/tracking variant — canonical
+            # dup of doc 1
+            (2, "HTTP://WWW.Example.COM:80/page/1/?utm_source=x",
+             t0 + timedelta(seconds=1)),
+            (3, "https://example.com/other", t0 + timedelta(seconds=2)),
+        ]
+    )
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = stream_url_dedup(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("url_dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+
+    write_batch(
+        [
+            (4, "https://example.com/page/1#frag",
+             t0 + timedelta(seconds=30)),  # cross-batch canonical dup
+            (5, "https://example.com/fresh", t0 + timedelta(seconds=31)),
+        ]
+    )
+    q.processAllAvailable()
+    got = sorted(
+        r.doc_id for r in spark.sql("SELECT doc_id FROM url_dedup_out").collect()
+    )
+    q.stop()
+    # docs 2 and 4 both canonicalize to https://example.com/page/1 and
+    # drop; the first arrival and the two distinct pages survive
+    assert got == [1, 3, 5]

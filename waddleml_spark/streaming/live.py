@@ -193,6 +193,36 @@ def stream_dedup(
     return deduped.drop("__fp")
 
 
+def stream_url_dedup(
+    docs,
+    url_col: str = "url",
+    time_col: str = "ingest_time",
+    watermark: str = "10 minutes",
+):
+    """Streaming crawl-frontier dedup: drop any document whose CANONICAL
+    URL (llmops.urlnorm — scheme/www/port/slash/fragment/tracking-param
+    normalization) was already seen within the watermark horizon.
+
+    The live twin of the batch url_dedup_report: a crawl frontier
+    re-surfaces the same page as scheme/tracking variants within
+    minutes, and canonicalization is a stateless map-only projection,
+    so it composes with dropDuplicatesWithinWatermark exactly like
+    stream_dedup's content fingerprint — keyed state is one canonical
+    string per distinct page within the watermark, O(ingest rate x
+    watermark), corpus-size-independent.  Content-level dups that
+    survive (different URL, same text) fall through to stream_dedup /
+    the nightly incremental_dedup pass downstream.
+    """
+    from waddleml_spark.llmops.urlnorm import with_canonical_url
+
+    deduped = (
+        with_canonical_url(docs, url_col, out_col="__curl")
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["__curl"])
+    )
+    return deduped.drop("__curl")
+
+
 def metric_pair_join(
     spark: SparkSession,
     store: WaddleStore,
