@@ -325,16 +325,11 @@ def test_stream_url_dedup_collapses_canonical_variants(spark, tmp_path):
             "append"
         ).parquet(str(src))
 
-    write_batch(
-        [
-            (1, "https://example.com/page/1", t0),
-            # scheme/case/www/port/slash/tracking variant — canonical
-            # dup of doc 1
-            (2, "HTTP://WWW.Example.COM:80/page/1/?utm_source=x",
-             t0 + timedelta(seconds=1)),
-            (3, "https://example.com/other", t0 + timedelta(seconds=2)),
-        ]
-    )
+    # doc 1 arrives ALONE in batch 1: dropDuplicatesWithinWatermark keeps
+    # an arbitrary first-PROCESSED row within a batch, so the survivor is
+    # only deterministic across batch boundaries (review find — the
+    # variants go in later batches)
+    write_batch([(1, "https://example.com/page/1", t0)])
 
     stream = spark.readStream.schema(schema).parquet(str(src))
     out = stream_url_dedup(stream, watermark="10 minutes")
@@ -347,11 +342,27 @@ def test_stream_url_dedup_collapses_canonical_variants(spark, tmp_path):
     )
     q.processAllAvailable()
 
+    # batch 2: scheme/case/www/port/slash/tracking variant of doc 1
+    # (drops), a distinct page, and a NULL url (must PASS THROUGH, not
+    # collapse into the constant 'https:///' group)
+    write_batch(
+        [
+            (2, "HTTP://WWW.Example.COM:80/page/1/?utm_source=x",
+             t0 + timedelta(seconds=10)),
+            (3, "https://example.com/other", t0 + timedelta(seconds=11)),
+            (6, None, t0 + timedelta(seconds=12)),
+        ]
+    )
+    q.processAllAvailable()
+
+    # batch 3: fragment variant of doc 1 (drops), a fresh page, and a
+    # second NULL url (also passes — url-less rows never dedup)
     write_batch(
         [
             (4, "https://example.com/page/1#frag",
-             t0 + timedelta(seconds=30)),  # cross-batch canonical dup
+             t0 + timedelta(seconds=30)),
             (5, "https://example.com/fresh", t0 + timedelta(seconds=31)),
+            (7, None, t0 + timedelta(seconds=32)),
         ]
     )
     q.processAllAvailable()
@@ -360,5 +371,6 @@ def test_stream_url_dedup_collapses_canonical_variants(spark, tmp_path):
     )
     q.stop()
     # docs 2 and 4 both canonicalize to https://example.com/page/1 and
-    # drop; the first arrival and the two distinct pages survive
-    assert got == [1, 3, 5]
+    # drop; the first arrival, the two distinct pages, and BOTH url-less
+    # rows survive
+    assert got == [1, 3, 5, 6, 7]

@@ -305,7 +305,7 @@ def test_write_training_shards_round_trip(spark, tmp_path):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     path = str(tmp_path / "shards")
     manifest = write_training_shards(docs, path, n_shards=4)
-    assert set(manifest["shards"]) == set(range(4))
+    assert set(manifest["shards"]) == {str(i) for i in range(4)}
     back = spark.read.parquet(path)
     assert back.count() == docs.count()
     for shard, st in manifest["shards"].items():
@@ -340,3 +340,19 @@ def test_write_training_shards_preserves_upsample_repeats(spark, tmp_path):
         for r in back.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
     }
     assert set(per_doc.values()) == {2}
+
+
+def test_write_training_shards_rejects_colliding_columns(spark, tmp_path):
+    """Re-exporting a frame that already carries shard/pos (e.g. a prior
+    export read back) must fail crisply, not with an ambiguous-column
+    join error."""
+    from waddleml_spark.llmops.packing import write_training_shards
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(10)
+    prior = str(tmp_path / "prior")
+    write_training_shards(docs, prior, n_shards=2)
+    back = spark.read.parquet(prior)
+    with pytest.raises(ValueError, match="shard"):
+        write_training_shards(back, str(tmp_path / "again"), n_shards=2)

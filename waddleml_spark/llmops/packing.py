@@ -387,10 +387,12 @@ def write_training_shards(
     can validate completeness without listing files.
 
     Scale shape: the plan costs one shard-key shuffle; the payload join
-    is on the id key; ``repartition(n_shards, shard)`` + in-partition
-    sort gives each shard exactly one task writing one ordered file
-    run.  At 100 TB size n_shards to the cluster and the same plan
-    holds (the write is embarrassingly parallel across shards).
+    is on the id key; ``repartitionByRange`` over (shard, pos) +
+    in-partition sort gives each shard its own task(s) writing one
+    ordered file run (hash repartition would collide shard values into
+    shared tasks — see the inline note).  At 100 TB size n_shards to
+    the cluster and the same plan holds (the write is embarrassingly
+    parallel across shards).
 
     Determinism: re-running over the same input produces byte-identical
     shard assignment and order (md5 keys, no RNG) — the
@@ -405,7 +407,24 @@ def write_training_shards(
     """
     import json as _json
 
-    plan = training_shard_plan(df, id_col, size_col, n_shards)
+    clash = {"shard", "pos"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already carries column(s) {sorted(clash)} — the export "
+            "plan emits shard/pos itself; rename or drop them first "
+            "(re-exporting a prior export re-shards from the payload "
+            "columns, not the old plan)"
+        )
+    # the plan is referenced by TWO actions (the write join and the
+    # manifest stats) — without the cache Catalyst re-executes the md5 +
+    # window pipeline (and everything upstream of df) once per action;
+    # the cached frame is doc-grain numerics, small at any corpus size
+    from . import rotate_persist
+
+    plan = rotate_persist(
+        "packing.write_training_shards.plan",
+        training_shard_plan(df, id_col, size_col, n_shards),
+    )
     # the plan has one row per INPUT ROW (upsample repeats included,
     # each with its own pos), so the payload side must be UNIQUE per id
     # before the join — joining two repeat-carrying sides on the id key
@@ -415,14 +434,21 @@ def write_training_shards(
         df.dropDuplicates([id_col]), id_col
     )
     (
-        payload.repartition(n_shards, F.col("shard"))
+        # range partition, NOT hash: murmur3(shard) % n_shards over the
+        # values 0..n_shards-1 is almost never a permutation, so a hash
+        # repartition routinely packs two shards into one task and
+        # leaves others empty — range gives one shard value per task
+        payload.repartitionByRange(n_shards, F.col("shard"), F.col("pos"))
         .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
     )
+    # str keys BOTH in the returned dict and the file: JSON object keys
+    # are strings, and returning int keys here would make the file
+    # disagree with the documented return value
     stats = {
-        int(r.shard): {"rows": r.rows, "total_size": r.total_size}
+        str(r.shard): {"rows": r.rows, "total_size": r.total_size}
         for r in plan.groupBy("shard")
         .agg(
             F.count("*").alias("rows"),

@@ -212,15 +212,25 @@ def stream_url_dedup(
     watermark), corpus-size-independent.  Content-level dups that
     survive (different URL, same text) fall through to stream_dedup /
     the nightly incremental_dedup pass downstream.
+
+    NULL/empty urls PASS THROUGH undeduplicated (review find): urlnorm
+    folds NULL to the constant 'https:///', so keying state on it would
+    collapse every url-less row (unresolved redirect, sitemap stub)
+    after the first into "duplicates" — data loss, not dedup.  The
+    url-less branch unions back in; the source re-reads each
+    micro-batch once per branch, the standard cost of a streaming
+    split.
     """
     from waddleml_spark.llmops.urlnorm import with_canonical_url
 
+    has_url = F.col(url_col).isNotNull() & (F.col(url_col) != "")
     deduped = (
-        with_canonical_url(docs, url_col, out_col="__curl")
+        with_canonical_url(docs.filter(has_url), url_col, out_col="__curl")
         .withWatermark(time_col, watermark)
         .dropDuplicatesWithinWatermark(["__curl"])
+        .drop("__curl")
     )
-    return deduped.drop("__curl")
+    return deduped.unionByName(docs.filter(~has_url))
 
 
 def metric_pair_join(
