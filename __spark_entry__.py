@@ -89,13 +89,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # top optimization candidate — re-certified whether or not the plan
 # changes).  The remaining 22 slots pull the alphabetically-first
 # r7-vintage rows FORWARD (age 2): 45 r7 rows would otherwise all hit
-# age 3 at r10 and overflow that window — splitting them 18/27 across
+# age 3 at r10 and overflow that window — splitting them 17/28 across
 # r9/r10 keeps both windows under 50 with room for new operators (the
 # later new r9 queries — training_shard_plan, source_overlap_matrix,
-# dsir_importance_by_source, hard_negatives_b8 — took the slots
-# large_order_customers_q18, lang_pred_matrix, important_stock_q11,
-# and idle_rich_customers_q22 would have held; those four join the
-# r10 set).
+# dsir_importance_by_source, hard_negatives_b8,
+# doc_length_percentiles — took the slots large_order_customers_q18,
+# lang_pred_matrix, important_stock_q11, idle_rich_customers_q22, and
+# grouping_sets_orders would have held; those five join the r10 set).
 # Anchors: flagship (slot 1, the smoke query) and minhash32_band_pairs
 # (the full oracle-exact LSH chain).
 # All 50 emulator-preverified this round (sf0.01, bare session, values +
@@ -106,7 +106,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # NEW oracle queries this round + the rewrite-rule slot
     "url_dedup_report", "training_shard_plan", "source_overlap_matrix",
     "dsir_importance_by_source", "hard_negatives_b8",
-    "doc_containment_pairs",
+    "doc_length_percentiles", "doc_containment_pairs",
     # r6 vintage (all 24 remaining -- age bound)
     "in_list_filter", "incremental_dedup_report",
     "jaccard_word_pairs_src0", "json_canonical_docs",
@@ -117,7 +117,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sequence_packing_report", "set_ops_users", "sha256_docs",
     "size_class_counts", "source_numeric_ids", "substr_format",
     "token_totals_by_source", "value_histogram",
-    # r7 vintage pulled forward (18 alphabetically-first; the other 27
+    # r7 vintage pulled forward (17 alphabetically-first; the other 28
     # take the r10 window)
     "agg_minmax_count", "anti_join_missing", "asof_purchase_click",
     "cdc_changes_since", "corpus_snapshot_diff", "cube_orders",
@@ -125,7 +125,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "disjunctive_revenue_q19", "distribution_ranks_orders",
     "embedding_dim_stats", "embedding_neardup_pairs",
     "embedding_norm_by_label", "fingerprint_docs", "forecast_revenue_q6",
-    "gopher_quality_report", "grouping_sets_orders",
+    "gopher_quality_report",
 )
 
 

@@ -2804,3 +2804,43 @@ def hard_negatives_b8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "qid", "rnk", "vec_id", "label", _r(F.col("cos_sim"), 6).alias("cos_sim")
     )
+
+
+@_register(
+    "doc_length_percentiles",
+    """
+    SELECT source, count(*) AS n_docs,
+           quantile_cont(n_chars, 0.1) AS p10,
+           quantile_cont(n_chars, 0.5) AS p50,
+           quantile_cont(n_chars, 0.9) AS p90,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source
+    """,
+)
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution (exact interpolated
+    percentiles + max) — the signal a truncation/chunking policy reads
+    before setting sequence budgets.  Same exact-percentile pairing as
+    quantiles_by_type (Spark percentile == DuckDB quantile_cont
+    bit-for-bit: same sort + linear interpolation over integers); ONE
+    array-argument percentile call per group so the value buffer is
+    collected and sorted once.  Exact percentile buffers every group
+    value — at true 100 TB this flips to approx_percentile (the
+    quantiles_by_type sketch-path rule); oracle-exactness is what keeps
+    the exact form here."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.expr("count(*) AS n_docs"),
+            F.expr(
+                "percentile(n_chars, array(0.1D, 0.5D, 0.9D)) AS __p"
+            ),
+            F.expr("CAST(max(n_chars) AS BIGINT) AS max_chars"),
+        )
+        .selectExpr(
+            "source", "n_docs",
+            "__p[0] AS p10", "__p[1] AS p50", "__p[2] AS p90",
+            "max_chars",
+        )
+    )
