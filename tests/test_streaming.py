@@ -355,14 +355,19 @@ def test_stream_url_dedup_collapses_canonical_variants(spark, tmp_path):
     )
     q.processAllAvailable()
 
-    # batch 3: fragment variant of doc 1 (drops), a fresh page, and a
-    # second NULL url (also passes — url-less rows never dedup)
+    # batch 3: fragment variant of doc 1 (drops), a fresh page, a
+    # second NULL url (also passes — url-less rows never dedup), and
+    # TWO whitespace-only urls (advisor find: ' ' slipped past the
+    # NULL/'' guard, collapsed into one canonical group, and every such
+    # row after the first was dropped — both must pass through)
     write_batch(
         [
             (4, "https://example.com/page/1#frag",
              t0 + timedelta(seconds=30)),
             (5, "https://example.com/fresh", t0 + timedelta(seconds=31)),
             (7, None, t0 + timedelta(seconds=32)),
+            (8, " ", t0 + timedelta(seconds=33)),
+            (9, " \t ", t0 + timedelta(seconds=34)),
         ]
     )
     q.processAllAvailable()
@@ -371,6 +376,6 @@ def test_stream_url_dedup_collapses_canonical_variants(spark, tmp_path):
     )
     q.stop()
     # docs 2 and 4 both canonicalize to https://example.com/page/1 and
-    # drop; the first arrival, the two distinct pages, and BOTH url-less
-    # rows survive
-    assert got == [1, 3, 5, 6, 7]
+    # drop; the first arrival, the two distinct pages, BOTH url-less
+    # rows, and BOTH whitespace-only rows survive
+    assert got == [1, 3, 5, 6, 7, 8, 9]

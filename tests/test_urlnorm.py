@@ -61,6 +61,14 @@ CASES = [
         "https://example.com/a",
     ),
     ("http://www.www.example.com:443:443/a", "https://example.com/a"),
+    # advisor find: VALUELESS tracker params (no '=') must drop too —
+    # the match is on the param NAME, not a "name=" prefix
+    ("https://example.com/p?fbclid", "https://example.com/p"),
+    ("https://example.com/p?a=1&gclid", "https://example.com/p?a=1"),
+    # ...but a NON-tracker name that merely shares a prefix survives,
+    # valueless or not
+    ("https://example.com/p?refx=1", "https://example.com/p?refx=1"),
+    ("https://example.com/p?x", "https://example.com/p?x"),
     # review find: NULL url folds to '' identically on both engines
     # (Spark concat propagates NULL, DuckDB concat skips it — without
     # the coalesce the oracle emitted a phantom group)

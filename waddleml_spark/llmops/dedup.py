@@ -910,6 +910,18 @@ def containment_pairs(
     filter) is the same collect-then-cap posture every band-bucket
     path here already has, and the degenerate-corpus flood test
     gates it.
+
+    CORPUS-SCALE CEILING (advisor find, recorded in SCALING.md): the
+    per-hash id set buffers in ONE task's aggregation buffer before
+    the size filter drops it, so a truly universal shingle — present
+    in millions of docs, far past the 200-copy flood gate — bounds
+    this plan at ~(max distinct holders of one gram) longs in one
+    executor.  At that corpus profile, pre-drop boilerplate grams
+    with a two-level salted pre-count (count per (salt, hash), sum,
+    anti-join hashes past max_df) before this chain, trading the
+    measured ~28% win back for the bound; the retired agg+re-join
+    arm in SCALING.md is exactly that shape and its numbers are the
+    price.
     """
     from pyspark.sql import Window
 

@@ -400,13 +400,23 @@ def write_training_shards(
     extended to the files themselves.
 
     Deployment note: the manifest is written with a LOCAL filesystem
-    Path — on an object store route it through the cluster's FileSystem
-    API or publish it via sources.snaptable (DEPLOY.md's commit-protocol
-    section); the parquet write itself already goes through Spark's
-    committer and is object-store-safe.
+    Path — a remote ``scheme://`` path is REJECTED up front (advisor
+    find: silently writing a local manifest next to remote parquet
+    would leave a complete-looking export the consumer contract cannot
+    validate); on an object store route it through the cluster's
+    FileSystem API or publish it via sources.snaptable (DEPLOY.md's
+    commit-protocol section).  The parquet write itself already goes
+    through Spark's committer and is object-store-safe.
     """
     import json as _json
 
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme and scheme != "file":
+        raise ValueError(
+            f"write_training_shards writes its manifest with local-"
+            f"filesystem I/O; got a {scheme}:// path — write to a local "
+            "staging dir or publish via sources.snaptable (DEPLOY.md)"
+        )
     clash = {"shard", "pos"} & set(df.columns)
     if clash:
         raise ValueError(
@@ -462,7 +472,15 @@ def write_training_shards(
         "size_col": size_col,
         "shards": stats,
     }
+    import os as _os
     from pathlib import Path as _Path
 
-    _Path(path, "_shard_manifest.json").write_text(_json.dumps(manifest))
+    # temp-write + atomic rename (advisor find): a crash between the
+    # parquet commit and the manifest write must never leave a
+    # complete-LOOKING shard directory — the manifest's presence IS the
+    # export's completeness marker, so it appears all-or-nothing.
+    mdir = _Path(path[len("file://"):] if scheme == "file" else path)
+    tmp = mdir / "._shard_manifest.json.tmp"
+    tmp.write_text(_json.dumps(manifest))
+    _os.replace(tmp, mdir / "_shard_manifest.json")
     return manifest

@@ -10,9 +10,10 @@ Python in the data path):
   2. drop the fragment (``#...``)
   3. path: strip a trailing ``/index.html``, then a trailing slash;
      empty path renders as ``/``
-  4. query: drop tracking params (``utm_*``, ``fbclid``, ``gclid``,
-     ``ref``), sort the survivors bytewise, re-join with ``&``; an empty
-     survivor set drops the ``?`` entirely
+  4. query: drop tracking params by NAME (``utm_*``, ``fbclid``,
+     ``gclid``, ``ref`` — with or without a ``=value``), sort the
+     survivors bytewise, re-join with ``&``; an empty survivor set
+     drops the ``?`` entirely
 
 Dialect soundness: every regex uses explicit classes with ``\\A``/``\\z``
 anchors (Java ``$`` matches before a final line terminator, RE2's does
@@ -56,22 +57,29 @@ RE_TAIL = r"(/index\.html|/)+\z"
 # (the raw url is not lowercased yet at this stage).
 RE_SCHEME = r"\A[A-Za-z][A-Za-z0-9+.-]*://"
 
-# query params dropped before sorting; prefix match on "name=" except the
-# utm_ family, which is matched on the name prefix alone (utm_source,
-# utm_campaign, utm_medium, ...)
-TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "ref=")
+# query params dropped before sorting, matched on the param NAME (the
+# text before the first '='): exact members of TRACKING_NAMES plus any
+# name with the utm_ prefix (utm_source, utm_campaign, ...).  Matching
+# the NAME — not a "name=" prefix of the whole param — covers VALUELESS
+# trackers too (advisor find: bare '?fbclid' with no '=' survived the
+# old "fbclid=" prefix match, so 'https://a/p?fbclid' and 'https://a/p'
+# stayed distinct canonical URLs).
+TRACKING_NAMES = ("fbclid", "gclid", "ref")
+TRACKING_NAME_PREFIXES = ("utm_",)
 
 
 def _keep_param_pred(var: str, dialect: str) -> str:
-    # prefix match on lower(param): tracking params appear case-varied
-    # in real crawls (UTM_SOURCE=...) while the drop list is lowercase
-    # (review find: a case-sensitive match let uppercase trackers
-    # survive and blocked the collapse).  The param VALUE keeps its
-    # case — only the drop decision is case-folded.  ASCII-sound per
-    # the module's documented domain.
+    # the drop decision is case-folded (review find: a case-sensitive
+    # match let UTM_SOURCE=... survive and blocked the collapse); the
+    # param VALUE keeps its case.  split_part(x, '=', 1) is everything
+    # before the FIRST '=' (the whole string when '=' is absent) in
+    # BOTH engines — the CLAUDE.md split_part trap is part-2 only.
+    # ASCII-sound per the module's documented domain.
     starts = "startswith" if dialect == "spark" else "starts_with"
+    name = f"lower(split_part({var}, '=', 1))"
     drops = " AND ".join(
-        f"NOT {starts}(lower({var}), '{p}')" for p in TRACKING_PREFIXES
+        [f"NOT {starts}({name}, '{p}')" for p in TRACKING_NAME_PREFIXES]
+        + [f"{name} <> '{n}'" for n in TRACKING_NAMES]
     )
     return f"{var} <> '' AND {drops}"
 

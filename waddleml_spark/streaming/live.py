@@ -213,17 +213,24 @@ def stream_url_dedup(
     survive (different URL, same text) fall through to stream_dedup /
     the nightly incremental_dedup pass downstream.
 
-    NULL/empty urls PASS THROUGH undeduplicated (review find): urlnorm
-    folds NULL to the constant 'https:///', so keying state on it would
-    collapse every url-less row (unresolved redirect, sitemap stub)
-    after the first into "duplicates" — data loss, not dedup.  The
+    NULL/empty/WHITESPACE-ONLY urls PASS THROUGH undeduplicated (review
+    + advisor find): urlnorm folds NULL/'' to the constant 'https:///'
+    (and every all-whitespace url to one 'https://<ws>/' family), so
+    keying state on them would collapse every url-less row (unresolved
+    redirect, sitemap stub) after the first into "duplicates" — data
+    loss, not dedup.  The emptiness check strips the shared explicit
+    whitespace class (WS_TRIM_RE — never the engine trim builtins, the
+    CLAUDE.md rule) so ' ' takes the pass-through branch too.  The
     url-less branch unions back in; the source re-reads each
     micro-batch once per branch, the standard cost of a streaming
     split.
     """
+    from waddleml_spark.llmops import WS_TRIM_RE
     from waddleml_spark.llmops.urlnorm import with_canonical_url
 
-    has_url = F.col(url_col).isNotNull() & (F.col(url_col) != "")
+    has_url = F.col(url_col).isNotNull() & (
+        F.regexp_replace(F.col(url_col), WS_TRIM_RE, "") != ""
+    )
     deduped = (
         with_canonical_url(docs.filter(has_url), url_col, out_col="__curl")
         .withWatermark(time_col, watermark)
