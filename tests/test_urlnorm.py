@@ -303,6 +303,20 @@ def test_hard_negative_topk_excludes_anchor_label(spark):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_hard_negative_kernels_bit_identical(spark):
+    """The r10 Arrow kernel (dimension-wise accumulation) and the JVM
+    left-fold expression twin must agree to the BIT — ids, ranks, and
+    raw cosine doubles (the blocked_cosine_pairs exactness contract;
+    the oracle certifies whichever kernel the catalog ships)."""
+    from waddleml_spark.llmops.similarity import hard_negative_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    key = lambda r: (r.qid, r.rnk)  # noqa: E731
+    a = sorted(hard_negative_topk(emb, 8, 3, kernel="arrow").collect(), key=key)
+    e = sorted(hard_negative_topk(emb, 8, 3, kernel="expr").collect(), key=key)
+    assert [tuple(r) for r in a] == [tuple(r) for r in e]
+
+
 def test_write_training_shards_round_trip(spark, tmp_path):
     """The export writer: every shard directory reads back with exactly
     the manifest's row count, rows inside a shard come back in pos

@@ -2796,9 +2796,13 @@ def hard_negatives_b8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (similarity.hard_negative_topk): for each of
     8 anchor vectors, the 3 most-similar DIFFERENT-label vectors — the
     contrastive-training negatives a retrieval trainer wants.
-    Oracle-exact: the left-fold cosine kernel is bit-identical to
-    DuckDB's list_dot_product, so ranking on it is deterministic; the
-    rank is CAST to BIGINT on both sides (Spark row_number is INT)."""
+    Oracle-exact: the r10 Arrow kernel accumulates dots
+    DIMENSION-BY-DIMENSION — bit-identical to the left fold and to
+    DuckDB's list_dot_product (the blocked_cosine_pairs contract,
+    pinned against the expression twin by
+    test_hard_negative_kernels_bit_identical), so ranking on it is
+    deterministic; the rank is CAST to BIGINT on both sides (Spark
+    row_number is INT)."""
     emb = t(spark, sf_dir, "embeddings")
     out = similarity.hard_negative_topk(emb, n_queries=8, k=3)
     return out.select(
