@@ -81,51 +81,57 @@ def entry(spark: SparkSession) -> DataFrame:
 # because the second simhash fused-aggregate rebuild flowed into its
 # candidate pipeline (the rewrite rule).
 # Round-9 rotation (same age rule): ALL 24 remaining r6-vintage rows
-# take slots (age 3 at r9 — the r8 deferral list plus the other 17
-# never re-certified since r6).  The round's NEW oracle query
-# (url_dedup_report — URL canonicalization dedup, llmops.urlnorm)
-# takes a slot (never certified), and doc_containment_pairs holds one
-# under the rewrite rule (its gram-grain window plan is this round's
-# top optimization candidate — re-certified whether or not the plan
-# changes).  The remaining 22 slots pull the alphabetically-first
-# r7-vintage rows FORWARD (age 2): 45 r7 rows would otherwise all hit
-# age 3 at r10 and overflow that window — splitting them 17/28 across
-# r9/r10 keeps both windows under 50 with room for new operators (the
-# later new r9 queries — training_shard_plan, source_overlap_matrix,
-# dsir_importance_by_source, hard_negatives_b8,
-# doc_length_percentiles — took the slots large_order_customers_q18,
-# lang_pred_matrix, important_stock_q11, idle_rich_customers_q22, and
-# grouping_sets_orders would have held; those five join the r10 set).
-# Anchors: flagship (slot 1, the smoke query) and minhash32_band_pairs
-# (the full oracle-exact LSH chain).
+# took slots; the new url_dedup_report and the rewrite-pinned
+# doc_containment_pairs held slots; 17 alphabetically-first r7 rows
+# were pulled forward, leaving 28 r7 rows (including the five the late
+# r9 operators displaced) committed to the r10 window.
+# Round-10 rotation (same age rule): the 28 remaining r7-vintage rows
+# take slots (age 3 at r10 — the r9 deferral split plus the five rows
+# the late-r9 operators displaced: large_order_customers_q18,
+# lang_pred_matrix, important_stock_q11, idle_rich_customers_q22,
+# grouping_sets_orders).  The round's NEW oracle query
+# (domain_cap_report — per-domain crawl caps, urlnorm domain stage)
+# takes a slot (never certified).  THREE rows hold slots under the
+# rewrite rule: hard_negatives_b8 (cosine rebuilt as the bit-exact
+# Arrow kernel), dsir_importance_by_source (broadcast weight join),
+# and url_dedup_report (the tracking-param predicate now matches on
+# the param NAME — valueless trackers drop, so the shared canonical
+# definition changed on both sides).  The remaining 16 slots pull the
+# alphabetically-first r8-vintage rows FORWARD (age 2): 47 r8 rows
+# would otherwise all hit age 3 at r11 and overflow that window —
+# splitting them 16/31 keeps r11 under 50 with room for new operators.
+# cosine_topk_q0 (a watched bench riser) rides in that alphabetical
+# prefix.  Anchors: flagship (slot 1, the smoke query) and
+# minhash32_band_pairs (the full oracle-exact LSH chain).
 # All 50 emulator-preverified this round (sf0.01, bare session, values +
 # type families).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # anchors
     "flagship_leaderboard", "minhash32_band_pairs",
-    # NEW oracle queries this round + the rewrite-rule slot
-    "url_dedup_report", "training_shard_plan", "source_overlap_matrix",
-    "dsir_importance_by_source", "hard_negatives_b8",
-    "doc_length_percentiles", "doc_containment_pairs",
-    # r6 vintage (all 24 remaining -- age bound)
-    "in_list_filter", "incremental_dedup_report",
-    "jaccard_word_pairs_src0", "json_canonical_docs",
-    "json_extract_props", "lead_lag_delta", "levenshtein_pairs_src0",
-    "metric_anomaly_report", "minhash32_docs", "names_by_segment",
-    "orders_per_month", "point_lookup", "prefix_exclusion",
-    "range_pairs_60s", "running_sum_per_user", "search_ci",
-    "sequence_packing_report", "set_ops_users", "sha256_docs",
-    "size_class_counts", "source_numeric_ids", "substr_format",
-    "token_totals_by_source", "value_histogram",
-    # r7 vintage pulled forward (17 alphabetically-first; the other 28
-    # take the r10 window)
-    "agg_minmax_count", "anti_join_missing", "asof_purchase_click",
-    "cdc_changes_since", "corpus_snapshot_diff", "cube_orders",
-    "customer_distribution_q13", "dataset_split_report", "dim_join_agg",
-    "disjunctive_revenue_q19", "distribution_ranks_orders",
-    "embedding_dim_stats", "embedding_neardup_pairs",
-    "embedding_norm_by_label", "fingerprint_docs", "forecast_revenue_q6",
-    "gopher_quality_report",
+    # NEW oracle query this round + the three rewrite-rule slots
+    "domain_cap_report", "hard_negatives_b8",
+    "dsir_importance_by_source", "url_dedup_report",
+    # r7 vintage (all 28 remaining -- age bound)
+    "grouping_sets_orders", "idle_rich_customers_q22",
+    "important_stock_q11", "lang_pred_matrix",
+    "large_order_customers_q18", "last_per_group_ties",
+    "local_supplier_volume_q5", "locf_gap_fill", "market_share_q8",
+    "media_payload_stats", "metric_summary_stats",
+    "min_cost_supplier_q2", "minhash_estimate_audit",
+    "order_priority_check_q4", "passage_dedup_report",
+    "pii_scrub_report", "pivot_user_by_type",
+    "priority_class_by_flag_q12", "quantiles_by_type",
+    "rollup_lineitem", "salted_agg_by_user", "semi_join_active",
+    "series_regroup", "shipping_priority_q3", "top3_orders_per_cust",
+    "tpch_q1", "unpivot_measures", "waiting_supplier_q21",
+    # r8 vintage pulled forward (16 alphabetically-first; the other 31
+    # take the r11 window)
+    "bigram_lm_quality_by_lang", "chunking_report",
+    "contamination_by_source", "corpus_mix_report",
+    "corpus_resample_report", "corr_price_qty", "cosine_topk_q0",
+    "derived_duration", "distinct_keys", "distinct_users_by_type",
+    "ema_smooth_5", "exact_dedup_docs", "filter_funnel_report",
+    "fk_scan", "hypertable_rollup_day", "jaccard_verify_lsh",
 )
 
 

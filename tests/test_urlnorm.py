@@ -178,6 +178,96 @@ def test_url_dedup_report_keeper_is_min_and_groups_collapse(spark):
         assert "#" not in r.canonical_url
 
 
+DOMAIN_CASES = [
+    # host -> registered domain (last two labels; single label falls back)
+    ("https://a.b.example.com/x", "example.com"),
+    ("https://example.com/x", "example.com"),
+    ("https://localhost/x", "localhost"),
+    ("https://example.co.uk/x", "co.uk"),  # documented: no PSL in-container
+    ("https:///x", ""),  # empty host (url-less plant) stays empty
+]
+
+
+def test_registered_domain_hand_cases_and_parity(spark):
+    """Domain extraction agrees with its DuckDB twin and matches the
+    pinned hand cases on both engines (the CLAUDE.md regex rule:
+    explicit class + \\z anchor, fuzz/pin before trusting)."""
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(DOMAIN_CASES)],
+        "i int, canonical_url string",
+    )
+    got = {
+        r.i: r.domain
+        for r in urlnorm.with_registered_domain(df).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pd.DataFrame(
+            {
+                "i": range(len(DOMAIN_CASES)),
+                "canonical_url": [u for u, _ in DOMAIN_CASES],
+            }
+        ),
+    )
+    sql = urlnorm.registered_domain_subquery_sql(
+        "SELECT i, canonical_url FROM t"
+    )
+    want = dict(con.execute(f"SELECT i, domain FROM ({sql})").fetchall())
+    for i, (u, expect) in enumerate(DOMAIN_CASES):
+        assert got[i] == expect, (u, got[i], expect)
+        assert want[i] == expect, (u, want[i], expect)
+
+
+@SET
+@given(urls=_url_st)
+def test_registered_domain_parity_fuzz(spark, urls):
+    """Full chain (canonicalize -> domain) engine parity on ASCII URL
+    soup — TOTAL on any input, like the canonicalization fuzz above."""
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i int, url string"
+    )
+    got = {
+        r.i: r.domain
+        for r in urlnorm.with_registered_domain(
+            urlnorm.with_canonical_url(df)
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(urls)), "url": urls}))
+    sql = urlnorm.registered_domain_subquery_sql(
+        urlnorm.canonical_url_subquery_sql("SELECT i, url FROM t")
+    )
+    want = dict(con.execute(f"SELECT i, domain FROM ({sql})").fetchall())
+    for i, u in enumerate(urls):
+        assert got[i] == want[i], (repr(u), got[i], want[i])
+
+
+def test_domain_capped_keepers_semantics(spark):
+    """Cap binds per domain: <= cap rows kept per domain, the kept set
+    is the md5-rank prefix (deterministic across invocations), and an
+    uncapped domain keeps everything."""
+    from waddleml_spark.catalog_llm import _URL_PLANT
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).selectExpr("doc_id", f"{_URL_PLANT} AS url")
+    kept = urlnorm.domain_capped_keepers(docs, cap=3).collect()
+    by_dom: dict[str, list] = {}
+    for r in kept:
+        by_dom.setdefault(r.domain, []).append(r)
+    assert by_dom, "plant produces domains"
+    for dom, members in by_dom.items():
+        assert len(members) <= 3
+        assert sorted(m.domain_rank for m in members) == list(
+            range(1, len(members) + 1)
+        )
+    again = urlnorm.domain_capped_keepers(docs, cap=3).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in kept)
+    total = urlnorm.domain_capped_keepers(docs, cap=10**9).count()
+    assert total == docs.count()
+
+
 def test_shingle_rows_rejects_distinct_with_positions(spark):
     df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     with pytest.raises(ValueError, match="with_pos"):

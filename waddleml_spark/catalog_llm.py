@@ -2656,6 +2656,82 @@ def url_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _domain_cap_oracle(cap: int = 25) -> str:
+    from waddleml_spark.llmops import urlnorm
+
+    inner = f"SELECT doc_id, n_chars, {_URL_PLANT} AS url FROM documents"
+    dom = urlnorm.registered_domain_subquery_sql(
+        urlnorm.canonical_url_subquery_sql(inner)
+    )
+    h = _md5_be32_sql("CAST(doc_id AS STRING)")
+    return f"""
+    WITH r AS (
+        SELECT domain, n_chars,
+               row_number() OVER (PARTITION BY domain
+                                  ORDER BY {h}, doc_id) AS rk
+        FROM ({dom}))
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rk <= {cap} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rk > {cap} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(sum(CASE WHEN rk <= {cap} THEN n_chars ELSE 0 END)
+               AS BIGINT) AS kept_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM r GROUP BY domain
+    """
+
+
+@_register("domain_cap_report", _domain_cap_oracle())
+def domain_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap audit (urlnorm.domain_capped_keepers' report twin):
+    the CCNet/RefinedWeb crawl-curation stage — registered domain from
+    the canonical URL (r9's staged canonicalization + the r10 domain
+    stage, ONE shared definition per dialect), then per-domain doc
+    counts, the deterministically-capped keeper stats (md5-rank within
+    domain — exact_dedup's keeper rule applied to a quota), and the
+    char budget the cap keeps vs drops.
+
+    Scale shape: plant + canonicalization + domain are ONE map-only
+    projection; the domain-grain window is the single exchange before
+    the domain-grain agg reuses its partitioning.  A mega-domain makes
+    the window a hot key — at crawl scale pre-aggregate counts and rank
+    members only for domains past the cap (the sliced_running_sum
+    two-phase precedent, urlnorm.domain_capped_keepers docstring).
+    Integer sums CAST to BIGINT in the oracle (the HUGEINT rule)."""
+    from pyspark.sql import Window
+
+    from waddleml_spark.llmops import urlnorm
+    from waddleml_spark.llmops.dedup import _md5_be32
+
+    # 25 BINDS at driver SF (sf0.01: 50 docs/domain -> 25 kept, 25
+    # dropped), so the md5-rank keeper selection is actually exercised
+    # by the hash compare, not just the count arithmetic
+    cap = 25
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "n_chars", f"{_URL_PLANT} AS url"
+    )
+    dom = urlnorm.with_registered_domain(urlnorm.with_canonical_url(d))
+    w = Window.partitionBy("domain").orderBy(
+        _md5_be32(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    kept = F.col("rk") <= cap
+    return (
+        dom.withColumn("rk", F.row_number().over(w))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 def _shard_plan_oracle(n_shards: int = 8) -> str:
     h = _md5_be32_sql("CAST(doc_id AS STRING)")
     return f"""

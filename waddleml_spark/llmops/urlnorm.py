@@ -169,6 +169,94 @@ def with_canonical_url(
     return out.drop(*names)
 
 
+# last two dot-labels of the host — the cheap registered-domain proxy
+# (no public-suffix list in this container: 'a.co.uk' groups as 'co.uk',
+# documented; the stage is deterministic and identical cross-engine).
+# Explicit class + \z anchor per the dialect rules; single-label hosts
+# (no dot) fall back to the whole host via the CASE.
+RE_REG_DOMAIN = r"[^.]+\.[^.]+\z"
+
+
+def _domain_stages(dialect: str) -> list[tuple[str, str]]:
+    """(name, expr) stages deriving `domain` from `canonical_url` —
+    shared verbatim between dialects like _canon_stages.  The canonical
+    form always reads https://<host><path...> with a non-empty path
+    ('/' when empty), so the host is exactly the text between the fixed
+    8-char scheme and the first '/'."""
+    return [
+        ("__chost", "split_part(substr(canonical_url, 9), '/', 1)"),
+        ("__rd",
+         f"regexp_extract(__chost, {_re(RE_REG_DOMAIN, dialect)}, 0)"),
+        ("domain", "CASE WHEN __rd = '' THEN __chost ELSE __rd END"),
+    ]
+
+
+def with_registered_domain(df: DataFrame, out_col: str = "domain") -> DataFrame:
+    """Append `out_col` — the registered domain of an existing
+    `canonical_url` column (compose after :func:`with_canonical_url`).
+    Map-only, like the canonicalization itself."""
+    out = df
+    scratch: list[str] = []
+    for name, expr in _domain_stages("spark"):
+        target = out_col if name == "domain" else name
+        out = out.selectExpr("*", f"{expr} AS {target}")
+        if name != "domain":
+            scratch.append(name)
+    return out.drop(*scratch)
+
+
+def registered_domain_subquery_sql(inner_sql: str) -> str:
+    """DuckDB twin of :func:`with_registered_domain`: wrap `inner_sql`
+    (which must yield `canonical_url`) adding `domain`."""
+    q = f"({inner_sql})"
+    for name, expr in _domain_stages("duckdb"):
+        q = f"(SELECT *, {expr} AS {name} FROM {q} AS _d_{name.strip('_')})"
+    scratch = ", ".join(
+        n for n, _ in _domain_stages("duckdb") if n != "domain"
+    )
+    return f"SELECT * EXCLUDE ({scratch}) FROM {q} AS _d_final"
+
+
+def domain_capped_keepers(
+    df: DataFrame,
+    cap: int = 100,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-domain document cap — the CCNet/RefinedWeb crawl-curation
+    stage after URL dedup: no registered domain may contribute more
+    than ``cap`` documents.  Keeper selection is DETERMINISTIC, not
+    first-N: rank by md5-BE32 of the id within the domain (id
+    tiebreak), so the kept set is a reproducible uniform-ish sample of
+    the domain rather than whatever crawl order produced (the
+    exact_dedup keeper discipline applied to a quota).  Returns the
+    input rows (plus ``canonical_url``, ``domain``, ``domain_rank``)
+    with rank <= cap.
+
+    Scale shape: canonicalization + domain are map-only; the only
+    exchange is the domain-grain window.  A mega-domain makes that a
+    hot key — at crawl scale, pre-aggregate per-domain counts first
+    and rank members only for domains past the cap (the
+    sliced_running_sum two-phase precedent); the report twin
+    (catalog domain_cap_report) documents the same flip rule.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from waddleml_spark.llmops.dedup import _md5_be32
+
+    with_dom = with_registered_domain(with_canonical_url(df, url_col))
+    w = Window.partitionBy("domain").orderBy(
+        _md5_be32(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        with_dom.withColumn(
+            "domain_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("domain_rank") <= cap)
+    )
+
+
 def canonical_url_subquery_sql(inner_sql: str, url_expr: str = "url") -> str:
     """DuckDB twin: wrap `inner_sql` (which must yield `url_expr`) in the
     same staged canonicalization, exposing every inner column plus
