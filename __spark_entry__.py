@@ -101,15 +101,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # would otherwise all hit age 3 at r11 and overflow that window —
 # splitting them 16/31 keeps r11 under 50 with room for new operators.
 # cosine_topk_q0 (a watched bench riser) rides in that alphabetical
-# prefix.  Anchors: flagship (slot 1, the smoke query) and
-# minhash32_band_pairs (the full oracle-exact LSH chain).
+# prefix.  The round's TWO LATER new oracle queries
+# (domain_entropy_by_source — per-source domain diversity;
+# gram_df_histogram — the df-cap tuning curve) outrank re-certs (the
+# window's own never-certified rule) and take the slots the LAST two
+# alphabetical r8 pulls (hypertable_rollup_day, jaccard_verify_lsh)
+# would have held — those two join the r11 set (age 3 there, so they
+# are committed, not optional).  Anchors: flagship (slot 1, the smoke
+# query) and minhash32_band_pairs (the full oracle-exact LSH chain).
 # All 50 emulator-preverified this round (sf0.01, bare session, values +
 # type families).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # anchors
     "flagship_leaderboard", "minhash32_band_pairs",
-    # NEW oracle query this round + the three rewrite-rule slots
-    "domain_cap_report", "hard_negatives_b8",
+    # NEW oracle queries this round + the three rewrite-rule slots
+    "domain_cap_report", "domain_entropy_by_source",
+    "gram_df_histogram", "hard_negatives_b8",
     "dsir_importance_by_source", "url_dedup_report",
     # r7 vintage (all 28 remaining -- age bound)
     "grouping_sets_orders", "idle_rich_customers_q22",
@@ -131,7 +138,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_resample_report", "corr_price_qty", "cosine_topk_q0",
     "derived_duration", "distinct_keys", "distinct_users_by_type",
     "ema_smooth_5", "exact_dedup_docs", "filter_funnel_report",
-    "fk_scan", "hypertable_rollup_day", "jaccard_verify_lsh",
+    "fk_scan",
 )
 
 

@@ -2572,14 +2572,22 @@ def temperature_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (doc_id%8), lang param (doc_id%2), extra-params flag (doc_id%7=3) —
 # every other dim must collapse.  ASCII-only by construction (the lower()
 # dialect rule).
-_URL_PLANT = """
+def _url_plant(host_dim: str = "doc_id % 10") -> str:
+    """The messy-URL plant with a parameterized HOST dimension:
+    doc_ids stride by 20 within a source, so any linear `doc_id % 10`
+    host is CONSTANT per source — fine for the dedup/cap reports
+    (domain grain), degenerate for per-source diversity.  Callers that
+    need domains to VARY within a source pass a stride-breaking
+    expression (floor-div spelled verbatim-shareable: Spark floor()
+    returns BIGINT, DuckDB's DOUBLE — the CAST makes both BIGINT)."""
+    return f"""
 concat(
   CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'https' ELSE 'HTTPS' END,
   '://',
   CASE WHEN doc_id % 4 = 0 THEN 'WWW.'
        WHEN doc_id % 4 = 2 THEN 'www.' ELSE '' END,
   CASE WHEN doc_id % 2 = 0 THEN 'EXAMPLE' ELSE 'example' END,
-  CAST(doc_id % 10 AS STRING),
+  CAST({host_dim} AS STRING),
   CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.com' END,
   CASE doc_id % 5 WHEN 0 THEN ':443' WHEN 1 THEN ':80' ELSE '' END,
   '/page/', CAST(doc_id % 8 AS STRING),
@@ -2603,6 +2611,9 @@ concat(
   CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END
 )
 """
+
+
+_URL_PLANT = _url_plant()
 
 
 def _url_dedup_oracle() -> str:
@@ -2728,6 +2739,142 @@ def domain_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "kept_chars"
             ),
             F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# stride-breaking host dimension for the per-source diversity pair:
+# doc_ids stride 20 within a source, so the shared plant's doc_id % 10
+# host is constant per source (measured: every entropy = 0).  Floor-div
+# by the stride makes the host cycle WITHIN each source; spelled so the
+# identical text runs on both engines (Spark floor -> BIGINT, DuckDB
+# floor -> DOUBLE; the CAST lands both on BIGINT).
+_HOST_DIM_DECORR = "CAST(floor(doc_id / 20.0) AS BIGINT) % 10"
+
+
+def _domain_entropy_oracle() -> str:
+    from waddleml_spark.llmops import urlnorm
+
+    inner = (
+        f"SELECT doc_id, source, {_url_plant(_HOST_DIM_DECORR)} AS url "
+        "FROM documents"
+    )
+    dom = urlnorm.registered_domain_subquery_sql(
+        urlnorm.canonical_url_subquery_sql(inner)
+    )
+    return f"""
+    WITH per AS (
+        SELECT source, domain, CAST(count(*) AS BIGINT) AS c
+        FROM ({dom}) GROUP BY source, domain),
+    agg AS (
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_domains,
+               CAST(max(c) AS BIGINT) AS top_c,
+               sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s
+        FROM per GROUP BY source)
+    SELECT source, n_docs, n_domains,
+           CAST(top_c AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_share,
+           {_r_sql('ln(CAST(n_docs AS DOUBLE)) - s / CAST(n_docs AS DOUBLE)', 6)}
+               AS domain_entropy
+    FROM agg
+    """
+
+
+@_register("domain_entropy_by_source", _domain_entropy_oracle())
+def domain_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source domain diversity — the crawl-curation companion to
+    domain_cap_report: Shannon entropy of each source's registered-
+    domain distribution (ln n = perfectly even, 0 = single-domain) plus
+    the top-domain share.  A source dominated by one domain is a
+    syndication/mirror red flag the cap stage then handles.
+
+    Entropy via the aggregate identity H = ln(n) − (Σ c·ln c)/n so the
+    per-domain pass needs no total: per-term doubles are bit-identical
+    cross-engine and the domain-order-nondeterministic sum goes through
+    the house _r(6) floor (the bigram-LM ln rule).  top_share is one
+    exact IEEE division of two deterministic BIGINTs — no rounding
+    needed.
+
+    Scale shape: map-only plant + canonicalization + domain, one
+    (source, domain)-grain exchange with map-side partials, then a
+    source-grain aggregate — nothing wider than the domain vocabulary
+    ever shuffles.  Integer aggregates CAST to BIGINT in the oracle
+    (the HUGEINT rule)."""
+    from waddleml_spark.llmops import urlnorm
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "source", f"{_url_plant(_HOST_DIM_DECORR)} AS url"
+    )
+    per = (
+        urlnorm.with_registered_domain(urlnorm.with_canonical_url(d))
+        .groupBy("source", "domain")
+        .agg(F.count("*").alias("c"))
+    )
+    cd = F.col("c").cast("double")
+    agg = per.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_domains"),
+        F.max("c").alias("top_c"),
+        F.sum(cd * F.log(cd)).alias("s"),
+    )
+    nd = F.col("n_docs").cast("double")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_domains",
+        (F.col("top_c").cast("double") / nd).alias("top_share"),
+        _r(F.log(nd) - F.col("s") / nd, 6).alias("domain_entropy"),
+    )
+
+
+@_register(
+    "gram_df_histogram",
+    rf"""
+    WITH h AS (
+        SELECT doc_id, {_md5_be32_sql('g')} AS h32
+        FROM ({_trigram_rows_clamped_sql()}) WHERE g IS NOT NULL),
+    d AS (
+        SELECT h32, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM h GROUP BY h32)
+    SELECT df,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(df * count(*) AS BIGINT) AS doc_gram_slots
+    FROM d GROUP BY df
+    """,
+)
+def gram_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency histogram of word trigrams: how many distinct
+    gram hashes appear in exactly df documents — THE tuning signal for
+    every df-capped dedup stage here (ngram_overlap / containment /
+    rare-gram blocking read max_df off this curve; the boilerplate tail
+    the star guards exist for is its high-df end).
+
+    df = distinct docs holding ≥1 gram hashing to the md5-BE32 value
+    (hash-grain semantics, mirrored verbatim in the oracle — two
+    distinct grams colliding into one hash count as one entry on BOTH
+    sides).  Shares the house shingle construction (shingle_rows /
+    _trigram_rows_clamped_sql — the linear zipped form, never a list
+    slice: the DuckDB quadratic-lambda trap).
+
+    Scale shape: one gram-grain exchange (countDistinct of a single key
+    rewrites to a two-phase aggregate, no Expand; partial aggregation
+    collapses each partition's repeats map-side) + a df-grain aggregate
+    whose cardinality is bounded by the max df, not the corpus.  All
+    integers — oracle-exact with BIGINT casts."""
+    from waddleml_spark.llmops.dedup import _md5_be32, shingle_rows
+
+    sh = shingle_rows(
+        t(spark, sf_dir, "documents"), k=3, distinct=False
+    ).select(_md5_be32(F.col("__s")).alias("h32"), "id")
+    dfs = sh.groupBy("h32").agg(F.countDistinct("id").alias("df"))
+    return (
+        dfs.groupBy("df")
+        .agg(F.count("*").alias("n_grams"))
+        .select(
+            "df",
+            "n_grams",
+            (F.col("df") * F.col("n_grams")).alias("doc_gram_slots"),
         )
     )
 
