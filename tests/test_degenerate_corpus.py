@@ -47,6 +47,9 @@ PAIR_QUERIES = (
     "ngram_overlap_pairs",
     "doc_containment_pairs",
     "winnowing32_overlap_pairs",
+    # round-10: the flood concentrates every boilerplate gram at df=200
+    # — the histogram's high-df tail must agree cross-engine
+    "gram_df_histogram",
 )
 
 

@@ -53,6 +53,9 @@ WIDE_ROW_QUERIES = (
     # SQL, which is exactly what this gate exists to pin)
     "dsir_importance_by_source",
     "source_overlap_matrix",
+    # round-10: the df histogram rides the clamped trigram SQL at gram
+    # grain — the giant doc is one more linear-shingle stress
+    "gram_df_histogram",
 )
 
 
