@@ -1,4 +1,5 @@
 """End-to-end LLM training-data pipeline over the documents table:
+crawl-frontier curation (canonical-URL dedup + per-domain caps) →
 exact dedup → containment dedup (drop docs quoted inside longer docs) →
 quality gate (length + repetition) → DSIR importance scoring (keep docs
 that look like the target distribution) → corpus-mix resample →
@@ -24,6 +25,7 @@ from waddleml_spark.llmops.packing import (
     write_training_shards,
 )
 from waddleml_spark.llmops.textstats import dsir_scores, repetition_ratio
+from waddleml_spark.llmops.urlnorm import domain_capped_keepers
 from waddleml_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -34,8 +36,24 @@ spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 n0 = docs.count()
 
+# 0. crawl-frontier curation: canonicalize URLs and cap each registered
+#    domain's contribution (deterministic md5-rank keeper — a
+#    reproducible uniform-ish sample of over-represented domains).  The
+#    fixture has no url column, so derive a plausible one; a real crawl
+#    passes its own.  Canonical-URL dedup proper is the streaming
+#    frontier's job (stream_url_dedup) or one groupBy on canonical_url.
+url_docs = docs.selectExpr(
+    "*",
+    "concat('https://WWW.example', CAST(doc_id % 7 AS STRING),"
+    " '.com:443/page/', CAST(doc_id % 19 AS STRING), '/') AS url",
+)
+frontier = domain_capped_keepers(url_docs, cap=6).drop(
+    "url", "canonical_url", "domain", "domain_rank"
+)
+n0b = frontier.count()
+
 # 1. exact dedup (lowest doc_id survives per normalized-content hash)
-deduped = exact_dedup_keep(docs)
+deduped = exact_dedup_keep(frontier)
 n1 = deduped.count()
 
 # 1b. containment dedup: drop docs whose rare-trigram set is >= 90%
@@ -117,6 +135,7 @@ with tempfile.TemporaryDirectory() as td:
 drop_ids.unpersist()
 
 print(f"documents in          : {n0}")
+print(f"after domain caps     : {n0b}")
 print(f"after exact dedup     : {n1}")
 print(f"after containment     : {n1b}")
 print(f"after quality gate    : {n2}")
