@@ -96,19 +96,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # Arrow kernel), dsir_importance_by_source (broadcast weight join),
 # and url_dedup_report (the tracking-param predicate now matches on
 # the param NAME — valueless trackers drop, so the shared canonical
-# definition changed on both sides).  The remaining 16 slots pull the
-# alphabetically-first r8-vintage rows FORWARD (age 2): 47 r8 rows
-# would otherwise all hit age 3 at r11 and overflow that window —
-# splitting them 16/31 keeps r11 under 50 with room for new operators.
-# cosine_topk_q0 (a watched bench riser) rides in that alphabetical
+# definition changed on both sides), plus a FOURTH late in the round:
+# trigram_novelty_by_source (g2 stage rebuilt generator+countDistinct,
+# 42% at 100× — r8 vintage, re-certified under the rewrite rule).  The
+# remaining slots pull the alphabetically-first r8-vintage rows
+# FORWARD (age 2): 47 r8 rows would otherwise all hit age 3 at r11 and
+# overflow that window.  Final split: 13 alphabetical r8 pulls +
+# trigram_novelty = 14 r8 rows certified in r10; the other 33 r8 rows
+# (from fk_scan onward, incl. hypertable_rollup_day and
+# jaccard_verify_lsh) are COMMITTED to the r11 window (age 3 there) —
+# 33 + 2 anchors leaves ~15 r11 slots for new operators.
+# cosine_topk_q0 (a watched bench riser) rides in the alphabetical
 # prefix.  The round's TWO LATER new oracle queries
 # (domain_entropy_by_source — per-source domain diversity;
 # gram_df_histogram — the df-cap tuning curve) outrank re-certs (the
-# window's own never-certified rule) and take the slots the LAST two
-# alphabetical r8 pulls (hypertable_rollup_day, jaccard_verify_lsh)
-# would have held — those two join the r11 set (age 3 there, so they
-# are committed, not optional).  Anchors: flagship (slot 1, the smoke
-# query) and minhash32_band_pairs (the full oracle-exact LSH chain).
+# window's own never-certified rule).  Anchors: flagship (slot 1, the
+# smoke query) and minhash32_band_pairs (the full oracle-exact LSH
+# chain).
 # All 50 emulator-preverified this round (sf0.01, bare session, values +
 # type families).
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -138,7 +142,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_resample_report", "corr_price_qty", "cosine_topk_q0",
     "derived_duration", "distinct_keys", "distinct_users_by_type",
     "ema_smooth_5", "exact_dedup_docs", "filter_funnel_report",
-    "fk_scan",
+    # rewrite rule: the r10 generator+countDistinct rebuild of
+    # trigram_novelty_by_source takes the slot fk_scan (an optional
+    # age-2 pull) would have held; fk_scan joins the r11 set
+    "trigram_novelty_by_source",
 )
 
 

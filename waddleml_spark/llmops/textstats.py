@@ -526,42 +526,47 @@ def shingle_novelty_report(
     a source before training.  Integer-exact (the ratio divides the
     same two BIGINTs on any engine), so it oracle-pairs exactly.
 
-    Scale shape: tokens materialize BEFORE the fan_out exchange (the
-    interpreted-HOF rule: shingling must read a materialized column),
-    occurrence rows cross ONE shuffle into (shingle, group) grain with
-    map-side partial aggregation, the corpus-wide holder count and
-    first-holder rank are two window functions over the same
-    vocabulary-grain partition key (one more vocab-scale exchange, one
-    sort), and the final group rollup is tiny.  Nothing is ever
+    Scale shape: codegen'd generator explode over start indices (empty
+    for docs under k tokens — shingles_from_tokens' pinned no-partials
+    semantics, NOT shingle_rows' clamp), per-occurrence rows into a
+    (shingle, group) aggregate whose single countDistinct rewrites to a
+    two-phase plan with map-side partial distinct; the corpus-wide
+    holder count and first-holder rank are two window functions over
+    the same vocabulary-grain partition key (one more vocab-scale
+    exchange, one sort — measured a MINOR cost: ~1.1 of 11.6 s at
+    100×), and the final group rollup is tiny.  Nothing is ever
     pairwise and nothing returns to occurrence grain.
 
-    Round-9 note: this is the one shingling hot path where the
-    interpreted HOF WINS.  Two codegen'd generator rewrites were
-    measured against it at sf0.1 (interleaved min-of-7, steal-quiet):
-    generator rows + countDistinct(id) in the aggregate (1.002 s) and
-    generator rows + a distinct shuffle (0.977 s) both lose to the HOF
-    plan (0.880 s) — array_distinct collapses each doc's repeats
-    IN PLACE before anything shuffles, and that saved exchange volume
-    outweighs the interpreter.  The shingle_rows 6x-HOF-loss rule
-    applies to NON-distinct consumers; per-doc-distinct consumers
-    should keep this shape.
+    Round-10 rebuild (reversing the r9 choice WITH scale data): at
+    sf0.1 the interpreted-HOF array_distinct plan wins (0.880 vs
+    1.002 s — in-place dedup saves exchange volume, the r9 finding),
+    but at 100× the interpreter cost dominates and the generator +
+    countDistinct g2 stage measured 6.44 vs 11.16 s (42% faster,
+    interleaved min-of-3, steal-quiet).  Scale-first: the generator
+    shape ships; the ~0.1 s it costs at bench scale is the documented
+    price.  c = countDistinct(id) per (g, grp) over per-OCCURRENCE
+    rows == count(*) over per-doc-distinct rows — same values, and
+    min(id) is duplicate-insensitive.
     """
-    from waddleml_spark.session import fan_out
-
-    toks = fan_out(
+    starts = F.when(
+        F.col("__n") >= k, F.sequence(F.lit(0), F.col("__n") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.concat_ws(
+        " ", *[F.get(F.col("__t"), F.col("__i") + j) for j in range(k)]
+    )
+    toks = word_tokens(F.col(text_col))
+    sh = (
         df.select(
             F.col(id_col).alias("id"),
             F.col(group_col).alias("grp"),
-            word_tokens(F.col(text_col)).alias("tk"),
+            toks.alias("__t"),
+            F.size(toks).alias("__n"),
         )
-    )
-    sh = toks.select(
-        "id",
-        "grp",
-        F.explode(shingles_from_tokens(F.col("tk"), k)).alias("g"),
+        .select("id", "grp", "__t", F.explode(starts).alias("__i"))
+        .select("id", "grp", gram.alias("g"))
     )
     g2 = sh.groupBy("g", "grp").agg(
-        F.count("*").alias("c"), F.min("id").alias("mind")
+        F.countDistinct("id").alias("c"), F.min("id").alias("mind")
     )
     # corpus-wide doc-holder count + first-holder rank: mind values are
     # distinct within a shingle (doc ids are globally unique, so two
