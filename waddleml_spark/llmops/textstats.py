@@ -218,47 +218,61 @@ def ngram_collision_report(
     """
     from waddleml_spark.session import fan_out
 
-    # Tokenize BEFORE the fan_out shuffle: the exchange is a hard barrier
-    # Catalyst cannot collapse, so tokens are computed once per doc and
-    # the shingle lambda reads the shuffled column (interpreted HOFs get
-    # no CSE — tokenizing inside the lambda is ~9x slower).  fan_out also
-    # spreads the compute off the single-row-group driver parquet.
-    # Probe on shingle HASHES so the broadcast set carries longs, not
-    # strings.  The bench/corpus branches filter on __is_bench BELOW the
-    # shingle projection (Catalyst pushes the predicate), so each doc's
-    # shingles are computed exactly once — in whichever branch owns it.
-    toks = fan_out(
+    # r10 rebuild (the trigram_novelty lesson, measured there first):
+    # the HOF shape — shingles_from_tokens + transform(xxhash64), both
+    # interpreted per element — dominated the 100× wall; the generator
+    # explode over start indices + plain concat_ws/xxhash64 expressions
+    # stays whole-stage-codegen'd and shuffles nothing extra (the probe
+    # is per-OCCURRENCE instead of per-doc-distinct, but hits collapse
+    # in the same doc-grain partial aggregate, so "shares ANY gram" and
+    # n_docs are value-identical).  Tokenize BEFORE the fan_out shuffle
+    # (the exchange barrier stops Catalyst re-tokenizing per branch
+    # below it); probe on gram HASHES so the broadcast set carries
+    # longs.  The bench/corpus branches filter on __is_bench BELOW the
+    # generate (non-generated column — Catalyst pushes it), so each
+    # doc's grams are computed exactly once, in whichever branch owns
+    # it.
+    toks = word_tokens(F.col(text_col))
+    base = fan_out(
         df.select(
             F.col(id_col).alias("__id"),
             F.col(group_col).alias("__grp"),
             bench_pred.alias("__is_bench"),
-            word_tokens(F.col(text_col)).alias("__t"),
+            toks.alias("__t"),
+            F.size(toks).alias("__n"),
         )
     )
-    sh = toks.select(
+    # explode_OUTER, not plain explode, for two reasons: shingle-less
+    # docs (< k tokens — empty starts array) must survive as a null row
+    # so n_docs counts them, and InferFiltersFromGenerate clones an
+    # inner explode's size()>0 filter below the fan_out exchange
+    # (measured 2.6 s of the old 7 s) while outer generate is exempt.
+    # The null __i row hashes to NULL, which never matches the join key.
+    starts = F.when(
+        F.col("__n") >= k, F.sequence(F.lit(0), F.col("__n") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.concat_ws(
+        " ", *[F.get(F.col("__t"), F.col("__i") + j) for j in range(k)]
+    )
+    rows = base.select(
+        "__id", "__grp", "__is_bench", "__t",
+        F.explode_outer(starts).alias("__i"),
+    ).select(
         "__id",
         "__grp",
         "__is_bench",
-        F.transform(
-            shingles_from_tokens(F.col("__t"), k), lambda g: F.xxhash64(g)
-        ).alias("__gh"),
+        F.when(F.col("__i").isNotNull(), F.xxhash64(gram)).alias("g"),
     )
-    # explode_OUTER + drop-null, not plain explode: for inner explode the
-    # InferFiltersFromGenerate rule clones `size(<whole shingle expr>) > 0`
-    # as a filter below the fan_out exchange, recomputing the entire
-    # shingle pipeline on the unshuffled scan (measured 2.6s of the 7s).
-    # Outer generate is exempt; the null rows (shingle-less docs) drop on
-    # the generated column instead.
     bench = (
-        sh.filter(F.col("__is_bench"))
-        .select(F.explode_outer("__gh").alias("g"))
+        rows.filter(F.col("__is_bench"))
         .filter(F.col("g").isNotNull())
+        .select("g")
         .distinct()
         .select(F.col("g").alias("__bg"), F.lit(1).alias("__mark"))
     )
-    corpus = sh.filter(~F.col("__is_bench"))
     probed = (
-        corpus.select("__grp", "__id", F.explode_outer("__gh").alias("g"))
+        rows.filter(~F.col("__is_bench"))
+        .select("__grp", "__id", "g")
         .join(F.broadcast(bench), F.col("g") == F.col("__bg"), "left")
     )
     per_doc = probed.groupBy("__grp", "__id").agg(
