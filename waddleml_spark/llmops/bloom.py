@@ -143,37 +143,49 @@ def bloom_decontamination_report(
     measured number, not a formula.  n_flagged >= n_contaminated always
     (no false negatives)."""
     from waddleml_spark.llmops import rotate_persist
-    from waddleml_spark.llmops.textstats import shingles_from_tokens, word_tokens
+    from waddleml_spark.llmops.textstats import word_tokens
     from waddleml_spark.session import fan_out
 
-    # ONE exploded shingle-row frame at (doc_id, __bench, g) grain,
-    # shared by all three shingle consumers (bloom build action, probe
-    # branch, exact-audit semi join).  Two round-5/6 findings drive the
-    # shape: (a) the previous doc-grain shingle-ARRAY localCheckpoint
-    # pinned corpus-scale UNEVICTABLE blocks (checkpoint truncates
-    # lineage, so Spark can never drop them — the apply_bpe 100x OOM
-    # class); rotate_persist is evictable, worst case an eviction
-    # re-runs the tokenize pass.  (b) the array frame was exploded once
-    # PER consumer — the 'two shingle passes' cost center SCALING.md
-    # measured at 100x; exploding once before the persist makes the
-    # build/probe/audit all read the same materialized rows.  Tokenize
-    # below the fan_out barrier so the HOF shingle lambda reads
-    # materialized tokens (the measured 9x no-CSE trap, see
-    # ngram_collision_report).
-    toks = fan_out(
+    # ONE exploded shingle-row frame at per-doc-DISTINCT (doc_id,
+    # __bench, g) grain, shared by all three shingle consumers (bloom
+    # build action, probe branch, exact-audit semi join).  Shape notes:
+    # (a) rotate_persist, never localCheckpoint — the round-5 finding:
+    # checkpoint blocks are unevictable and a corpus-scale pin OOM'd
+    # the 100x harness; eviction worst-case re-runs the tokenize pass.
+    # (b) explode ONCE before the persist so build/probe/audit all read
+    # the same materialized rows.  (c) r10 rebuild (the trigram_novelty
+    # / contamination lesson): the interpreted-HOF
+    # shingles_from_tokens + explode was the cold-pass cost center —
+    # the codegen'd generator explode + concat_ws + an explicit
+    # distinct (restoring the per-doc-distinct grain the HOF's
+    # array_distinct provided, so the persisted frame and the probe
+    # volume do not double) measured cold 28.2 vs 35.9 s and warm 11.7
+    # vs 12.4 s at 100x, identical output.  Tokenize below the fan_out
+    # barrier (exchange = CSE barrier).
+    toks = word_tokens(F.col("text"))
+    base = fan_out(
         docs.select(
             "doc_id",
             bench_pred.alias("__bench"),
-            word_tokens(F.col("text")).alias("__t"),
+            toks.alias("__t"),
+            F.size(toks).alias("__n"),
         )
+    )
+    starts = F.when(
+        F.col("__n") >= k_shingle,
+        F.sequence(F.lit(0), F.col("__n") - k_shingle),
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.concat_ws(
+        " ",
+        *[F.get(F.col("__t"), F.col("__i") + j) for j in range(k_shingle)],
     )
     g_rows = rotate_persist(
         "bloom.shingle_rows",
-        toks.select(
-            "doc_id",
-            "__bench",
-            F.explode(shingles_from_tokens(F.col("__t"), k_shingle)).alias("g"),
-        ),
+        base.select(
+            "doc_id", "__bench", "__t", F.explode(starts).alias("__i")
+        )
+        .select("doc_id", "__bench", gram.alias("g"))
+        .distinct(),
     )
     bench_g = g_rows.filter(F.col("__bench")).select("g").distinct()
     # the doc universe comes straight off the pruned docs scan (doc_id,
