@@ -458,13 +458,32 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-overlap detection: documents sharing ≥3 winnowing
     fingerprints (MOSS-style passage matching, not whole-doc identity).
     explode → bucket-group → in-bucket pair expansion (same shape as the
-    MinHash band join — one shuffle on the fingerprint)."""
+    MinHash band join — one shuffle on the fingerprint).
+
+    r10 rebuild: this previously exploded
+    textstats.winnowing_fingerprints, whose nested interpreted HOFs are
+    QUADRATIC per document (the wins lambda re-evaluates the grams
+    transform per window — no CSE; the 100× pass hung past 570 s).
+    The fingerprints now come from the LINEAR positioned construction
+    (codegen'd generator gram rows + one doc-grain sliding window-min,
+    xxhash64 gram hashes — dedup.winnowing32_overlap_pairs' shape with
+    this query's production hash), measured seconds at 100×; the
+    bucket tail is unchanged."""
+    from pyspark.sql import Window
+
     from waddleml_spark.session import fan_out
 
+    w = 4
     d = fan_out(t(spark, sf_dir, "documents").select("doc_id", "text"))
-    fps = d.select(
-        "doc_id",
-        F.explode(textstats.winnowing_fingerprints(F.col("text"))).alias("fp"),
+    rows = dedup.shingle_rows(
+        d, "text", "doc_id", k=3, distinct=False, with_pos=True
+    ).select("id", "__i", "__ng", F.xxhash64(F.col("__s")).alias("__h"))
+    win = Window.partitionBy("id").orderBy("__i").rowsBetween(0, w - 1)
+    fps = (
+        rows.withColumn("fp", F.min("__h").over(win))
+        .filter(F.col("__i") < F.greatest(F.col("__ng") - (w - 1), F.lit(1)))
+        .select(F.col("id").alias("doc_id"), "fp")
+        .distinct()
     )
     buckets = (
         fps.groupBy("fp")

@@ -133,6 +133,15 @@ def winnowing_fingerprints(
     grams, distinct.  Robust partial-overlap detector — two documents
     sharing any sufficiently long passage share fingerprints, unlike the
     whole-document md5.  Pure expressions; zero shuffle per row.
+
+    WARNING — serving/single-doc use ONLY, never a corpus hot path
+    (r10 find): interpreted HOF lambdas get no CSE, so the `wins`
+    lambda re-evaluates the whole `grams` transform PER WINDOW —
+    O(G²·k) interpreted ops per document.  The 100× corpus pass hung
+    past 570 s on exactly this column; corpus-scale winnowing goes
+    through the LINEAR positioned-window construction instead
+    (dedup.winnowing32_overlap_pairs / catalog winnowing_overlap_pairs,
+    rebuilt r10).
     """
     toks = F.split(lower_trim(text), WS_RE)
     th = F.transform(toks, lambda t: F.xxhash64(t))
