@@ -101,18 +101,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # 42% at 100× — r8 vintage, re-certified under the rewrite rule).  The
 # remaining slots pull the alphabetically-first r8-vintage rows
 # FORWARD (age 2): 47 r8 rows would otherwise all hit age 3 at r11 and
-# overflow that window.  Final split: 13 alphabetical r8 pulls +
-# trigram_novelty = 14 r8 rows certified in r10; the other 33 r8 rows
-# (from fk_scan onward, incl. hypertable_rollup_day and
-# jaccard_verify_lsh) are COMMITTED to the r11 window (age 3 there) —
-# 33 + 2 anchors leaves ~15 r11 slots for new operators.
-# cosine_topk_q0 (a watched bench riser) rides in the alphabetical
-# prefix.  The round's TWO LATER new oracle queries
+# overflow that window.  Final split: 12 alphabetical r8 pulls +
+# trigram_novelty = 13 r8 rows certified in r10; the other 34 r8 rows
+# (fk_scan, filter_funnel_report, and from hypertable_rollup_day
+# onward incl. jaccard_verify_lsh) are COMMITTED to the r11 window
+# (age 3 there) — 34 + 2 anchors leaves ~14 r11 slots for new
+# operators.  cosine_topk_q0 (a watched bench riser) rides in the
+# alphabetical prefix.  The round's THREE LATER new oracle queries
 # (domain_entropy_by_source — per-source domain diversity;
-# gram_df_histogram — the df-cap tuning curve) outrank re-certs (the
-# window's own never-certified rule).  Anchors: flagship (slot 1, the
-# smoke query) and minhash32_band_pairs (the full oracle-exact LSH
-# chain).
+# gram_df_histogram — the df-cap tuning curve;
+# domain_blocklist_report — the crawl blocklist stage) outrank
+# re-certs (the window's own never-certified rule).  Anchors: flagship
+# (slot 1, the smoke query) and minhash32_band_pairs (the full
+# oracle-exact LSH chain).
 # All 50 emulator-preverified this round (sf0.01, bare session, values +
 # type families).
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -141,11 +142,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "contamination_by_source", "corpus_mix_report",
     "corpus_resample_report", "corr_price_qty", "cosine_topk_q0",
     "derived_duration", "distinct_keys", "distinct_users_by_type",
-    "ema_smooth_5", "exact_dedup_docs", "filter_funnel_report",
+    "ema_smooth_5", "exact_dedup_docs",
     # rewrite rule: the r10 generator+countDistinct rebuild of
     # trigram_novelty_by_source takes the slot fk_scan (an optional
-    # age-2 pull) would have held; fk_scan joins the r11 set
-    "trigram_novelty_by_source",
+    # age-2 pull) would have held; domain_blocklist_report (new, late
+    # r10 — the crawl blocklist stage) outranks the filter_funnel
+    # re-cert; fk_scan and filter_funnel_report join the r11 set
+    "trigram_novelty_by_source", "domain_blocklist_report",
 )
 
 

@@ -268,6 +268,32 @@ def test_domain_capped_keepers_semantics(spark):
     assert total == docs.count()
 
 
+def test_neardup_cluster_sizes_invariants(spark):
+    """Histogram arithmetic holds (n_docs = size × n_clusters, sizes
+    ≥ 2), and the clustered-doc total equals the distinct node count of
+    the candidate pair graph."""
+    from pyspark.sql import functions as F
+
+    from waddleml_spark import catalog
+    from waddleml_spark.llmops import dedup as _dd
+
+    sf = "/root/testdata/sf0.001"
+    rows = catalog.QUERIES["neardup_cluster_sizes"](spark, sf).collect()
+    assert rows, "smoke corpus has near-dup candidates"
+    for r in rows:
+        assert r.cluster_size >= 2
+        assert r.n_docs == r.cluster_size * r.n_clusters
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = _dd.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    n_nodes = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == n_nodes
+
+
 def test_shingle_rows_rejects_distinct_with_positions(spark):
     df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     with pytest.raises(ValueError, match="with_pos"):

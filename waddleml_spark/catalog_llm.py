@@ -2898,6 +2898,98 @@ def gram_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# stand-in for the external blocklist a real crawl pipeline loads
+# (UT1/adult-site lists etc.) — a bounded table, rendered as VALUES in
+# the oracle and a broadcast frame in Spark so the plan shape IS the
+# production one (broadcast anti/left join, never an IN literal scan)
+_BLOCKED_DOMAINS = (
+    "example0.com", "example3.com", "example6.com", "example9.com"
+)
+
+
+def _domain_blocklist_oracle() -> str:
+    from waddleml_spark.llmops import urlnorm
+
+    inner = f"SELECT doc_id, source, {_URL_PLANT} AS url FROM documents"
+    dom = urlnorm.registered_domain_subquery_sql(
+        urlnorm.canonical_url_subquery_sql(inner)
+    )
+    values = ", ".join(f"('{d}')" for d in _BLOCKED_DOMAINS)
+    return f"""
+    WITH bl AS (SELECT * FROM (VALUES {values}) t(domain))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN domain IN (SELECT domain FROM bl)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           CAST(sum(CASE WHEN domain IN (SELECT domain FROM bl)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+    FROM ({dom}) GROUP BY source
+    """
+
+
+@_register("domain_blocklist_report", _domain_blocklist_oracle())
+def domain_blocklist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist filtering — the remaining standard crawl-curation
+    stage (CCNet/RefinedWeb drop documents whose registered domain is on
+    an external blocklist): per source, docs blocked vs kept.
+
+    The blocklist is a TABLE, not an IN literal, so the Spark plan is
+    the production shape: a broadcast LEFT join (bounded by construction
+    — blocklists are thousands of rows at any corpus size) marking
+    blocked rows, then one source-grain aggregate; at 100 TB the
+    blocklist broadcast is exactly how this stage runs.  The oracle
+    renders the same list as VALUES.  Integer sums CAST to BIGINT."""
+    from waddleml_spark.llmops import urlnorm
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "source", f"{_URL_PLANT} AS url"
+    )
+    dom = urlnorm.with_registered_domain(urlnorm.with_canonical_url(d))
+    bl = spark.createDataFrame(
+        [(x,) for x in _BLOCKED_DOMAINS], "domain string"
+    ).withColumn("__b", F.lit(1))
+    marked = dom.join(F.broadcast(bl), "domain", "left")
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce(F.col("__b"), F.lit(0))).alias("n_blocked"),
+        F.sum(
+            F.when(F.col("__b").isNull(), 1).otherwise(0)
+        ).alias("n_kept"),
+    )
+
+
+@_register("neardup_cluster_sizes", None)
+def neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram: MinHash-LSH candidate pairs →
+    connected components (min-label pointer jumping) → how many
+    clusters of each size the corpus carries — the audit a dedup keeper
+    policy reads (a fat tail of giant clusters means boilerplate, not
+    near-duplication, and argues for the star guard / df caps).
+    Clusters are size ≥ 2 by construction (components exist only where
+    candidate edges do); singleton count = corpus minus clustered docs.
+
+    Rows-only BY DESIGN (the CC iteration is not SQL-expressible —
+    same class as semantic_dedup_report).  Scale shape: the candidate
+    pipeline's band shuffles + O(log diameter) CC rounds, then two tiny
+    component-grain aggregates."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(d, num_hashes=32, bands=8)
+    comp = dedup.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def _shard_plan_oracle(n_shards: int = 8) -> str:
     h = _md5_be32_sql("CAST(doc_id AS STRING)")
     return f"""
