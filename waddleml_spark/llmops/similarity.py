@@ -1007,7 +1007,13 @@ def _hard_negative_scored_arrow(
     The anchor fetch is a bounded driver collect (≤ n_queries rows by
     the id-range filter — the serving-edge collect rule); anchors ship
     inside the kernel closure, so the corpus-side plan is ONE
-    mapInPandas pass with no join operator at all."""
+    mapInPandas pass with no join operator at all.
+
+    PRECONDITION (shared with blocked_cosine_pairs): vectors are
+    non-NULL and fixed-dimension — np.stack raises on a NULL/ragged
+    embedding where the expression twin would emit a NULL cosine that
+    sorts last.  Crash-vs-silent-NULL is the intended trade: a NULL
+    vector in an embeddings table is upstream corruption."""
     import numpy as np
     import pandas as pd
 
