@@ -136,8 +136,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "rollup_lineitem", "salted_agg_by_user", "semi_join_active",
     "series_regroup", "shipping_priority_q3", "top3_orders_per_cust",
     "tpch_q1", "unpivot_measures", "waiting_supplier_q21",
-    # r8 vintage pulled forward (16 alphabetically-first; the other 31
-    # take the r11 window)
+    # r8 vintage pulled forward (12 alphabetically-first + the
+    # trigram_novelty rewrite slot below; the other 34 r8 rows take
+    # the r11 window — see the header comment)
     "bigram_lm_quality_by_lang", "chunking_report",
     "contamination_by_source", "corpus_mix_report",
     "corpus_resample_report", "corr_price_qty", "cosine_topk_q0",

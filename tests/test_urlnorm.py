@@ -73,6 +73,11 @@ CASES = [
     # (Spark concat propagates NULL, DuckDB concat skips it — without
     # the coalesce the oracle emitted a phantom group)
     (None, "https:///"),
+    # r10 review find: whitespace-PADDED urls defeated the \A-anchored
+    # scheme strip and canonicalized to garbage — edge-trim is now
+    # stage 0 of the shared canonicalization
+    (" https://example.com/a ", "https://example.com/a"),
+    ("\thttp://WWW.example.com/b\n", "https://example.com/b"),
 ]
 
 
@@ -185,6 +190,12 @@ DOMAIN_CASES = [
     ("https://localhost/x", "localhost"),
     ("https://example.co.uk/x", "co.uk"),  # documented: no PSL in-container
     ("https:///x", ""),  # empty host (url-less plant) stays empty
+    # r10 review find: non-default ports and userinfo must not fragment
+    # the registered domain (blocklist bypass / cap evasion)
+    ("https://example.com:8080/x", "example.com"),
+    ("https://user@example.com/x", "example.com"),
+    ("https://u@example.com:8080/x", "example.com"),
+    ("https://[::1]:8080/x", "[::1]"),  # no dot -> whole depored host
 ]
 
 

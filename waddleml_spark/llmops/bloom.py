@@ -143,7 +143,10 @@ def bloom_decontamination_report(
     measured number, not a formula.  n_flagged >= n_contaminated always
     (no false negatives)."""
     from waddleml_spark.llmops import rotate_persist
-    from waddleml_spark.llmops.textstats import word_tokens
+    from waddleml_spark.llmops.textstats import (
+        nopartial_gram_exprs,
+        word_tokens,
+    )
     from waddleml_spark.session import fan_out
 
     # ONE exploded shingle-row frame at per-doc-DISTINCT (doc_id,
@@ -171,14 +174,7 @@ def bloom_decontamination_report(
             F.size(toks).alias("__n"),
         )
     )
-    starts = F.when(
-        F.col("__n") >= k_shingle,
-        F.sequence(F.lit(0), F.col("__n") - k_shingle),
-    ).otherwise(F.array().cast("array<int>"))
-    gram = F.concat_ws(
-        " ",
-        *[F.get(F.col("__t"), F.col("__i") + j) for j in range(k_shingle)],
-    )
+    starts, gram = nopartial_gram_exprs(k_shingle)
     g_rows = rotate_persist(
         "bloom.shingle_rows",
         base.select(

@@ -1007,7 +1007,11 @@ def _hard_negative_scored_arrow(
     The anchor fetch is a bounded driver collect (≤ n_queries rows by
     the id-range filter — the serving-edge collect rule); anchors ship
     inside the kernel closure, so the corpus-side plan is ONE
-    mapInPandas pass with no join operator at all.
+    mapInPandas pass with no join operator at all.  NOTE this makes
+    DataFrame CONSTRUCTION eager by one small driver job (the _qvec
+    parameter-fetch class — plan-only consumers like plans.report pay
+    it); the kernel cannot collect on workers, and the job is an
+    8-row filter scan.
 
     PRECONDITION (shared with blocked_cosine_pairs): vectors are
     non-NULL and fixed-dimension — np.stack raises on a NULL/ragged
@@ -1062,19 +1066,42 @@ def _hard_negative_scored_arrow(
                 continue
             ids = pdf["__id"].to_numpy()
             labels = pdf["__label"].to_numpy()
+            # NULL labels are NEVER negatives (review find): the expr
+            # twin's join condition `label <> qlabel` is SQL-NULL for a
+            # NULL label, excluding the row — numpy's `!=` would have
+            # included it.  Masked ONCE per batch; float-NaN labels are
+            # excluded the same way (pd.isna), documented as the one
+            # deliberate divergence (the expr twin would pair a
+            # NaN-labeled row with non-NaN anchors; NaN labels are
+            # schema corruption, not a category).
+            notnull = ~pd.isna(labels)
             X = np.stack(pdf["__v"].to_numpy()).astype("float64")
             en = _seq_norms(X)
             S = np.zeros((len(X), len(q_ids)))
             for i in range(X.shape[1]):  # dimension-wise = left fold
                 S += np.multiply.outer(X[:, i], qm[:, i])
             cos = S / np.multiply.outer(en, qn)
-            # selection key: NaN ranks FIRST under cos desc (both
-            # engines order NaN above every double), so map it to +inf
-            # for the local pick; emitted values stay the raw cosines
-            sel = np.where(np.isnan(cos), np.inf, cos)
+            # Local selection must reproduce the engines' TOTAL order
+            # cos desc = [NaN, +inf, ..., -inf] with id-asc ties: the
+            # partition prefilter maps NaN→+inf (a SUPERSET cut — keeps
+            # every NaN and +inf row), then the exact sort ranks NaN
+            # ABOVE +inf via an explicit isnan primary key (review
+            # find: a plain NaN→inf key conflated NaN with a genuine
+            # +inf cosine — zero-norm anchor — and could evict the row
+            # the global window keeps).  The secondary sort value is
+            # NaN-free (NaN rows get 0 there; the isnan key already
+            # groups them, ids break ties — Spark orders equal-NaN by
+            # the id tiebreak too).  Emitted values stay raw cosines.
+            isnan = np.isnan(cos)
+            sel = np.where(isnan, np.inf, cos)
+            sel_clean = np.where(isnan, 0.0, cos)
             outs = []
             for j in range(len(q_ids)):
-                valid = np.flatnonzero(labels != q_labels[j])
+                if pd.isna(q_labels[j]):
+                    # a NULL-labeled ANCHOR has no negatives either
+                    # (the join condition is SQL-NULL for every row)
+                    continue
+                valid = np.flatnonzero(notnull & (labels != q_labels[j]))
                 if not len(valid):
                     continue
                 s = sel[valid, j]
@@ -1084,8 +1111,11 @@ def _hard_negative_scored_arrow(
                     cand = valid[np.flatnonzero(s >= kth)]
                 else:
                     cand = valid
-                # exact (cos desc, id asc) among the boundary-tie set
-                order = np.lexsort((ids[cand], -sel[cand, j]))
+                # exact (NaN first, cos desc, id asc) among the
+                # boundary-tie set; lexsort's LAST key is primary
+                order = np.lexsort(
+                    (ids[cand], -sel_clean[cand, j], ~isnan[cand, j])
+                )
                 top = cand[order][:kk]
                 outs.append(
                     pd.DataFrame(

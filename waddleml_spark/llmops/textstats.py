@@ -156,6 +156,29 @@ def winnowing_fingerprints(
     return F.array_distinct(wins)
 
 
+def nopartial_gram_exprs(
+    k: int, tok_col: str = "__t", n_col: str = "__n", i_col: str = "__i"
+) -> tuple[Column, Column]:
+    """(starts, gram) for the CODEGEN'D generator twin of
+    shingles_from_tokens' NO-PARTIALS semantics: ``starts`` is the
+    0-based gram-position array (EMPTY for docs under k tokens — never
+    shingle_rows' clamp), ``gram`` rebuilds the k-gram from a
+    materialized token array + exploded index via plain F.get/concat_ws
+    expressions.  ONE definition (the shingle_rows rule): the r10
+    generator rebuilds (shingle_novelty_report, ngram_collision_report,
+    bloom_decontamination_report) all consume this so the no-clamp
+    semantics the hand-matched DuckDB twins depend on can never drift
+    between sites.  Callers project ``tok_col``/``n_col``, explode
+    ``starts`` as ``i_col``, then select ``gram``."""
+    starts = F.when(
+        F.col(n_col) >= k, F.sequence(F.lit(0), F.col(n_col) - k)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.concat_ws(
+        " ", *[F.get(F.col(tok_col), F.col(i_col) + j) for j in range(k)]
+    )
+    return starts, gram
+
+
 def word_tokens(text: Column) -> Column:
     """Whitespace tokenization (lower, trim, collapse runs).
 
@@ -257,12 +280,7 @@ def ngram_collision_report(
     # inner explode's size()>0 filter below the fan_out exchange
     # (measured 2.6 s of the old 7 s) while outer generate is exempt.
     # The null __i row hashes to NULL, which never matches the join key.
-    starts = F.when(
-        F.col("__n") >= k, F.sequence(F.lit(0), F.col("__n") - k)
-    ).otherwise(F.array().cast("array<int>"))
-    gram = F.concat_ws(
-        " ", *[F.get(F.col("__t"), F.col("__i") + j) for j in range(k)]
-    )
+    starts, gram = nopartial_gram_exprs(k)
     rows = base.select(
         "__id", "__grp", "__is_bench", "__t",
         F.explode_outer(starts).alias("__i"),
@@ -571,12 +589,7 @@ def shingle_novelty_report(
     rows == count(*) over per-doc-distinct rows — same values, and
     min(id) is duplicate-insensitive.
     """
-    starts = F.when(
-        F.col("__n") >= k, F.sequence(F.lit(0), F.col("__n") - k)
-    ).otherwise(F.array().cast("array<int>"))
-    gram = F.concat_ws(
-        " ", *[F.get(F.col("__t"), F.col("__i") + j) for j in range(k)]
-    )
+    starts, gram = nopartial_gram_exprs(k)
     toks = word_tokens(F.col(text_col))
     sh = (
         df.select(

@@ -38,7 +38,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from . import sql_str
+from . import WS_CHARS, sql_str
+
+# WS_TRIM_RE's two alternations need a 'g' flag in DuckDB (its
+# regexp_replace is FIRST-match-only where Spark's is always global —
+# found by the hand-case twin test), so the edge trim here is two
+# SINGLE-match anchored strips sharing one verbatim stage text instead.
+RE_WS_LEAD = rf"\A[{WS_CHARS}]+"
+RE_WS_TAIL = rf"[{WS_CHARS}]+\z"
 
 # anchored, explicit — at most one occurrence, so no 'g' flag is needed
 # on the DuckDB side and Spark's always-global replace is equivalent.
@@ -123,9 +130,19 @@ def _canon_stages(url: str, dialect: str) -> list[tuple[str, str]]:
         # coalesce first (review find): Spark's concat propagates a NULL
         # url to canonical_url=NULL while DuckDB's concat SKIPS NULLs
         # and emitted a phantom 'https:///' group — NULL folds to ''
-        # (-> 'https:///') identically on both sides
+        # (-> 'https:///') identically on both sides.
+        # Edge-trim BEFORE the scheme strip (r10 review find): a
+        # whitespace-PADDED url (' https://a/x') defeated the \A-anchored
+        # scheme strip and canonicalized to garbage that never collapsed
+        # with its clean twin; the shared explicit WS class (never the
+        # engines' trim builtins — CLAUDE.md) fixes the whole family at
+        # canonicalization depth.  Canonical output carries no edge WS,
+        # so idempotence is preserved (fuzz-pinned).
         ("__rest",
-         f"regexp_replace(coalesce({url}, ''), "
+         f"regexp_replace(regexp_replace(regexp_replace("
+         f"coalesce({url}, ''), "
+         f"{_re(RE_WS_LEAD, dialect)}, ''), "
+         f"{_re(RE_WS_TAIL, dialect)}, ''), "
          f"{_re(RE_SCHEME, dialect)}, '')"),
         ("__nf", "split_part(__rest, '#', 1)"),
         # host+path = before the FIRST '?'; query = everything AFTER it
@@ -175,6 +192,13 @@ def with_canonical_url(
 # Explicit class + \z anchor per the dialect rules; single-label hosts
 # (no dot) fall back to the whole host via the CASE.
 RE_REG_DOMAIN = r"[^.]+\.[^.]+\z"
+# canonicalization strips only the DEFAULT ports (:80/:443) and keeps
+# userinfo (they distinguish canonical URLs), but a registered DOMAIN
+# must not fragment per port or per userinfo (review find: a blocklist
+# on 'example.com' was bypassed by 'example.com:8080' and
+# 'u@example.com' — cap evasion / under-blocking).  Strip both here.
+RE_USERINFO = r"\A[^@/]+@"
+RE_ANY_PORT = r":[0-9]*\z"
 
 
 def _domain_stages(dialect: str) -> list[tuple[str, str]]:
@@ -182,12 +206,17 @@ def _domain_stages(dialect: str) -> list[tuple[str, str]]:
     shared verbatim between dialects like _canon_stages.  The canonical
     form always reads https://<host><path...> with a non-empty path
     ('/' when empty), so the host is exactly the text between the fixed
-    8-char scheme and the first '/'."""
+    8-char scheme and the first '/'; userinfo and ANY remaining port
+    are peeled before the label extraction."""
     return [
         ("__chost", "split_part(substr(canonical_url, 9), '/', 1)"),
+        ("__hnp",
+         f"regexp_replace(regexp_replace(__chost, "
+         f"{_re(RE_USERINFO, dialect)}, ''), "
+         f"{_re(RE_ANY_PORT, dialect)}, '')"),
         ("__rd",
-         f"regexp_extract(__chost, {_re(RE_REG_DOMAIN, dialect)}, 0)"),
-        ("domain", "CASE WHEN __rd = '' THEN __chost ELSE __rd END"),
+         f"regexp_extract(__hnp, {_re(RE_REG_DOMAIN, dialect)}, 0)"),
+        ("domain", "CASE WHEN __rd = '' THEN __hnp ELSE __rd END"),
     ]
 
 
