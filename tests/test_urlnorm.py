@@ -196,6 +196,13 @@ DOMAIN_CASES = [
     ("https://user@example.com/x", "example.com"),
     ("https://u@example.com:8080/x", "example.com"),
     ("https://[::1]:8080/x", "[::1]"),  # no dot -> whole depored host
+    # r11 advisor find: multi-@ userinfo and FQDN trailing dots were
+    # still in the bypass class — strip to the LAST '@', peel the
+    # trailing dot run
+    ("https://a@b@example.com/x", "example.com"),
+    ("https://example.com./x", "example.com"),
+    ("https://u@example.com.:8080/x", "example.com"),
+    ("https://example.com.../x", "example.com"),
 ]
 
 
@@ -444,6 +451,76 @@ def test_hard_negative_kernels_bit_identical(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in e]
 
 
+def test_hard_negative_kernels_edge_parity(spark):
+    """Synthetic-frame parity on the edges the clean sf0.001 fixture
+    never exercises (r11 advisor find — and the test found a real bug:
+    raw '/' made ANSI Spark CRASH on a zero divisor while the numpy
+    kernel said NaN).  Contract now pinned: zero-norm vectors -> NULL
+    cosine (DuckDB x/0 semantics via try_divide), ranked LAST on DESC
+    in both engines but still eligible as top-k fillers; NULL labels
+    exclude anchor AND corpus rows (SQL `label <> qlabel` three-valued
+    semantics, mirrored by the Arrow kernel's notnull mask); exactly
+    tied cosines break by id asc."""
+    from waddleml_spark.llmops.similarity import hard_negative_topk
+
+    v = [1.0, 2.0, -3.0, 0.5]
+    w = [2.0, -1.0, 0.25, 4.0]
+    zero = [0.0, 0.0, 0.0, 0.0]
+    rows = [
+        # anchors (vec_id < 3)
+        (0, v, 1),          # normal anchor
+        (1, w, None),       # NULL-label anchor -> no output rows
+        (2, zero, 2),       # zero-norm anchor -> all-NULL cosines
+        # corpus
+        (3, v, 2),          # cos == 1 vs anchor 0 (self-direction)
+        (4, v, 2),          # identical vector -> tied cosine, id tiebreak
+        (5, [x * 2.0 for x in v], 3),   # same direction, scaled
+        (6, w, 1),
+        (7, zero, 3),       # zero-norm corpus row -> NULL vs every anchor
+        (8, zero, 1),       # second zero-norm: NULL ties -> id tiebreak
+        (9, [-x for x in v], 2),        # cos == -1
+        (10, v, None),      # NULL label -> excluded everywhere
+        (11, [0.1, 0.2, 0.3, 0.4], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    key = lambda r: (r.qid, r.rnk)  # noqa: E731
+    a = sorted(
+        hard_negative_topk(emb, 3, 4, kernel="arrow").collect(), key=key
+    )
+    e = sorted(
+        hard_negative_topk(emb, 3, 4, kernel="expr").collect(), key=key
+    )
+
+    def bits(r):
+        import struct
+
+        return tuple(
+            struct.pack(">d", x).hex() if isinstance(x, float) else x
+            for x in r
+        )
+
+    assert [bits(r) for r in a] == [bits(r) for r in e]
+    qids = {r.qid for r in a}
+    assert 1 not in qids          # NULL-label anchor emitted nothing
+    assert {0, 2} <= qids
+    got_ids = {r.vec_id for r in a}
+    assert 10 not in got_ids      # NULL-label corpus row never surfaces
+    # anchor 0: finite candidates win; the tied cos==1 trio (3,4,5)
+    # breaks by id asc; the zero-norm row 7 (NULL cosine) is pushed
+    # past the finite k and never surfaces
+    q0 = [r for r in a if r.qid == 0]
+    assert [r.vec_id for r in q0] == [3, 4, 5, 11]
+    assert all(r.cos_sim is not None for r in q0)
+    # anchor 2 has zero norm: every cosine is NULL -> the top-k is the
+    # id-asc filler set with SQL NULL cos_sim on BOTH kernels (anchor
+    # rows are corpus rows too, so id 0 is a valid negative here)
+    q2 = [r for r in a if r.qid == 2]
+    assert [r.vec_id for r in q2] == [0, 5, 6, 7]
+    assert all(r.cos_sim is None for r in q2)
+
+
 def test_write_training_shards_round_trip(spark, tmp_path):
     """The export writer: every shard directory reads back with exactly
     the manifest's row count, rows inside a shard come back in pos
@@ -505,3 +582,27 @@ def test_write_training_shards_rejects_colliding_columns(spark, tmp_path):
     back = spark.read.parquet(prior)
     with pytest.raises(ValueError, match="shard"):
         write_training_shards(back, str(tmp_path / "again"), n_shards=2)
+
+
+def test_write_training_shards_path_guard(spark, tmp_path):
+    """The manifest path guard parses with urlsplit (r11 advisor find):
+    single-slash URI forms ('hdfs:/x') and authority-carrying file URIs
+    ('file://host/p') are rejected up front; 'file:' URIs with an empty
+    authority round-trip with the manifest at the PARSED local path."""
+    from waddleml_spark.llmops.packing import write_training_shards
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(10)
+    for bad in ("hdfs:/x", "hdfs://nn/x", "s3a://bucket/x",
+                "file://host/path"):
+        with pytest.raises(ValueError):
+            write_training_shards(docs, bad, n_shards=2)
+    # single-slash and triple-slash file URIs are local: manifest lands
+    # at the parsed filesystem path, not a relative 'file:...' dir
+    for i, uri_path in enumerate(
+        [f"file:{tmp_path}/u{0}", f"file:///{str(tmp_path).lstrip('/')}/u1"]
+    ):
+        write_training_shards(docs, uri_path, n_shards=2)
+    assert (tmp_path / "u0" / "_shard_manifest.json").exists()
+    assert (tmp_path / "u1" / "_shard_manifest.json").exists()

@@ -410,12 +410,27 @@ def write_training_shards(
     """
     import json as _json
 
-    scheme = path.split("://", 1)[0] if "://" in path else ""
-    if scheme and scheme != "file":
+    # urlsplit, not a '://' scan (advisor find): single-slash URI forms
+    # ('file:/tmp/x', 'hdfs:/x') bypassed the old guard and became
+    # RELATIVE local paths, and 'file://host/path' kept its authority in
+    # the manifest path.  Any non-file scheme is rejected, a file URI
+    # with a non-empty netloc is rejected, and the manifest dir is the
+    # PARSED path.  (A relative local dir containing ':' before any '/'
+    # parses as a scheme and is rejected too — prefix it with './'.)
+    from urllib.parse import urlsplit as _urlsplit
+
+    parts = _urlsplit(path)
+    if parts.scheme and parts.scheme != "file":
         raise ValueError(
             f"write_training_shards writes its manifest with local-"
-            f"filesystem I/O; got a {scheme}:// path — write to a local "
-            "staging dir or publish via sources.snaptable (DEPLOY.md)"
+            f"filesystem I/O; got a {parts.scheme}: path — write to a "
+            "local staging dir or publish via sources.snaptable "
+            "(DEPLOY.md)"
+        )
+    if parts.scheme == "file" and parts.netloc:
+        raise ValueError(
+            f"file: URI with a non-local authority "
+            f"{parts.netloc!r} — use file:///<abs-path> or a plain path"
         )
     clash = {"shard", "pos"} & set(df.columns)
     if clash:
@@ -479,7 +494,7 @@ def write_training_shards(
     # parquet commit and the manifest write must never leave a
     # complete-LOOKING shard directory — the manifest's presence IS the
     # export's completeness marker, so it appears all-or-nothing.
-    mdir = _Path(path[len("file://"):] if scheme == "file" else path)
+    mdir = _Path(parts.path if parts.scheme == "file" else path)
     tmp = mdir / "._shard_manifest.json.tmp"
     tmp.write_text(_json.dumps(manifest))
     _os.replace(tmp, mdir / "_shard_manifest.json")

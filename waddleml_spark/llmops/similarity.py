@@ -189,7 +189,12 @@ def norm(a):
 
 
 def cosine(a, b):
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide, never '/': ANSI Spark ERRORS on a zero divisor where
+    # DuckDB division returns NULL — a zero-norm vector must degrade to
+    # a NULL cosine (DESC orders it LAST in both engines, below NaN and
+    # -inf) rather than crash the stage (r11 advisor-test find).  A NaN
+    # divisor still propagates NaN identically on both sides.
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(
@@ -259,7 +264,9 @@ def cosine_topk_lookup(
     q = corpus.where(f"`{id_col}` = {int(query_id)}").selectExpr(
         f"{ed} AS __q"
     ).selectExpr("__q", f"sqrt({dot_s('__q', '__q')}) AS __qn")
-    sim = f"{dot_s(ed, '__q')} / (sqrt({dot_s(ed, ed)}) * __qn)"
+    # try_divide per the cosine() rule: zero-norm -> NULL, never an
+    # ANSI DIVIDE_BY_ZERO (bits unchanged for every non-zero divisor)
+    sim = f"try_divide({dot_s(ed, '__q')}, sqrt({dot_s(ed, ed)}) * __qn)"
     return (
         corpus.where(f"`{id_col}` <> {int(query_id)}")
         .crossJoin(F.broadcast(q))
@@ -1080,21 +1087,30 @@ def _hard_negative_scored_arrow(
             S = np.zeros((len(X), len(q_ids)))
             for i in range(X.shape[1]):  # dimension-wise = left fold
                 S += np.multiply.outer(X[:, i], qm[:, i])
-            cos = S / np.multiply.outer(en, qn)
+            denom = np.multiply.outer(en, qn)
+            # zero denominator = the NULL class (DuckDB x/0 -> NULL;
+            # the expr twin's try_divide — r11 advisor-test find: the
+            # old raw division made numpy say NaN here while ANSI Spark
+            # CRASHED, so the kernels diverged on any zero-norm vector).
+            # NULL sorts LAST on DESC in both engines — below NaN, +inf
+            # and -inf — but the rows stay ELIGIBLE as top-k fillers
+            # when an anchor has fewer than k finite candidates.
+            zero = denom == 0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = S / denom
             # Local selection must reproduce the engines' TOTAL order
-            # cos desc = [NaN, +inf, ..., -inf] with id-asc ties: the
-            # partition prefilter maps NaN→+inf (a SUPERSET cut — keeps
-            # every NaN and +inf row), then the exact sort ranks NaN
-            # ABOVE +inf via an explicit isnan primary key (review
+            # cos desc = [NaN, +inf, ..., -inf, NULL] with id-asc ties:
+            # the partition prefilter maps NaN→+inf (a SUPERSET cut —
+            # keeps every NaN and +inf row), then the exact sort ranks
+            # NaN ABOVE +inf via an explicit isnan primary key (review
             # find: a plain NaN→inf key conflated NaN with a genuine
-            # +inf cosine — zero-norm anchor — and could evict the row
-            # the global window keeps).  The secondary sort value is
-            # NaN-free (NaN rows get 0 there; the isnan key already
-            # groups them, ids break ties — Spark orders equal-NaN by
-            # the id tiebreak too).  Emitted values stay raw cosines.
-            isnan = np.isnan(cos)
-            sel = np.where(isnan, np.inf, cos)
-            sel_clean = np.where(isnan, 0.0, cos)
+            # +inf cosine and could evict the row the global window
+            # keeps).  The secondary sort value is NaN-free (NaN rows
+            # get 0 there; the isnan key already groups them, ids break
+            # ties — Spark orders equal-NaN by the id tiebreak too).
+            # Emitted values stay raw cosines; NULL-class rows emit
+            # None (object column) so Arrow lands a real SQL NULL.
+            isnan = np.isnan(cos) & ~zero
             outs = []
             for j in range(len(q_ids)):
                 if pd.isna(q_labels[j]):
@@ -1104,26 +1120,41 @@ def _hard_negative_scored_arrow(
                 valid = np.flatnonzero(notnull & (labels != q_labels[j]))
                 if not len(valid):
                     continue
-                s = sel[valid, j]
-                kk = min(k, len(valid))
-                if kk < len(valid):
+                nn = valid[~zero[valid, j]]
+                s = np.where(isnan[nn, j], np.inf, cos[nn, j])
+                kk = min(k, len(nn))
+                if kk < len(nn):
                     kth = np.partition(s, len(s) - kk)[len(s) - kk]
-                    cand = valid[np.flatnonzero(s >= kth)]
+                    cand = nn[np.flatnonzero(s >= kth)]
                 else:
-                    cand = valid
+                    cand = nn
+                sel_clean = np.where(isnan[cand, j], 0.0, cos[cand, j])
                 # exact (NaN first, cos desc, id asc) among the
                 # boundary-tie set; lexsort's LAST key is primary
                 order = np.lexsort(
-                    (ids[cand], -sel_clean[cand, j], ~isnan[cand, j])
+                    (ids[cand], -sel_clean, ~isnan[cand, j])
                 )
                 top = cand[order][:kk]
+                if kk < k:
+                    # NULL-class fillers: each batch's (k - kk) smallest
+                    # ids suffice — the global fill needs at most
+                    # k - total_finite <= k - kk of them, and the global
+                    # smallest are contained in the per-batch smallest
+                    nv = valid[zero[valid, j]]
+                    if len(nv):
+                        nv = nv[np.argsort(ids[nv])][: k - kk]
+                    top = np.concatenate([top, nv]).astype(top.dtype)
+                cs = cos[top, j].astype(object)
+                zm = zero[top, j]
+                if zm.any():
+                    cs[zm] = None
                 outs.append(
                     pd.DataFrame(
                         {
-                            "qid": np.full(kk, q_ids[j]),
+                            "qid": np.full(len(top), q_ids[j]),
                             "__id": ids[top],
                             "__label": labels[top],
-                            "cos_sim": cos[top, j],
+                            "cos_sim": cs,
                         }
                     )
                 )

@@ -197,8 +197,16 @@ RE_REG_DOMAIN = r"[^.]+\.[^.]+\z"
 # must not fragment per port or per userinfo (review find: a blocklist
 # on 'example.com' was bypassed by 'example.com:8080' and
 # 'u@example.com' — cap evasion / under-blocking).  Strip both here.
-RE_USERINFO = r"\A[^@/]+@"
+# Userinfo strips to the LAST '@' (r10 advisor find: the first-@ form
+# left 'a@b@example.com' with domain 'b@example.com' — same bypass
+# class; the (@run)* shape is RE2-safe and both engines resolve the
+# greedy star to the last '@').  A trailing dot RUN is peeled too
+# (FQDN form 'example.com.' failed RE_REG_DOMAIN and fell back to the
+# dotted host — also a blocklist miss); anchored single match, so no
+# 'g' flag divergence.
+RE_USERINFO = r"\A[^@/]+(@[^@/]+)*@"
 RE_ANY_PORT = r":[0-9]*\z"
+RE_TRAIL_DOTS = r"[.]+\z"
 
 
 def _domain_stages(dialect: str) -> list[tuple[str, str]]:
@@ -211,9 +219,10 @@ def _domain_stages(dialect: str) -> list[tuple[str, str]]:
     return [
         ("__chost", "split_part(substr(canonical_url, 9), '/', 1)"),
         ("__hnp",
-         f"regexp_replace(regexp_replace(__chost, "
+         f"regexp_replace(regexp_replace(regexp_replace(__chost, "
          f"{_re(RE_USERINFO, dialect)}, ''), "
-         f"{_re(RE_ANY_PORT, dialect)}, '')"),
+         f"{_re(RE_ANY_PORT, dialect)}, ''), "
+         f"{_re(RE_TRAIL_DOTS, dialect)}, '')"),
         ("__rd",
          f"regexp_extract(__hnp, {_re(RE_REG_DOMAIN, dialect)}, 0)"),
         ("domain", "CASE WHEN __rd = '' THEN __hnp ELSE __rd END"),
