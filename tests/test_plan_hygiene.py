@@ -124,3 +124,20 @@ def test_no_duplicated_python_stage(spark, name):
         f"(budget {budget}) — at corpus scale each extra scan is a full "
         "pass over the biggest bytes in the table"
     )
+
+
+def test_containment_carries_partial_window_group_limit(spark):
+    """doc_containment_pairs' scale guard (r11): the dense_rank <=
+    max_df+1 cap must compile to a PARTIAL WindowGroupLimit — the
+    map-side cut that bounds what a universal shingle ships through
+    the gram-grain exchange.  If a Spark upgrade or plan edit drops
+    the partial mode, the memory bound silently reverts to the
+    unbounded collect-then-filter posture this guard replaced."""
+    df = catalog.QUERIES["doc_containment_pairs"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:2000]
+    partial = [
+        l for l in plan.splitlines()
+        if "WindowGroupLimit" in l and "Partial" in l
+    ]
+    assert any("dense_rank" in l for l in partial), partial

@@ -886,42 +886,42 @@ def containment_pairs(
 
     Shape — ONE linear chain, no branch ever re-references an
     upstream frame (Catalyst re-executes shared subtrees; the
-    CLAUDE.md rule): collect_set of doc ids per md5-BE32 gram hash
-    (ONE gram-grain shuffle fusing the old distinct + df-window pair
-    — the dedup and the df are both properties of the per-hash id
-    set) → size ≤ max_df filter → explode the now-tiny rare arrays →
+    CLAUDE.md rule): occurrence (gram-hash, id) rows → per-hash
+    ``dense_rank ≤ max_df+1`` cap (duplicate ids share a rank, so
+    the cap counts DISTINCT holders) → bounded collect_set +
+    max(rank) ≤ max_df filter → explode the now-tiny rare arrays →
     per-doc rare-gram count via a count window over the doc →
     df ≥ 2 filter → bucket arrays of (id, n) structs per shared hash
     → generator pair expansion (the structs ride the expansion like
     the signatures in minhash_estimate_pairs) → pair-grain count +
-    containment.  Three gram-grain exchanges + the pair aggregate,
-    all linear in the corpus; no join operator anywhere.  The
-    division is two exact BIGINTs cast through IEEE double —
-    bit-identical cross-engine, no rounding helper needed.
+    containment.  The division is two exact BIGINTs cast through
+    IEEE double — bit-identical cross-engine, no rounding helper
+    needed.
 
-    Round-9 measurement (interleaved min-of-5/3, steal-quiet; see
-    SCALING.md): this fused shape beats the previous two-window plan
-    at every scale (sf0.1 1.11 vs 1.20 s, 10x 3.71 vs 3.85, 100x
-    4.70 vs 5.62) and the aggregate+re-join alternative (persisted
-    hashed frame) loses everywhere it was proposed to win (sf0.1
-    2.63 s, 100x 6.63 s — retired).  collect_set fuses the dedup
-    into the shuffle's partial aggregate; the mega-gram caveat
-    (a boilerplate gram's id set materializes before the size
-    filter) is the same collect-then-cap posture every band-bucket
-    path here already has, and the degenerate-corpus flood test
-    gates it.
+    THE DENSE_RANK CAP IS THE SCALE GUARD (r11, closing the
+    advisor's corpus-scale ceiling): the r9–r10 plan fused the dedup
+    into one ``collect_set`` whose per-hash id set materialized in a
+    single aggregation buffer BEFORE the size filter — a truly
+    universal shingle (millions of holders, far past the 200-copy
+    flood gate) concentrated unboundedly in one task.  Here nothing
+    unbounded exists: Catalyst rewrites the ``dense_rank ≤ k``
+    filter into a PARTIAL WindowGroupLimit that cuts each map
+    partition to its first max_df+1 distinct holders BEFORE the
+    gram-grain exchange (plan-asserted in test_plan_hygiene), so an
+    over-cap gram ships ≤ partitions × (max_df+1) distinct ids
+    instead of its full holder set, and the collect_set buffer holds
+    ≤ max_df+1 ids by construction.  max(rank) carries the over-cap
+    verdict — rank reaching max_df+1 means df > max_df — so exact
+    dfs survive for every KEPT gram (value-identical to the old
+    plan; the SQL oracle needs no change, pinned by parity tests).
 
-    CORPUS-SCALE CEILING (advisor find, recorded in SCALING.md): the
-    per-hash id set buffers in ONE task's aggregation buffer before
-    the size filter drops it, so a truly universal shingle — present
-    in millions of docs, far past the 200-copy flood gate — bounds
-    this plan at ~(max distinct holders of one gram) longs in one
-    executor.  At that corpus profile, pre-drop boilerplate grams
-    with a two-level salted pre-count (count per (salt, hash), sum,
-    anti-join hashes past max_df) before this chain, trading the
-    measured ~28% win back for the bound; the retired agg+re-join
-    arm in SCALING.md is exactly that shape and its numbers are the
-    price.
+    Measured (r11, interleaved min-of-5, steal-quiet 0.0–0.4%;
+    SCALING.md): the guard costs ~20–24% over the unbounded fused
+    plan (sf0.1 1.38→1.72 s, 100× 5.33→6.36 s) — accepted for the
+    memory bound — and strictly dominates both priced alternatives:
+    the agg+re-join hatch (2.63 s / 6.63 s) and a distinct +
+    row_number pre-pass (2.11 s / 9.31 s, the extra (hash,id)
+    exchange swamps the win).
     """
     from pyspark.sql import Window
 
@@ -929,11 +929,18 @@ def containment_pairs(
         F.col("id"), F.col("__s")
     )
     h32 = _md5_be32(F.col("__s"))
+    wcap = Window.partitionBy("__h").orderBy("id")
     per_hash = (
         sh.select("id", h32.alias("__h"))
+        .withColumn("__r", F.dense_rank().over(wcap))
+        .filter(F.col("__r") <= max_df + 1)
         .groupBy("__h")
-        .agg(F.collect_set("id").alias("ids"))
-        .filter(F.size("ids") <= max_df)
+        .agg(
+            F.collect_set("id").alias("ids"),
+            F.max("__r").alias("__mx"),
+        )
+        .filter(F.col("__mx") <= max_df)
+        .select("__h", "ids")
     )
     rare = per_hash.select(
         "__h", F.size("ids").alias("__df"), F.explode("ids").alias("id")
