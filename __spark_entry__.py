@@ -114,42 +114,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-certs (the window's own never-certified rule).  Anchors: flagship
 # (slot 1, the smoke query) and minhash32_band_pairs (the full
 # oracle-exact LSH chain).
+# Round-11 rotation (same age rule): the 34 remaining r8-vintage rows
+# take slots (age 3 at r11 — committed by the r10 split, fk_scan and
+# filter_funnel_report included).  The round's NEW oracle query
+# (span_removal_report — duplicated-span removal, the exact-substring
+# dedup rewrite stage) takes a slot (never certified).  SEVEN rows
+# hold slots under the rewrite rule: doc_containment_pairs (the
+# dense_rank scale-guard plan), cosine_topk_q0 + hard_negatives_b8
+# (zero-norm cosine -> try_divide NULL semantics; the hard-negative
+# Arrow kernel grew the NULL class), domain_cap_report +
+# domain_entropy_by_source + domain_blocklist_report (the registered-
+# domain stage now strips multi-@ userinfo and trailing dot runs),
+# and source_overlap_matrix (its _passage_inst upstream refactored
+# onto the shared _passage_chunks grain).  The remaining 6 slots pull
+# the alphabetically-first r9-vintage rows FORWARD (age 2): 45 r9
+# rows would otherwise all hit age 3 at r12 and overflow that window;
+# after these pulls + doc_containment + source_overlap, 37 r9 rows +
+# 2 anchors are committed to the r12 window (~11 free there).
 # All 50 emulator-preverified this round (sf0.01, bare session, values +
 # type families).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # anchors
     "flagship_leaderboard", "minhash32_band_pairs",
-    # NEW oracle queries this round + the three rewrite-rule slots
+    # NEW oracle query this round + the seven rewrite-rule slots
+    "span_removal_report",
+    "doc_containment_pairs", "cosine_topk_q0", "hard_negatives_b8",
     "domain_cap_report", "domain_entropy_by_source",
-    "gram_df_histogram", "hard_negatives_b8",
-    "dsir_importance_by_source", "url_dedup_report",
-    # r7 vintage (all 28 remaining -- age bound)
-    "grouping_sets_orders", "idle_rich_customers_q22",
-    "important_stock_q11", "lang_pred_matrix",
-    "large_order_customers_q18", "last_per_group_ties",
-    "local_supplier_volume_q5", "locf_gap_fill", "market_share_q8",
-    "media_payload_stats", "metric_summary_stats",
-    "min_cost_supplier_q2", "minhash_estimate_audit",
-    "order_priority_check_q4", "passage_dedup_report",
-    "pii_scrub_report", "pivot_user_by_type",
-    "priority_class_by_flag_q12", "quantiles_by_type",
-    "rollup_lineitem", "salted_agg_by_user", "semi_join_active",
-    "series_regroup", "shipping_priority_q3", "top3_orders_per_cust",
-    "tpch_q1", "unpivot_measures", "waiting_supplier_q21",
-    # r8 vintage pulled forward (12 alphabetically-first + the
-    # trigram_novelty rewrite slot below; the other 34 r8 rows take
-    # the r11 window — see the header comment)
-    "bigram_lm_quality_by_lang", "chunking_report",
-    "contamination_by_source", "corpus_mix_report",
-    "corpus_resample_report", "corr_price_qty", "cosine_topk_q0",
-    "derived_duration", "distinct_keys", "distinct_users_by_type",
-    "ema_smooth_5", "exact_dedup_docs",
-    # rewrite rule: the r10 generator+countDistinct rebuild of
-    # trigram_novelty_by_source takes the slot fk_scan (an optional
-    # age-2 pull) would have held; domain_blocklist_report (new, late
-    # r10 — the crawl blocklist stage) outranks the filter_funnel
-    # re-cert; fk_scan and filter_funnel_report join the r11 set
-    "trigram_novelty_by_source", "domain_blocklist_report",
+    "domain_blocklist_report", "source_overlap_matrix",
+    # r8 vintage (all 34 remaining -- age bound)
+    "filter_funnel_report", "fk_scan", "hypertable_rollup_day",
+    "jaccard_verify_lsh", "levenshtein_verify_lsh",
+    "ngram_overlap_pairs", "potential_promotion_q20",
+    "product_profit_q9", "profile_orders", "promo_revenue_q14",
+    "repetition_filter_report", "resample_purchase_1h",
+    "returned_items_q10", "revenue_by_priority", "runs_list_page",
+    "salient_terms_by_source", "self_repetition_report",
+    "series_downsample_50", "series_lttb_50", "sessionize_users",
+    "simhash32_band_pairs", "simhash32_docs",
+    "small_quantity_revenue_q17", "stale_reclass",
+    "stratified_eval_sample", "supplier_part_counts_q16",
+    "text_quality_by_lang", "top_supplier_q15", "top_words_by_lang",
+    "topn_orders", "type_token_ratio_by_lang", "variant_props_stats",
+    "volume_shipping_q7", "winnowing32_overlap_pairs",
+    # r9 vintage pulled forward (6 alphabetically-first)
+    "agg_minmax_count", "anti_join_missing", "asof_purchase_click",
+    "cdc_changes_since", "corpus_snapshot_diff", "cube_orders",
 )
 
 

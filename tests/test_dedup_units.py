@@ -546,3 +546,63 @@ def test_containment_threshold_and_df_cap(spark):
     kept = dedup.containment_pairs(df, min_containment=0.1).collect()
     assert [(r.id_a, r.id_b, r.n_shared) for r in kept] == [(1, 2, 3)]
     assert kept[0].n_a == 15 and kept[0].containment == 3 / 15
+
+
+def test_remove_duplicate_passages_semantics(spark):
+    """The rewrite stage: a shared 20-word chunk keeps only its global
+    first (doc, pos) instance; later holders are re-emitted without it;
+    a full duplicate empties; NULL/'' docs survive at doc grain."""
+    shared = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, shared + " second chunk words here x y z"),
+        (2, shared + " totally different tail content"),
+        (3, "unique document with nothing shared at all"),
+        (4, shared),      # exactly the duplicated chunk -> empties
+        (5, None),
+        (6, ""),          # dups doc 5's ''-chunk -> removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.remove_duplicate_passages(df, passage_words=20).collect()
+    }
+    assert out[1].n_removed == 0 and out[1].clean_text.startswith("w0 w1")
+    assert out[2].n_removed == 1 and out[2].n_words_removed == 20
+    assert out[2].clean_text == "totally different tail content"
+    assert out[3].n_removed == 0
+    assert out[4].clean_text == "" and out[4].n_removed == 1
+    assert set(out) == {1, 2, 3, 4, 5, 6}  # nobody dropped
+    # the two empty-token docs share the '' chunk: first (5) keeps it
+    assert out[5].n_removed == 0 and out[6].n_removed == 1
+    # determinism: a second run rewrites byte-identically
+    again = {
+        r.doc_id: r
+        for r in dedup.remove_duplicate_passages(df, passage_words=20).collect()
+    }
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+
+
+def test_remove_duplicate_passages_accounting(spark):
+    """Corpus-wide accounting against the counting reports (the r10
+    verdict's cross-check ask): removed instances == total instances
+    - distinct chunk hashes (first-keeper discipline), and the total
+    instance mass agrees with passage_dedup_report's per-source sums."""
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = dedup.remove_duplicate_passages(docs).agg(
+        F.sum("n_passages").alias("tot"), F.sum("n_removed").alias("rem")
+    ).head()
+    inst = dedup._passage_inst(docs, "text", "doc_id", "source", 20)
+    stats = inst.agg(
+        F.sum("inst").alias("tot"),
+        F.count_distinct("ph").alias("nh"),
+    ).head()
+    assert out.tot == stats.tot
+    assert out.rem == stats.tot - stats.nh
+    rep = dedup.passage_dup_report(docs).agg(
+        F.sum("total_passages").alias("tot")
+    ).head()
+    assert rep.tot == out.tot

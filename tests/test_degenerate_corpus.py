@@ -50,6 +50,10 @@ PAIR_QUERIES = (
     # round-10: the flood concentrates every boilerplate gram at df=200
     # — the histogram's high-df tail must agree cross-engine
     "gram_df_histogram",
+    # round-11: the rewrite stage — 200 identical docs must collapse to
+    # ONE keeper holding the text and 199 emptied twins, agreed
+    # cross-engine down to the rebuilt-text md5
+    "span_removal_report",
 )
 
 

@@ -56,6 +56,9 @@ WIDE_ROW_QUERIES = (
     # round-10: the df histogram rides the clamped trigram SQL at gram
     # grain — the giant doc is one more linear-shingle stress
     "gram_df_histogram",
+    # round-11: the rewrite stage — the giant doc stresses the ordered
+    # listagg/string_agg rebuild and the chunk-grain window at width
+    "span_removal_report",
 )
 
 

@@ -790,6 +790,53 @@ def passage_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "span_removal_report",
+    rf"""
+    WITH p AS (
+        SELECT doc_id, CAST(floor((i - 1) / 20) AS BIGINT) AS ci,
+               string_agg(wd, ' ' ORDER BY i) AS ct,
+               CAST(count(*) AS BIGINT) AS nw
+        FROM ({_word_pos_sql()})
+        GROUP BY doc_id, CAST(floor((i - 1) / 20) AS BIGINT)
+    ), k AS (
+        SELECT doc_id, ci, ct, nw,
+               row_number() OVER (
+                   PARTITION BY md5(ct) ORDER BY doc_id, ci) AS rn
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(coalesce(sum(CASE WHEN rn > 1 THEN 1 END), 0) AS BIGINT)
+               AS n_removed,
+           CAST(coalesce(sum(CASE WHEN rn > 1 THEN nw END), 0) AS BIGINT)
+               AS n_words_removed,
+           md5(coalesce(
+               string_agg(CASE WHEN rn = 1 THEN ct END, ' ' ORDER BY ci),
+               '')) AS clean_md5
+    FROM k GROUP BY doc_id
+    """,
+)
+def span_removal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (dedup.remove_duplicate_passages) — the
+    rewrite half of exact-substring dedup (Lee et al. 2022): every
+    20-word chunk keeps only its global first instance by (doc, pos);
+    docs are re-emitted with the rest deleted.  Per doc: chunk counts,
+    removed counts, removed word mass, and the md5 of the REBUILT
+    text — a full-fidelity cross-engine check of the actual rewrite
+    (the ordered listagg/string_agg pairing, probed bit-identical;
+    ASCII corpus per the lower() rule).  The keeper rank and the
+    rebuild ride the shared _passage_chunks grain."""
+    out = dedup.remove_duplicate_passages(t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_passages",
+        "n_removed",
+        "n_words_removed",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+@_register(
     "corpus_mix_report",
     f"""
     WITH per AS (

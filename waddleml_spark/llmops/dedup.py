@@ -1250,6 +1250,44 @@ def simhash32_band_pairs(
     return _bucket_pairs(buckets)
 
 
+def _passage_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str | None,
+    passage_words: int,
+) -> DataFrame:
+    """(id[, grp], ci, ct, nw): one row per non-overlapping
+    ``passage_words``-word chunk — 0-based chunk index ``ci``, the
+    chunk's reconstructed text ``ct`` (the exact string the passage
+    hashes are computed over) and its word count ``nw``.  The single
+    chunk-grain definition under _passage_inst (hash reports) and
+    remove_duplicate_passages (the rewrite stage).  Chunking is a
+    generator explode — one map pass, no HOFs; unused columns prune
+    away in consumers that only hash."""
+    toks = F.split(lower_trim(F.col(text_col)), WS_RE)
+    cols = [F.col(id_col).alias("id")]
+    if group_col is not None:
+        cols.append(F.col(group_col).alias("grp"))
+    base = df.select(*cols, toks.alias("__t"), F.size(toks).alias("__n"))
+    n_chunks = F.ceil(F.col("__n") / F.lit(float(passage_words))).cast("long")
+    keep = ["id", "grp"] if group_col is not None else ["id"]
+    idx = base.select(
+        *keep,
+        "__t",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+        ).alias("__i"),
+    )
+    sl = F.slice(F.col("__t"), F.col("__i") * passage_words + 1, passage_words)
+    return idx.select(
+        *keep,
+        F.col("__i").alias("ci"),
+        F.concat_ws(" ", sl).alias("ct"),
+        F.size(sl).cast("long").alias("nw"),
+    )
+
+
 def _passage_inst(
     df: DataFrame,
     text_col: str,
@@ -1261,34 +1299,74 @@ def _passage_inst(
     non-overlapping ``passage_words``-word chunk's md5 — the shared
     chunk grain behind passage_dup_report (cross-doc dups via a hash
     window) and self_repetition_report (within-doc dups read straight
-    off ``inst``).  Chunking is a generator explode; counting is ONE
-    shuffle on the hash."""
-    toks = F.split(lower_trim(F.col(text_col)), WS_RE)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(group_col).alias("grp"),
-        toks.alias("__t"),
-        F.size(toks).alias("__n"),
-    )
-    n_chunks = F.ceil(F.col("__n") / F.lit(float(passage_words))).cast("long")
-    idx = base.select(
-        "id",
-        "grp",
-        "__t",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
-        ).alias("__i"),
-    )
-    ph = F.md5(
-        F.concat_ws(
-            " ",
-            F.slice(F.col("__t"), F.col("__i") * passage_words + 1, passage_words),
-        )
-    )
+    off ``inst``).  Chunking is a generator explode (_passage_chunks;
+    ci/nw prune away); counting is ONE shuffle on the hash."""
+    ch = _passage_chunks(df, text_col, id_col, group_col, passage_words)
     return (
-        idx.select("id", "grp", ph.alias("ph"))
+        ch.select("id", "grp", F.md5(F.col("ct")).alias("ph"))
         .groupBy("ph", "grp", "id")
         .agg(F.count("*").alias("inst"))
+    )
+
+
+def remove_duplicate_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passage_words: int = 20,
+) -> DataFrame:
+    """Duplicated-span REMOVAL — the production rewrite stage of
+    exact-substring training-data dedup (Lee et al. 2022, the second
+    half the counting reports approximate): every non-overlapping
+    ``passage_words``-word chunk that appears anywhere else in the
+    corpus keeps only its FIRST instance in (doc, position) global
+    order; each document is re-emitted with its non-keeper chunks
+    deleted.  Returns one row per input document:
+
+      (``id_col``, clean_text, n_passages, n_removed, n_words_removed)
+
+    where clean_text is the kept chunks re-joined in position order
+    ('' for a document that lost everything — a later full copy).
+
+    Keeper discipline: ``row_number() over (partition by md5(chunk)
+    order by id, position) = 1`` — deterministic and total ((id, ci)
+    is unique), so re-running the stage on the same corpus rewrites
+    byte-identically.  Accounting invariant (tested): the corpus-wide
+    removed count equals total chunk instances minus distinct chunk
+    hashes.  (Re-running on the OUTPUT re-chunks at shifted
+    alignments, so it is reproducible but not a strict no-op.)
+
+    Scale shape: chunking is the shared _passage_chunks generator
+    explode (one corpus map pass); the keeper decision is ONE window
+    shuffle on the 32-char chunk hash (uniform by construction — a
+    hot hash IS the duplication being removed, same posture as
+    passage_dup_report's count window); the rebuild is one doc-grain
+    sort aggregate (``listagg ... within group (order by ci)`` —
+    probed bit-identical to DuckDB's ordered ``string_agg``, NULL
+    inputs skipped on both engines).  No joins, no second reference
+    to the chunk pipeline (the Catalyst no-CSE rule); every doc has
+    ≥ 1 chunk (the ['']-token coercion), so the doc-grain aggregate
+    loses nobody.
+    """
+    from pyspark.sql import Window
+
+    ch = _passage_chunks(df, text_col, id_col, None, passage_words)
+    w = Window.partitionBy(F.md5(F.col("ct"))).orderBy("id", "ci")
+    flagged = ch.withColumn("__rn", F.row_number().over(w))
+    removed = F.col("__rn") > 1
+    return flagged.groupBy(F.col("id").alias(id_col)).agg(
+        F.coalesce(
+            F.expr("listagg(CASE WHEN __rn = 1 THEN ct END, ' ') "
+                   "WITHIN GROUP (ORDER BY ci)"),
+            F.lit(""),
+        ).alias("clean_text"),
+        F.count("*").alias("n_passages"),
+        F.coalesce(
+            F.sum(F.when(removed, F.lit(1)).cast("long")), F.lit(0).cast("long")
+        ).alias("n_removed"),
+        F.coalesce(
+            F.sum(F.when(removed, F.col("nw"))), F.lit(0).cast("long")
+        ).alias("n_words_removed"),
     )
 
 
