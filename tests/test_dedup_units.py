@@ -606,3 +606,24 @@ def test_remove_duplicate_passages_accounting(spark):
         F.sum("total_passages").alias("tot")
     ).head()
     assert rep.tot == out.tot
+
+
+def test_cdc_chunks_survive_insertion(spark):
+    """The reason content-defined chunking exists: one word inserted at
+    the front of a copied document shifts every fixed 20-word window
+    (passage_dup_report sees ~nothing) but CDC boundaries re-synchronize
+    after one chunk, so the bulk of the copy stays visibly duplicated."""
+    body = " ".join(f"tok{i}" for i in range(200))
+    rows = [(1, "s", body), (2, "s", "inserted " + body)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    fixed = dedup.passage_dup_report(df).collect()[0]
+    cdc = dedup.cdc_dedup_report(df).collect()[0]
+    # fixed chunking: the shifted copy shares (almost) nothing
+    assert fixed.dup_passages <= 2
+    # CDC: most chunk instances are shared between the two docs
+    assert cdc.dup_chunks >= cdc.total_chunks * 0.6
+    assert cdc.docs_affected == 2
+    # sanity: boundaries actually split the 200-word doc into several
+    # chunks of ~divisor mean width
+    assert cdc.total_chunks >= 10
+    assert 4 <= cdc.avg_chunk_words <= 64

@@ -54,6 +54,9 @@ PAIR_QUERIES = (
     # ONE keeper holding the text and 199 emptied twins, agreed
     # cross-engine down to the rebuilt-text md5
     "span_removal_report",
+    # round-11: CDC — the flood concentrates every content-defined
+    # chunk 200-fold; the cross-doc window counts must agree
+    "cdc_dedup_report",
 )
 
 

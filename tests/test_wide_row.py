@@ -59,6 +59,9 @@ WIDE_ROW_QUERIES = (
     # round-11: the rewrite stage — the giant doc stresses the ordered
     # listagg/string_agg rebuild and the chunk-grain window at width
     "span_removal_report",
+    # round-11: CDC — the giant doc stresses the doc-grain running-sum
+    # window and the per-chunk ordered rebuild
+    "cdc_dedup_report",
 )
 
 

@@ -790,6 +790,51 @@ def passage_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_dedup_report",
+    rf"""
+    WITH b AS (
+        SELECT doc_id, source, i, wd,
+               CASE WHEN {_md5_be32_sql('wd')} % 16 = 0
+                    THEN 1 ELSE 0 END AS bf
+        FROM ({_word_pos_sql(", source")})
+    ), c AS (
+        SELECT doc_id, source, i, wd,
+               sum(bf) OVER (PARTITION BY doc_id ORDER BY i) AS ci
+        FROM b
+    ), ch AS (
+        SELECT doc_id, source, md5(string_agg(wd, ' ' ORDER BY i)) AS ph,
+               CAST(count(*) AS BIGINT) AS nw
+        FROM c GROUP BY doc_id, source, ci
+    ), g AS (
+        SELECT ph, source, doc_id,
+               count(*) AS inst, max(nw) AS nw
+        FROM ch GROUP BY ph, source, doc_id
+    ), gw AS (
+        SELECT *, count(*) OVER (PARTITION BY ph) AS nd FROM g
+    )
+    SELECT source,
+           CAST(sum(inst) AS BIGINT) AS total_chunks,
+           CAST(coalesce(sum(CASE WHEN nd >= 2 THEN inst END), 0) AS BIGINT)
+               AS dup_chunks,
+           count(DISTINCT CASE WHEN nd >= 2 THEN doc_id END)
+               AS docs_affected,
+           CAST(CAST(sum(inst * nw) AS BIGINT) AS DOUBLE)
+               / CAST(sum(inst) AS BIGINT) AS avg_chunk_words
+    FROM gw GROUP BY source
+    """,
+)
+def cdc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup report (dedup.cdc_dedup_report):
+    chunk boundaries open where the word's md5-BE32 ≡ 0 (mod 16) — the
+    FastCDC/LBFS content-defined cut at word grain, so a single
+    insertion re-synchronizes after one chunk instead of shifting every
+    fixed 20-word window (the passage family's alignment fragility,
+    pinned by the unit test).  Per source: chunk instances, cross-doc
+    duplicated instances, docs affected, mean chunk width."""
+    return dedup.cdc_dedup_report(t(spark, sf_dir, "documents"))
+
+
+@_register(
     "span_removal_report",
     rf"""
     WITH p AS (

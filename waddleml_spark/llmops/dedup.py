@@ -1370,6 +1370,105 @@ def remove_duplicate_passages(
     )
 
 
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = "source",
+    divisor: int = 16,
+) -> DataFrame:
+    """(id[, grp], ci, ph, nw): CONTENT-DEFINED chunks at word grain —
+    the FastCDC/LBFS idea applied to text dedup: a chunk boundary
+    opens at every word whose md5-BE32 is ≡ 0 (mod ``divisor``), so
+    boundaries are a property of the CONTENT, not the position.  Mean
+    chunk length ≈ ``divisor`` words.
+
+    Why it exists next to the fixed 20-word passage family: fixed
+    chunking is alignment-FRAGILE — one word inserted at the front of
+    a copied document shifts every subsequent 20-word window and the
+    passage reports see zero duplication (pinned by the unit test).
+    Content-defined boundaries re-synchronize one chunk after any
+    local edit, so bulk copying stays visible through insertions —
+    the reason every production dedup/storage system (LBFS, rsync,
+    FastCDC, exact-substring dedup preprocessing) cuts on content.
+
+    Shape: tokenize (one map pass, the shared WS_RE single-regex
+    split) → posexplode to word rows → boundary flag from the word's
+    md5 (map-only, the same _md5_be32 used corpus-wide) → chunk id =
+    running sum of flags per doc (ONE doc-grain window, linear;
+    doc-grain keys are the corpus's natural partition) → chunk grain
+    via an ordered listagg GROUP BY (doc, chunk) that reuses the
+    window's (id) partitioning — no extra exchange — hashed to ph.
+    Downstream consumers aggregate at hash grain exactly like the
+    passage reports.
+    """
+    # NULL text coalesces to '' BEFORE the split (the _word_pos_sql
+    # rule): posexplode of a NULL token array emits ZERO rows and would
+    # silently drop the document from the chunk grain, where every
+    # other text path here keeps it as the ['']-token doc
+    toks = F.split(lower_trim(F.coalesce(F.col(text_col), F.lit(""))), WS_RE)
+    cols = [F.col(id_col).alias("id")]
+    keep = ["id"]
+    if group_col is not None:
+        cols.append(F.col(group_col).alias("grp"))
+        keep.append("grp")
+    words = df.select(*cols, F.posexplode(toks).alias("__i", "__w"))
+    bf = (_md5_be32(F.col("__w")) % divisor == 0).cast("long")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("id")
+        .orderBy("__i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = words.select(*keep, "__i", "__w", F.sum(bf).over(w).alias("ci"))
+    return rows.groupBy(*keep, "ci").agg(
+        F.md5(
+            F.expr("listagg(__w, ' ') WITHIN GROUP (ORDER BY __i)")
+        ).alias("ph"),
+        F.count("*").alias("nw"),
+    )
+
+
+def cdc_dedup_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    divisor: int = 16,
+) -> DataFrame:
+    """Per-group cross-document dedup report at CONTENT-DEFINED chunk
+    grain (the insertion-robust twin of passage_dup_report): total
+    chunk instances, instances of chunks held by ≥ 2 documents,
+    documents carrying any such chunk, and the mean chunk width in
+    words (two exact BIGINTs through IEEE double).
+
+    Shape: cdc_chunks (one doc-grain window + fused chunk aggregate)
+    → (ph, grp, id) instance grain (ONE hash-grain shuffle) → the
+    same-key cross-doc count window → group aggregate.  Identical
+    scale posture to passage_dup_report; the boundary predicate adds
+    only a map-side md5 per word."""
+    from pyspark.sql import Window
+
+    ch = cdc_chunks(df, text_col, id_col, group_col, divisor)
+    g = ch.groupBy("ph", "grp", "id").agg(
+        F.count("*").alias("inst"), F.max("nw").alias("nw")
+    )
+    nd = F.count("*").over(Window.partitionBy("ph"))
+    flagged = g.withColumn("nd", nd)
+    dup = F.col("nd") >= 2
+    tot = F.sum("inst")
+    words = F.sum(F.col("inst") * F.col("nw"))
+    return flagged.groupBy(F.col("grp").alias(group_col)).agg(
+        tot.alias("total_chunks"),
+        F.coalesce(F.sum(F.when(dup, F.col("inst"))), F.lit(0)).alias(
+            "dup_chunks"
+        ),
+        F.count_distinct(F.when(dup, F.col("id"))).alias("docs_affected"),
+        (words.cast("double") / tot).alias("avg_chunk_words"),
+    )
+
+
 def self_repetition_report(
     df: DataFrame,
     text_col: str = "text",
