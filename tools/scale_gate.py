@@ -47,6 +47,11 @@ DEFAULT_QUERIES = [
     # r9: worst new-operator 100x ratio (4.6x) — two occurrence-grain
     # passes (bucket counts + the scoring join back to occurrences)
     "dsir_importance_by_source",
+    # r11 sweep: the catalog's worst absolute 100x wall (was 516 s on
+    # a hard-coded 8-cell IVF; adaptive cells cut it to ~200 s, most
+    # of it the KMeans fit) — watched so the cell sizing never
+    # regresses to a fixed blocking key
+    "semantic_dedup_report",
 ]
 
 

@@ -525,6 +525,14 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components (pointer jumping) → keep the min-id member per
     duplicate group.  Rows-only: KMeans is not SQL-expressible.
 
+    THE CELL COUNT MUST SCALE WITH THE CORPUS (r11 sweep find): a
+    hard-coded n_cells=8 silently broke this function's own contract —
+    at 100× each cell held ~250 k vectors and the quadratic pair term
+    ran 8.6 MINUTES; sizing cells to ~2048 vectors (n // 2048, floor 8)
+    restores bounded block size and the measured wall (SCALING.md r11
+    sweep).  The count(*) that sizes it is the same metadata-cheap scan
+    ivf_index already pays for its sample fraction.
+
     Threshold 0.3 suits the synthetic near-random fixture embeddings;
     real corpora use ~0.9+ (the SemDeDup paper's epsilon regime).
 
@@ -533,7 +541,8 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from waddleml_spark.llmops import rotate_persist
 
     emb = t(spark, sf_dir, "embeddings")
-    _, cells = similarity.ivf_index(emb, n_cells=8, id_col="vec_id")
+    n_cells = max(8, emb.count() // 2048)
+    _, cells = similarity.ivf_index(emb, n_cells=n_cells, id_col="vec_id")
     # three consumers (pair kernel, per-cell counts, dup hydration) and
     # Catalyst does not dedupe common subtrees — pin the cell assignment
     cells = rotate_persist(
