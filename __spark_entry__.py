@@ -119,8 +119,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # filter_funnel_report included).  The round's TWO NEW oracle queries
 # (span_removal_report — duplicated-span removal, the exact-substring
 # dedup rewrite stage; cdc_dedup_report — content-defined-chunking
-# dedup, the insertion-robust chunk grain) take slots (never
-# certified; the second displaced the cube_orders pull).  SEVEN rows
+# dedup, the insertion-robust chunk grain; boilerplate_phrases_report
+# — the top repeated 20-word chunks per source, human-readable;
+# url_structure_report — canonical path-depth/query-shape profile)
+# take slots (never certified; they displaced the cube_orders,
+# corpus_snapshot_diff and cdc_changes_since pulls).  SEVEN rows
 # hold slots under the rewrite rule: doc_containment_pairs (the
 # dense_rank scale-guard plan), cosine_topk_q0 + hard_negatives_b8
 # (zero-norm cosine -> try_divide NULL semantics; the hard-negative
@@ -128,11 +131,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # domain_entropy_by_source + domain_blocklist_report (the registered-
 # domain stage now strips multi-@ userinfo and trailing dot runs),
 # and source_overlap_matrix (its _passage_inst upstream refactored
-# onto the shared _passage_chunks grain).  The remaining 5 slots pull
+# onto the shared _passage_chunks grain).  The remaining 3 slots pull
 # the alphabetically-first r9-vintage rows FORWARD (age 2): 45 r9
 # rows would otherwise all hit age 3 at r12 and overflow that window;
-# after these pulls + doc_containment + source_overlap, 38 r9 rows +
-# 2 anchors are committed to the r12 window (~10 free there).
+# after these pulls + doc_containment + source_overlap, 40 r9 rows +
+# 2 anchors are committed to the r12 window (~8 free there).
 # All 50 emulator-preverified this round (sf0.01, bare session, values +
 # type families).
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -140,6 +143,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_leaderboard", "minhash32_band_pairs",
     # NEW oracle queries this round + the seven rewrite-rule slots
     "span_removal_report", "cdc_dedup_report",
+    "boilerplate_phrases_report", "url_structure_report",
     "doc_containment_pairs", "cosine_topk_q0", "hard_negatives_b8",
     "domain_cap_report", "domain_entropy_by_source",
     "domain_blocklist_report", "source_overlap_matrix",
@@ -158,9 +162,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "text_quality_by_lang", "top_supplier_q15", "top_words_by_lang",
     "topn_orders", "type_token_ratio_by_lang", "variant_props_stats",
     "volume_shipping_q7", "winnowing32_overlap_pairs",
-    # r9 vintage pulled forward (5 alphabetically-first)
+    # r9 vintage pulled forward (3 alphabetically-first)
     "agg_minmax_count", "anti_join_missing", "asof_purchase_click",
-    "cdc_changes_since", "corpus_snapshot_diff",
 )
 
 

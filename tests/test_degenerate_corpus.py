@@ -57,6 +57,9 @@ PAIR_QUERIES = (
     # round-11: CDC — the flood concentrates every content-defined
     # chunk 200-fold; the cross-doc window counts must agree
     "cdc_dedup_report",
+    # round-11: the flood's boilerplate chunks ARE the top phrases —
+    # rank order and 200-doc counts must agree cross-engine
+    "boilerplate_phrases_report",
 )
 
 

@@ -62,6 +62,9 @@ WIDE_ROW_QUERIES = (
     # round-11: CDC — the giant doc stresses the doc-grain running-sum
     # window and the per-chunk ordered rebuild
     "cdc_dedup_report",
+    # round-11: phrase mining rides the same chunk SQL; the giant doc
+    # plants repeated phrases that must rank identically
+    "boilerplate_phrases_report",
 )
 
 

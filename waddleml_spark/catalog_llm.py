@@ -3059,6 +3059,92 @@ def domain_blocklist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "boilerplate_phrases_report",
+    rf"""
+    WITH p AS (
+        SELECT doc_id, source, string_agg(wd, ' ' ORDER BY i) AS ct
+        FROM ({_word_pos_sql(", source")})
+        GROUP BY doc_id, source, CAST(floor((i - 1) / 20) AS BIGINT)
+    ), d AS (
+        SELECT source, ct, doc_id, count(*) AS c
+        FROM p GROUP BY source, ct, doc_id
+    ), g AS (
+        SELECT source, ct, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(c) AS BIGINT) AS n_inst
+        FROM d GROUP BY source, ct
+        HAVING count(*) >= 2
+    )
+    SELECT source, rank, phrase, n_docs, n_inst FROM (
+        SELECT source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_docs DESC, n_inst DESC, ct
+               ) AS BIGINT) AS rank,
+               ct AS phrase, n_docs, n_inst
+        FROM g) t WHERE rank <= 5
+    """,
+)
+def boilerplate_phrases_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top boilerplate phrases per source (dedup.boilerplate_phrases):
+    the 5 twenty-word chunks repeated across the most documents — the
+    human-readable curation view (what text IS the boilerplate) the
+    hash-grain dedup reports cannot show.  Explicit two-phase doc
+    count (no countDistinct/Expand); the rank window's row_number ≤ 5
+    compiles to a map-side partial WindowGroupLimit over the
+    qualifying-phrase vocabulary."""
+    return dedup.boilerplate_phrases(t(spark, sf_dir, "documents")).select(
+        "source", "rank", "phrase", "n_docs", "n_inst"
+    )
+
+
+def _url_structure_oracle() -> str:
+    from waddleml_spark.llmops import urlnorm
+
+    inner = f"SELECT doc_id, source, {_URL_PLANT} AS url FROM documents"
+    st = urlnorm.url_structure_subquery_sql(
+        urlnorm.canonical_url_subquery_sql(inner)
+    )
+    return f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(CAST(sum(path_depth) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) AS BIGINT) AS avg_path_depth,
+           CAST(100 AS DOUBLE) * CAST(sum(has_query) AS BIGINT)
+               / CAST(count(*) AS BIGINT) AS pct_with_query,
+           CAST(CAST(sum(n_params) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) AS BIGINT) AS avg_query_params
+    FROM ({st}) GROUP BY source
+    """
+
+
+@_register("url_structure_report", _url_structure_oracle())
+def url_structure_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL structure profile per source — the crawl-frontier curation
+    signal (deep paths and param-heavy URLs correlate with calendars,
+    faceted search, session junk; CCNet-style pipelines budget crawl
+    depth on exactly these): canonical-URL path depth (raw slash
+    count), query presence, and parameter counts, aggregated per
+    source.  The structure stages are ONE shared definition rendered
+    per dialect (urlnorm._structure_stages — pure string built-ins,
+    no regex); plant + canonicalization + structure are map-only, the
+    source-grain aggregate is the single exchange.  All aggregates
+    are integer sums through IEEE double — exact cross-engine."""
+    from waddleml_spark.llmops import urlnorm
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "source", f"{_URL_PLANT} AS url"
+    )
+    st = urlnorm.with_url_structure(urlnorm.with_canonical_url(d))
+    n = F.count("*")
+    return st.groupBy("source").agg(
+        n.alias("n_urls"),
+        (F.sum("path_depth").cast("double") / n).alias("avg_path_depth"),
+        (F.lit(100.0) * F.sum("has_query") / n).alias("pct_with_query"),
+        (F.sum("n_params").cast("double") / n).alias("avg_query_params"),
+    )
+
+
 @_register("neardup_cluster_sizes", None)
 def neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster-size histogram: MinHash-LSH candidate pairs →

@@ -1370,6 +1370,63 @@ def remove_duplicate_passages(
     )
 
 
+def boilerplate_phrases(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    passage_words: int = 20,
+    top_k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Top-``top_k`` boilerplate PHRASES per group: the actual 20-word
+    chunks repeated across the most documents within a source (cookie
+    banners, license headers, templated navigation) — the curation
+    view the hash-grain reports can't give, because it surfaces the
+    TEXT a reviewer reads before writing a filter rule.  Returns
+    (group, rank, phrase, n_docs, n_inst) with rank 1..top_k by
+    (n_docs desc, n_inst desc, phrase asc); chunks in fewer than
+    ``min_docs`` documents never qualify.
+
+    Shape: the shared _passage_chunks generator grain → an explicit
+    two-phase aggregate ((group, chunk, doc) instance counts, then
+    (group, chunk) doc counts — no countDistinct, so no Expand and no
+    distinct-rewrite ambiguity; the second agg reuses the first
+    exchange's partitioning) → a group-grain rank window over the
+    QUALIFYING phrases only (bounded by the boilerplate vocabulary,
+    not the corpus) with the ``row_number ≤ k`` filter compiling to a
+    map-side partial WindowGroupLimit.  The phrase string is the
+    shuffle key for one exchange — ~120 bytes/row at chunk grain, the
+    same class as the canonical-URL groupBy."""
+    from pyspark.sql import Window
+
+    ch = _passage_chunks(df, text_col, id_col, group_col, passage_words)
+    per = (
+        ch.groupBy("grp", "ct", "id")
+        .agg(F.count("*").alias("__c"))
+        .groupBy("grp", "ct")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__c").alias("n_inst"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.desc("n_docs"), F.desc("n_inst"), F.asc("ct")
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("grp").alias(group_col),
+            "rank",
+            F.col("ct").alias("phrase"),
+            "n_docs",
+            "n_inst",
+        )
+    )
+
+
 def cdc_chunks(
     df: DataFrame,
     text_col: str = "text",

@@ -295,6 +295,63 @@ def domain_capped_keepers(
     )
 
 
+def _structure_stages(dialect: str) -> list[tuple[str, str]]:
+    """(name, expr) stages deriving URL STRUCTURE features from
+    `canonical_url` — path depth (slash count; 0 for the bare '/')
+    and query parameter count — shared verbatim between dialects like
+    _domain_stages.  Pure string built-ins (length/replace/split_part/
+    substr agree cross-engine on the module's ASCII domain); no
+    regexes, no HOFs.  Depth counts '/' characters, so interior empty
+    segments ('/a//b') count — documented raw-slash semantics, one
+    definition both sides."""
+    del dialect  # every builtin here is spelled identically
+    return [
+        ("__rest9", "substr(canonical_url, 9)"),
+        ("__chost2", "split_part(__rest9, '/', 1)"),
+        ("__pq", "substr(__rest9, length(__chost2) + 1)"),
+        ("__spath", "split_part(__pq, '?', 1)"),
+        ("__sq", "substr(__pq, length(__spath) + 2)"),
+        ("path_depth",
+         "CAST(CASE WHEN __spath = '/' THEN 0 ELSE "
+         "length(__spath) - length(replace(__spath, '/', '')) END "
+         "AS BIGINT)"),
+        ("has_query",
+         "CAST(CASE WHEN __sq = '' THEN 0 ELSE 1 END AS BIGINT)"),
+        ("n_params",
+         "CAST(CASE WHEN __sq = '' THEN 0 ELSE "
+         "length(__sq) - length(replace(__sq, '&', '')) + 1 END "
+         "AS BIGINT)"),
+    ]
+
+
+_STRUCT_OUT = ("path_depth", "has_query", "n_params")
+
+
+def with_url_structure(df: DataFrame) -> DataFrame:
+    """Append path_depth / has_query / n_params derived from an
+    existing `canonical_url` column (compose after
+    :func:`with_canonical_url`).  Map-only."""
+    out = df
+    scratch: list[str] = []
+    for name, expr in _structure_stages("spark"):
+        out = out.selectExpr("*", f"{expr} AS {name}")
+        if name not in _STRUCT_OUT:
+            scratch.append(name)
+    return out.drop(*scratch)
+
+
+def url_structure_subquery_sql(inner_sql: str) -> str:
+    """DuckDB twin of :func:`with_url_structure`: wrap `inner_sql`
+    (which must yield `canonical_url`) adding the structure columns."""
+    q = f"({inner_sql})"
+    for name, expr in _structure_stages("duckdb"):
+        q = f"(SELECT *, {expr} AS {name} FROM {q} AS _s_{name.strip('_')})"
+    scratch = ", ".join(
+        n for n, _ in _structure_stages("duckdb") if n not in _STRUCT_OUT
+    )
+    return f"SELECT * EXCLUDE ({scratch}) FROM {q} AS _s_final"
+
+
 def canonical_url_subquery_sql(inner_sql: str, url_expr: str = "url") -> str:
     """DuckDB twin: wrap `inner_sql` (which must yield `url_expr`) in the
     same staged canonicalization, exposing every inner column plus
