@@ -261,6 +261,37 @@ def test_registered_domain_parity_fuzz(spark, urls):
         assert got[i] == want[i], (repr(u), got[i], want[i])
 
 
+@SET
+@given(urls=_url_st)
+def test_url_structure_parity_fuzz(spark, urls):
+    """Full chain (canonicalize -> structure features) engine parity on
+    ASCII URL soup — the r11 _structure_stages are a new dialect-shared
+    stage list, so they take the same fuzz pinning as the domain
+    stages (every string builtin is engine-specific until fuzzed)."""
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i int, url string"
+    )
+    got = {
+        r.i: (r.path_depth, r.has_query, r.n_params)
+        for r in urlnorm.with_url_structure(
+            urlnorm.with_canonical_url(df)
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(urls)), "url": urls}))
+    sql = urlnorm.url_structure_subquery_sql(
+        urlnorm.canonical_url_subquery_sql("SELECT i, url FROM t")
+    )
+    want = {
+        i: (d, h, p)
+        for i, d, h, p in con.execute(
+            f"SELECT i, path_depth, has_query, n_params FROM ({sql})"
+        ).fetchall()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == want[i], (repr(u), got[i], want[i])
+
+
 def test_domain_capped_keepers_semantics(spark):
     """Cap binds per domain: <= cap rows kept per domain, the kept set
     is the md5-rank prefix (deterministic across invocations), and an
