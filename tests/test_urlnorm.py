@@ -203,6 +203,10 @@ DOMAIN_CASES = [
     ("https://example.com./x", "example.com"),
     ("https://u@example.com.:8080/x", "example.com"),
     ("https://example.com.../x", "example.com"),
+    # r11 review: EMPTY userinfo segments are RFC-legal and were still
+    # in the bypass class
+    ("https://@example.com/x", "example.com"),
+    ("https://a@@example.com/x", "example.com"),
 ]
 
 

@@ -200,11 +200,15 @@ RE_REG_DOMAIN = r"[^.]+\.[^.]+\z"
 # Userinfo strips to the LAST '@' (r10 advisor find: the first-@ form
 # left 'a@b@example.com' with domain 'b@example.com' — same bypass
 # class; the (@run)* shape is RE2-safe and both engines resolve the
-# greedy star to the last '@').  A trailing dot RUN is peeled too
-# (FQDN form 'example.com.' failed RE_REG_DOMAIN and fell back to the
-# dotted host — also a blocklist miss); anchored single match, so no
-# 'g' flag divergence.
-RE_USERINFO = r"\A[^@/]+(@[^@/]+)*@"
+# greedy star to the last '@').  Segments are * not + (r11 review:
+# EMPTY userinfo — 'https://@example.com' — and empty middle segments
+# '@@' are legal per RFC 3986 and were still in the bypass class; a
+# '@'-free host never matches because the final literal '@' has
+# nothing to consume).  A trailing dot RUN is peeled too (FQDN form
+# 'example.com.' failed RE_REG_DOMAIN and fell back to the dotted
+# host — also a blocklist miss); anchored single match, so no 'g'
+# flag divergence.
+RE_USERINFO = r"\A[^@/]*(@[^@/]*)*@"
 RE_ANY_PORT = r":[0-9]*\z"
 RE_TRAIL_DOTS = r"[.]+\z"
 
