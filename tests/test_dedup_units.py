@@ -574,6 +574,19 @@ def test_remove_duplicate_passages_semantics(spark):
     assert set(out) == {1, 2, 3, 4, 5, 6}  # nobody dropped
     # the two empty-token docs share the '' chunk: first (5) keeps it
     assert out[5].n_removed == 0 and out[6].n_removed == 1
+    # r11 review pin: the REMOVED empty chunk counts its one ''-token
+    # word exactly like the SQL twin's ['']-token doc (nw was
+    # size(NULL)=NULL for NULL text before the coalesce fix)
+    assert out[6].n_words_removed == 1
+    two_nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, text string"
+    )
+    tn = {
+        r.doc_id: r
+        for r in dedup.remove_duplicate_passages(two_nulls).collect()
+    }
+    assert tn[1].n_removed == 0
+    assert tn[2].n_removed == 1 and tn[2].n_words_removed == 1
     # determinism: a second run rewrites byte-identically
     again = {
         r.doc_id: r

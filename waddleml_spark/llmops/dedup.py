@@ -1264,8 +1264,17 @@ def _passage_chunks(
     chunk-grain definition under _passage_inst (hash reports) and
     remove_duplicate_passages (the rewrite stage).  Chunking is a
     generator explode — one map pass, no HOFs; unused columns prune
-    away in consumers that only hash."""
-    toks = F.split(lower_trim(F.col(text_col)), WS_RE)
+    away in consumers that only hash.
+
+    NULL text coalesces to '' BEFORE the split (r11 review find): the
+    hash consumers were already safe (concat_ws folds the NULL slice
+    to '', matching the oracle's ['']-token doc), but ``nw`` was
+    size(NULL) = NULL where the SQL twin counts 1 word — a corpus
+    where a NULL-text doc's chunk gets REMOVED would under-count
+    n_words_removed (pinned by the two-null-docs unit case)."""
+    toks = F.split(
+        lower_trim(F.coalesce(F.col(text_col), F.lit(""))), WS_RE
+    )
     cols = [F.col(id_col).alias("id")]
     if group_col is not None:
         cols.append(F.col(group_col).alias("grp"))
