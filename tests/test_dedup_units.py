@@ -640,3 +640,46 @@ def test_cdc_chunks_survive_insertion(spark):
     # chunks of ~divisor mean width
     assert cdc.total_chunks >= 10
     assert 4 <= cdc.avg_chunk_words <= 64
+
+
+def test_remove_contaminated_spans_semantics(spark):
+    """The decontamination rewrite: a doc carrying an eval trigram
+    loses exactly the touched 20-word chunk(s); a boundary-spanning
+    gram removes BOTH chunks; clean docs pass through intact."""
+    bench = "leaked secret answer " + " ".join(f"b{i}" for i in range(10))
+    # doc 1: eval trigram inside chunk 1 (words 20..39)
+    d1 = (
+        " ".join(f"w{i}" for i in range(20))
+        + " leaked secret answer "
+        + " ".join(f"x{i}" for i in range(17))
+    )
+    # doc 2: the trigram spans the chunk 0/1 boundary (words 19..21)
+    d2 = (
+        " ".join(f"y{i}" for i in range(19))
+        + " leaked secret answer "
+        + " ".join(f"z{i}" for i in range(18))
+    )
+    d3 = "completely clean document with no overlap at all"
+    df = spark.createDataFrame(
+        [
+            (0, "src0", bench),
+            (1, "srcA", d1),
+            (2, "srcA", d2),
+            (3, "srcB", d3),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.remove_contaminated_spans(
+            df, bench_pred=F.col("source") == "src0"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}  # bench doc never re-emitted
+    # doc 1: chunk 1 (the trigram's home) removed, chunk 0 kept
+    assert out[1].n_chunks == 2 and out[1].n_removed == 1
+    assert out[1].clean_text == " ".join(f"w{i}" for i in range(20))
+    # doc 2: the gram touches chunks 0 AND 1 -> both removed
+    assert out[2].n_chunks == 2 and out[2].n_removed == 2
+    assert out[2].clean_text == ""
+    assert out[3].n_removed == 0 and out[3].clean_text == d3

@@ -60,6 +60,9 @@ PAIR_QUERIES = (
     # round-11: the flood's boilerplate chunks ARE the top phrases —
     # rank order and 200-doc counts must agree cross-engine
     "boilerplate_phrases_report",
+    # round-11: with the flood+family labeled src0 (the bench side),
+    # the rewrite must excise identically across engines
+    "decontamination_rewrite_report",
 )
 
 

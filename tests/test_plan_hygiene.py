@@ -88,6 +88,10 @@ _WIDE_SCAN_BUDGET = {
     # feeding MinHash on exact-unique survivors (stage-count verified:
     # the funnel's only corpus-scale work is those two passes)
     "corpus_pipeline_report": 8,
+    # gram pass + chunk pass over the corpus (cross-grain logic the
+    # no-CSE rule cannot fuse; the bigram-LM two-pass precedent) plus
+    # the bench-side gram scan
+    "decontamination_rewrite_report": 3,
 }
 
 

@@ -65,6 +65,9 @@ WIDE_ROW_QUERIES = (
     # round-11: phrase mining rides the same chunk SQL; the giant doc
     # plants repeated phrases that must rank identically
     "boilerplate_phrases_report",
+    # round-11: the decontamination rewrite runs the clamped-trigram
+    # AND chunk grains over the giant doc in one query
+    "decontamination_rewrite_report",
 )
 
 

@@ -70,19 +70,19 @@ def _trigram_rows_sql(cols: str = "") -> str:
         FROM ({_word_pos_sql(cols)})"""
 
 
-def _trigram_rows_clamped_sql() -> str:
-    """(doc_id, i, g): the slice-CLAMPED shingle semantics of
+def _trigram_rows_clamped_sql(cols: str = "") -> str:
+    """(doc_id[, cols], i, g): the slice-CLAMPED shingle semantics of
     dedup.shingles — docs under 3 tokens shingle to their whole text
     (position 1 emits the 1- or 2-token join).  Linear."""
-    return rf"""SELECT doc_id, i,
+    return rf"""SELECT doc_id{cols}, i,
            CASE WHEN w2 IS NOT NULL THEN wd || ' ' || w1 || ' ' || w2
                 WHEN i = 1 THEN
                     CASE WHEN w1 IS NULL THEN wd ELSE wd || ' ' || w1 END
            END AS g
-        FROM (SELECT doc_id, i, wd,
+        FROM (SELECT doc_id{cols}, i, wd,
                      lead(wd, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w1,
                      lead(wd, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w2
-              FROM ({_word_pos_sql()}))"""
+              FROM ({_word_pos_sql(cols)}))"""
 
 
 def _md5_be32_sql(col: str) -> str:
@@ -680,6 +680,71 @@ def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (textstats.ngram_collision_report — broadcast semi join on shingles)."""
     return textstats.ngram_collision_report(
         t(spark, sf_dir, "documents"), bench_pred=F.col("source") == "src0", k=3
+    )
+
+
+@_register(
+    "decontamination_rewrite_report",
+    rf"""
+    WITH ct AS ({_trigram_rows_clamped_sql(", source")}),
+    bench AS (SELECT DISTINCT g FROM ct
+              WHERE source = 'src0' AND g IS NOT NULL),
+    th AS (SELECT t.doc_id, t.i FROM ct t JOIN bench b ON t.g = b.g
+           WHERE t.source <> 'src0'),
+    hits AS (
+        SELECT DISTINCT doc_id, ci FROM (
+            SELECT doc_id, CAST(floor((i - 1) / 20) AS BIGINT) AS ci
+            FROM th
+            UNION ALL
+            SELECT doc_id, CAST(floor((i + 1) / 20) AS BIGINT) AS ci
+            FROM th) u
+    ),
+    p AS (
+        SELECT doc_id, source,
+               CAST(floor((i - 1) / 20) AS BIGINT) AS ci,
+               string_agg(wd, ' ' ORDER BY i) AS chunk,
+               CAST(count(*) AS BIGINT) AS nw
+        FROM ({_word_pos_sql(", source")})
+        WHERE source <> 'src0'
+        GROUP BY doc_id, source, CAST(floor((i - 1) / 20) AS BIGINT)
+    ),
+    f AS (
+        SELECT p.*, CASE WHEN h.ci IS NOT NULL THEN 1 ELSE 0 END AS rm
+        FROM p LEFT JOIN hits h ON h.doc_id = p.doc_id AND h.ci = p.ci
+    )
+    SELECT doc_id, source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(rm) AS BIGINT) AS n_removed,
+           CAST(coalesce(sum(CASE WHEN rm = 1 THEN nw END), 0) AS BIGINT)
+               AS n_words_removed,
+           md5(coalesce(
+               string_agg(CASE WHEN rm = 0 THEN chunk END,
+                          ' ' ORDER BY ci), '')) AS clean_md5
+    FROM f GROUP BY doc_id, source
+    """,
+)
+def decontamination_rewrite_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontamination REWRITE (dedup.remove_contaminated_spans):
+    source 'src0' plays the eval set (contamination_by_source's
+    convention); every other document is re-emitted with the 20-word
+    chunks touched by an eval trigram deleted — excising the leaked
+    span instead of dropping the whole document.  Per doc: chunk
+    counts, removed word mass, and the md5 of the REBUILT text (the
+    ordered listagg pairing).  Boundary-spanning grams remove both
+    touched chunks on BOTH engines."""
+    out = dedup.remove_contaminated_spans(
+        t(spark, sf_dir, "documents"),
+        bench_pred=F.col("source") == "src0",
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_chunks",
+        "n_removed",
+        "n_words_removed",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
     )
 
 

@@ -1379,6 +1379,85 @@ def remove_duplicate_passages(
     )
 
 
+def remove_contaminated_spans(
+    df: DataFrame,
+    bench_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 3,
+    passage_words: int = 20,
+) -> DataFrame:
+    """Benchmark-decontamination REWRITE: every non-benchmark document
+    is re-emitted with the ``passage_words``-word chunks TOUCHED by a
+    benchmark word-k-gram deleted — the surgical production stage
+    after `ngram_collision_report` (detect) flags overlap; dropping
+    whole documents for one leaked sentence wastes data, so standard
+    pipelines excise the span.  Returns one row per non-benchmark doc:
+
+      (id, group, clean_text, n_chunks, n_removed, n_words_removed)
+
+    A k-gram starting at 0-based word ``w`` touches chunks
+    ``w // passage_words .. (w+k-1) // passage_words`` (a boundary-
+    spanning gram removes BOTH chunks — over-removal on the safe
+    side).  Gram semantics are the house CLAMPED shingles
+    (shingle_rows == the oracle's clamped-trigram SQL): docs under k
+    words match on their whole text.
+
+    Scale shape: the bench gram set is distinct at bench scale and
+    BROADCAST (the eval-set-is-small assumption every decontamination
+    stage here makes — ngram_collision_report's rule); the corpus gram
+    probe is map-only against it; touched (doc, chunk) pairs distinct
+    at hit grain; the chunk frame left-joins the hit set on (doc,
+    chunk) and rebuilds per doc with the ordered listagg.  The corpus
+    TEXT IS SCANNED TWICE (gram pass + chunk pass — cross-grain logic
+    the no-CSE rule cannot fuse; the bigram-LM two-pass precedent),
+    plus once for the bench side: wide-scan budget 3 in
+    test_plan_hygiene."""
+    from pyspark.sql import Window  # noqa: F401  (parallel structure)
+
+    corpus = df.filter(~bench_pred)
+    bench = df.filter(bench_pred)
+    # distinct=False + one global distinct on the gram string: the
+    # per-doc dedup would be a second shuffle the set-level distinct
+    # immediately repeats
+    bset = (
+        shingle_rows(bench, text_col, id_col, k=k, distinct=False)
+        .select("__s")
+        .distinct()
+    )
+    grams = shingle_rows(
+        corpus, text_col, id_col, k=k, distinct=False, with_pos=True
+    )
+    lo = F.expr(f"CAST(__i DIV {passage_words} AS BIGINT)")
+    hi = F.expr(f"CAST((__i + {k - 1}) DIV {passage_words} AS BIGINT)")
+    hits = (
+        grams.join(F.broadcast(bset), "__s")
+        .select("id", F.explode(F.sequence(lo, hi)).alias("ci"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    ch = _passage_chunks(corpus, text_col, id_col, group_col, passage_words)
+    flagged = ch.join(hits, ["id", "ci"], "left")
+    rm = F.col("__hit").isNotNull()
+    return flagged.groupBy(
+        F.col("id").alias(id_col), F.col("grp").alias(group_col)
+    ).agg(
+        F.coalesce(
+            F.expr("listagg(CASE WHEN __hit IS NULL THEN ct END, ' ') "
+                   "WITHIN GROUP (ORDER BY ci)"),
+            F.lit(""),
+        ).alias("clean_text"),
+        F.count("*").alias("n_chunks"),
+        F.coalesce(
+            F.sum(F.when(rm, F.lit(1)).cast("long")), F.lit(0).cast("long")
+        ).alias("n_removed"),
+        F.coalesce(
+            F.sum(F.when(rm, F.col("nw"))), F.lit(0).cast("long")
+        ).alias("n_words_removed"),
+    )
+
+
 def boilerplate_phrases(
     df: DataFrame,
     text_col: str = "text",
