@@ -88,6 +88,18 @@ def main() -> None:
     # Session warmup so the alphabetically-first query doesn't absorb
     # executor/codegen startup (~5 s) into its own number.
     force(catalog.QUERIES[names[0]](spark, args.sf_dir))
+
+    # steal/window self-adjudication (the bench.py r11 rule): the run's
+    # own /proc/stat steal fraction is written into the artifact, and
+    # DuckDB's total doubles as a HOST-SPEED CONTROL — the same SQL on
+    # the same engine and data moves only with the machine, so a run
+    # whose duckdb total sits far above the best recorded one is a slow
+    # window, not a Spark change.
+    def _ticks():
+        v = list(map(int, open("/proc/stat").readline().split()[1:]))
+        return (v[7] if len(v) > 7 else 0), sum(v)
+
+    _s0, _c0 = _ticks()
     for name in names:
         q = catalog.QUERIES[name]
         sql = catalog.ORACLE[name]
@@ -125,6 +137,8 @@ def main() -> None:
 
     total_s = round(sum(r[1] for r in rows), 3)
     total_d = round(sum(r[2] for r in rows), 3)
+    _s1, _c1 = _ticks()
+    steal_pct = round(100.0 * (_s1 - _s0) / max(1, _c1 - _c0), 2)
     with open(args.out, "w") as f:
         f.write(
             "# BENCH_VS_ORACLE — Spark vs DuckDB per-query wall time\n\n"
@@ -140,7 +154,9 @@ def main() -> None:
             "so their number is the steady-state serving cost; the\n"
             "first-invocation build cost is what SCALING.md measures.\n\n"
             f"**Totals: spark {total_s}s, duckdb {total_d}s, "
-            f"{len(rows)} oracle-paired queries.**\n\n"
+            f"{len(rows)} oracle-paired queries "
+            f"(window: {steal_pct}% steal — read the duckdb total as "
+            "the host-speed control: it moves only with the machine).**\n\n"
             "| query | spark s | duckdb s | spark/duckdb |\n|---|---|---|---|\n"
         )
         for name, ts, td in rows:
