@@ -134,12 +134,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # onto the shared _passage_chunks grain).  The remaining 3 slots pull
 # the alphabetically-first r9-vintage rows FORWARD (age 2): 45 r9
 # rows would otherwise all hit age 3 at r12 and overflow that window.
-# LATE r11 addition: decontamination_rewrite_report (the Bloom-flagged
-# span EXCISION stage — rewrite the doc, keep it) landed after the
-# first window cut; never-certified outranks pulls, so it displaced
-# the asof_purchase_click pull.  After the 2 remaining pulls +
-# doc_containment + source_overlap, 41 r9 rows + 2 anchors are
-# committed to the r12 window (~7 free there).
+# LATE r11 additions: decontamination_rewrite_report (the Bloom-flagged
+# span EXCISION stage — rewrite the doc, keep it) and
+# embedding_dispersion_by_label (per-label mean pairwise cosine via the
+# no-pairwise-expansion identity) landed after the first window cut;
+# never-certified outranks pulls, so they displaced the
+# asof_purchase_click and anti_join_missing pulls.  After the 1
+# remaining pull + doc_containment + source_overlap, 42 r9 rows +
+# 2 anchors are committed to the r12 window (~6 free there).
 # All 50 emulator-preverified this round (sf0.01, bare session, values +
 # type families).
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -148,7 +150,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # NEW oracle queries this round + the seven rewrite-rule slots
     "span_removal_report", "cdc_dedup_report",
     "boilerplate_phrases_report", "url_structure_report",
-    "decontamination_rewrite_report",
+    "decontamination_rewrite_report", "embedding_dispersion_by_label",
     "doc_containment_pairs", "cosine_topk_q0", "hard_negatives_b8",
     "domain_cap_report", "domain_entropy_by_source",
     "domain_blocklist_report", "source_overlap_matrix",
@@ -167,8 +169,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "text_quality_by_lang", "top_supplier_q15", "top_words_by_lang",
     "topn_orders", "type_token_ratio_by_lang", "variant_props_stats",
     "volume_shipping_q7", "winnowing32_overlap_pairs",
-    # r9 vintage pulled forward (2 alphabetically-first)
-    "agg_minmax_count", "anti_join_missing",
+    # r9 vintage pulled forward (1 alphabetically-first)
+    "agg_minmax_count",
 )
 
 

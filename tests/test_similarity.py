@@ -404,3 +404,51 @@ def test_cosine_topk_lookup_matches_literal_path_and_empty_is_zero_rows(spark):
     ]
     assert lit_rows == lookup_rows
     assert similarity.cosine_topk_lookup(emb, -999, k=10).count() == 0
+
+
+def test_dispersion_by_label_hand_values_and_exclusions(spark):
+    """Hand-computed mean pairwise cosine + every exclusion rule:
+    NULL label / NULL vector / zero-norm vector dropped, single-vector
+    group emits no row (no pairs), parallel vectors give exactly 1.0."""
+    rows = [
+        # label a: e1, e2, (1,1)/sqrt2 -> mean over 6 ordered pairs
+        #   = 2*(0 + 1/sqrt2 + 1/sqrt2)/6 = sqrt(2)/3
+        (1, [1.0, 0.0], "a"),
+        (2, [0.0, 1.0], "a"),
+        (3, [1.0, 1.0], "a"),
+        # label b: one vector -> no pairs -> no output row
+        (4, [5.0, 5.0], "b"),
+        # label c: parallel vectors (+ a zero-norm one that must drop)
+        (5, [3.0, 4.0], "c"),
+        (6, [6.0, 8.0], "c"),
+        (7, [0.0, 0.0], "c"),
+        # excluded entirely
+        (8, [1.0, 2.0], None),
+        (9, None, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label string"
+    )
+    out = {
+        r.label: r
+        for r in similarity.dispersion_by_label(df).collect()
+    }
+    assert set(out) == {"a", "c"}
+    assert out["a"].n_vecs == 3
+    assert out["a"].mean_pairwise_cos == pytest.approx(2.0**0.5 / 3, abs=1e-12)
+    assert out["c"].n_vecs == 2  # zero-norm vector excluded
+    assert out["c"].mean_pairwise_cos == pytest.approx(1.0, abs=1e-12)
+
+
+def test_dispersion_by_label_plan_has_no_join(spark, emb):
+    """The scale contract: a pairwise statistic with NO pairwise
+    expansion — the executed plan must contain no join operator and
+    exactly one Generate (the posexplode)."""
+    plan = (
+        similarity.dispersion_by_label(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Generate") == 1

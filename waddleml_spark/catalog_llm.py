@@ -308,6 +308,53 @@ def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "embedding_dispersion_by_label",
+    f"""
+    WITH v AS (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS ed,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ), f AS (
+        SELECT * FROM v WHERE nrm > 0
+    ), x AS (
+        SELECT label, generate_subscripts(ed, 1) AS pos,
+               unnest(ed) / nrm AS val
+        FROM f
+    ), sp AS (
+        SELECT label, pos, sum(val) AS s, sum(val * val) AS q,
+               count(*) AS cnt
+        FROM x GROUP BY label, pos
+    ), sl AS (
+        SELECT label, sum(s * s) AS ss, sum(q) AS sq, max(cnt) AS n_vecs
+        FROM sp GROUP BY label
+    )
+    SELECT label, n_vecs,
+           {_r_sql('(ss - sq) / (n_vecs * (n_vecs - 1))', 6)}
+               AS mean_pairwise_cos
+    FROM sl WHERE n_vecs >= 2 ORDER BY label
+    """,
+)
+def embedding_dispersion_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label semantic-diversity audit: mean pairwise cosine with no
+    pairwise join (similarity.dispersion_by_label — the ‖Σv̂‖² identity
+    turns an O(n²) statistic into one linear pass + a |labels|·d-row
+    shuffle).  A label near 1.0 is redundant (candidate for heavier
+    dedup / downsampling in the mixture); near 0 is diverse.  The
+    engines' per-dim float sums differ in the last ulp by order, so the
+    mean is floor-rounded to 6 digits on both sides (the _r contract);
+    n_vecs and the exclusion rules (NULL/zero-norm vectors, n >= 2) are
+    exact.  Reference scope: briangu/waddleml has no embedding ops —
+    extension surface per the brief (training-data pipeline family)."""
+    emb = t(spark, sf_dir, "embeddings")
+    rep = similarity.dispersion_by_label(emb)
+    return rep.select(
+        "label", "n_vecs", _r(F.col("mean_pairwise_cos"), 6).alias("mean_pairwise_cos")
+    ).orderBy("label")
+
+
 _JACCARD_SRC0_D = rf"""SELECT doc_id,
                list_distinct(str_split_regex(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}')) AS ws
         FROM documents WHERE source = 'src0'"""

@@ -849,6 +849,66 @@ def covariance_matrix(
     return cov, int(n)
 
 
+def dispersion_by_label(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-group mean pairwise cosine similarity with NO pairwise
+    expansion — the semantic-diversity audit behind cluster-dispersion
+    curation (SemDeDup / D4 style: a label whose vectors all point the
+    same way is redundant; a diverse one earns its tokens).
+
+    The pairwise sum collapses to per-dimension sums of the UNIT
+    vectors:  Σ_{i≠j} v̂_i·v̂_j = ‖Σ v̂‖² − Σ‖v̂‖², so the whole statistic
+    is one linear pipeline: fold norm per row (left-fold ``dot`` — the
+    blocked_cosine_pairs contract, bit-identical to DuckDB
+    list_dot_product), posexplode, partial-agg at (label, dim) grain
+    (map-side combine makes the shuffle |labels|·d rows), final agg at
+    |labels| grain.  O(n·d) work and O(labels·d) shuffle where the
+    naive form is O(n²·d) — the reason this scales to a 100 TB corpus
+    while a pairwise join never leaves the ground.
+
+    Zero-norm / NaN / NULL vectors and NULL labels are excluded (a
+    unit vector does not exist for them); n_vecs counts survivors via
+    max over dims of the per-dim count, which is exact for any dim mix.
+    Groups need n_vecs >= 2 (no pairs otherwise).  The mean is an
+    order-nondeterministic float sum — callers round with the catalog
+    ``_r`` helper before oracle pairing.
+    """
+    base = (
+        df.filter(F.col(vec_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            F.col(label_col).alias("label"),
+            F.col(vec_col).alias("v"),
+            norm(as_double(F.col(vec_col))).alias("nrm"),
+        )
+        .filter(F.col("nrm") > 0)
+    )
+    x = base.select(
+        "label", "nrm", F.posexplode("v").alias("pos", "xf")
+    ).select(
+        "label",
+        "pos",
+        (F.col("xf").cast("double") / F.col("nrm")).alias("val"),
+    )
+    sp = x.groupBy("label", "pos").agg(
+        F.sum("val").alias("s"),
+        F.sum(F.col("val") * F.col("val")).alias("q"),
+        F.count("*").alias("cnt"),
+    )
+    sl = sp.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("ss"),
+        F.sum("q").alias("sq"),
+        F.max("cnt").alias("n_vecs"),
+    )
+    mean = (F.col("ss") - F.col("sq")) / (
+        F.col("n_vecs") * (F.col("n_vecs") - F.lit(1))
+    )
+    return (
+        sl.filter(F.col("n_vecs") >= 2)
+        .select("label", "n_vecs", mean.alias("mean_pairwise_cos"))
+    )
+
+
 def pca_variance_report(
     df: DataFrame, vec_col: str = "embedding", top_k: int = 8
 ) -> DataFrame:
