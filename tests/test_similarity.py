@@ -452,3 +452,27 @@ def test_dispersion_by_label_plan_has_no_join(spark, emb):
     )
     assert "Join" not in plan
     assert plan.count("Generate") == 1
+
+
+def test_dispersion_by_label_matches_bruteforce_pairwise(spark):
+    """Adversarial check of the ‖Σv̂‖² identity: on random frames
+    (negatives, tiny magnitudes, several labels) the linear-pass result
+    must equal the brute-force O(n²) pairwise mean cosine."""
+    rng = np.random.default_rng(11)
+    rows, expect = [], {}
+    vid = 0
+    for label, n in (("a", 2), ("b", 7), ("c", 13)):
+        vecs = rng.normal(scale=[0.001, 1.0, 50.0], size=(n, 3))
+        for v in vecs:
+            rows.append((vid, [float(x) for x in v], label))
+            vid += 1
+        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        g = unit @ unit.T
+        expect[label] = (g.sum() - np.trace(g)) / (n * (n - 1))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label string"
+    )
+    out = {r.label: r for r in similarity.dispersion_by_label(df).collect()}
+    assert set(out) == set(expect)
+    for label, want in expect.items():
+        assert out[label].mean_pairwise_cos == pytest.approx(want, abs=1e-9)
