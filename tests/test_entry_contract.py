@@ -68,3 +68,18 @@ def test_no_hugeint_or_decimal_in_any_oracle_output():
         "oracle outputs with driver-hash-incompatible types "
         f"(wrap in CAST(... AS BIGINT)): {offenders}"
     )
+
+
+def test_catalog_registration_names_match_functions():
+    """Every catalog key must map to the function it claims to (name or
+    the _q-suffixed collision-avoidance form).  Pins the r11 near-miss:
+    a new function spliced between an existing @_register decorator and
+    its def silently re-bound that oracle key to the WRONG query — the
+    decorator registers whatever def follows it, so a name mismatch
+    here means a splice, not a style choice."""
+    offenders = {
+        n: f.__name__
+        for n, f in catalog.QUERIES.items()
+        if f.__name__ not in (n, n + "_q")
+    }
+    assert not offenders, f"mis-bound catalog registrations: {offenders}"

@@ -476,3 +476,20 @@ def test_dispersion_by_label_matches_bruteforce_pairwise(spark):
     assert set(out) == set(expect)
     for label, want in expect.items():
         assert out[label].mean_pairwise_cos == pytest.approx(want, abs=1e-9)
+
+
+def test_cluster_dispersion_report_invariants(spark):
+    """Cluster-grain redundancy ranking: every cell's mean pairwise
+    cosine is a valid mean (|cos| <= 1), n_vecs >= 2 per emitted row,
+    survivors bounded by the corpus, and the ranking is descending."""
+    from waddleml_spark.catalog import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    out = QUERIES["cluster_dispersion_report"](spark, SF_SMOKE).collect()
+    total = read_table(spark, SF_SMOKE, "embeddings").count()
+    assert out, "no cells with >= 2 vectors"
+    assert sum(r.n_vecs for r in out) <= total
+    coss = [r.mean_pairwise_cos for r in out]
+    assert all(abs(c) <= 1 + 1e-9 for c in coss)
+    assert all(r.n_vecs >= 2 for r in out)
+    assert coss == sorted(coss, reverse=True)

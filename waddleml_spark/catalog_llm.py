@@ -355,6 +355,31 @@ def embedding_dispersion_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("label")
 
 
+@_register("cluster_dispersion_report", None)
+def cluster_dispersion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-grain redundancy ranking — the D4-style prioritization
+    signal (Tirumala et al. 2023, public recipe: dedup/downsample the
+    most self-similar clusters first): IVF cells over the corpus, then
+    mean pairwise cosine per cell via the no-pairwise-expansion
+    identity (similarity.dispersion_by_label).  Most-redundant cell
+    first — the order a budgeted dedup pass should visit them.
+
+    Rows-only: KMeans is not SQL-expressible.  Cell count scales with
+    the corpus (the semantic_dedup_report n//2048 rule — fixed cells
+    were that function's r11 scale bug); the dispersion pass is
+    O(n·d) + a |cells|·d-row shuffle regardless of cell count, so the
+    whole report is fit-sample-bounded + two linear passes.
+    Reference scope: briangu/waddleml has no embedding ops — extension
+    surface per the brief."""
+    emb = t(spark, sf_dir, "embeddings")
+    n_cells = max(8, emb.count() // 2048)
+    _, cells = similarity.ivf_index(emb, n_cells=n_cells, id_col="vec_id")
+    rep = similarity.dispersion_by_label(cells, label_col="ivf_cell")
+    return rep.select(
+        F.col("label").alias("ivf_cell"), "n_vecs", "mean_pairwise_cos"
+    ).orderBy(F.desc("mean_pairwise_cos"), "ivf_cell")
+
+
 _JACCARD_SRC0_D = rf"""SELECT doc_id,
                list_distinct(str_split_regex(regexp_replace(lower(text), '{_WST}', '', 'g'), '{_WS}')) AS ws
         FROM documents WHERE source = 'src0'"""
