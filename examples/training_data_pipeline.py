@@ -3,9 +3,11 @@ crawl-frontier curation (canonical-URL dedup + per-domain caps) →
 exact dedup → containment dedup (drop docs quoted inside longer docs) →
 quality gate (length + repetition) → DSIR importance scoring (keep docs
 that look like the target distribution) → corpus-mix resample →
-sequence packing → shard/shuffle export plan — every stage a
-deterministic, engine-portable Spark plan (the catalog checks each one
-against a DuckDB oracle; this example just composes them).
+sequence packing → shard/shuffle export plan → embedding-space
+diversity audit (most-redundant IVF cells, the budgeted semantic-dedup
+visit order) — every stage a deterministic, engine-portable Spark plan
+(the catalog checks each one against a DuckDB oracle; this example
+just composes them).
 
 Run: PYTHONPATH=. python examples/training_data_pipeline.py
 """
@@ -134,6 +136,24 @@ with tempfile.TemporaryDirectory() as td:
 # the containment pipeline once per remaining action
 drop_ids.unpersist()
 
+# 7. embedding-space diversity audit (SemDeDup / D4 signal): rank IVF
+#    cells by in-cell mean pairwise cosine — computed WITHOUT pairwise
+#    expansion (Σ_{i≠j} v̂·v̂ = ‖Σv̂‖² − Σ‖v̂‖², one linear pass) — the
+#    most redundant cells are where a budgeted semantic-dedup pass
+#    should spend first.  The fixture's embeddings table stands in for
+#    the corpus's document embeddings.
+from waddleml_spark.llmops.similarity import dispersion_by_label, ivf_index
+
+emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+n_cells = max(8, emb.count() // 2048)
+_, cells = ivf_index(emb, n_cells=n_cells, id_col="vec_id")
+redundant = (
+    dispersion_by_label(cells, label_col="ivf_cell")
+    .orderBy(F.desc("mean_pairwise_cos"), "label")
+    .limit(3)
+    .collect()
+)
+
 print(f"documents in          : {n0}")
 print(f"after domain caps     : {n0b}")
 print(f"after exact dedup     : {n1}")
@@ -144,3 +164,6 @@ print(f"after mix resample    : {n3}")
 print(f"packed tokens         : {total_tokens} -> {n_seqs} sequences of 512")
 print(f"export shards         : {shard_sizes}")
 print(f"written shard rows    : {written}")
+print("most redundant cells  : "
+      + ", ".join(f"cell {r.label} (n={r.n_vecs}, "
+                  f"cos={r.mean_pairwise_cos:.4f})" for r in redundant))
