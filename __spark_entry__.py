@@ -139,9 +139,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # embedding_dispersion_by_label (per-label mean pairwise cosine via the
 # no-pairwise-expansion identity) landed after the first window cut;
 # never-certified outranks pulls, so they displaced the
-# asof_purchase_click and anti_join_missing pulls.  After the 1
-# remaining pull + doc_containment + source_overlap, 42 r9 rows +
-# 2 anchors are committed to the r12 window (~6 free there).
+# asof_purchase_click and anti_join_missing pulls.  A THIRD late slot
+# under the rewrite rule: embedding_norm_by_label's shared definition
+# changed on both sides (NULL-element-safe oracle norm + _r_nan — the
+# review-cycle NaN/NULL-element finds; values identical on any clean
+# corpus), displacing the last pull (agg_minmax_count — an r9 row,
+# due at its age-3 round anyway).  With zero pulls +
+# doc_containment + source_overlap held back, 43 r9 rows + 2 anchors
+# are committed to the r12 window (~5 free there).
 # All 50 emulator-preverified this round (sf0.01, bare session, values +
 # type families).
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -151,6 +156,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "span_removal_report", "cdc_dedup_report",
     "boilerplate_phrases_report", "url_structure_report",
     "decontamination_rewrite_report", "embedding_dispersion_by_label",
+    "embedding_norm_by_label",
     "doc_containment_pairs", "cosine_topk_q0", "hard_negatives_b8",
     "domain_cap_report", "domain_entropy_by_source",
     "domain_blocklist_report", "source_overlap_matrix",
@@ -169,8 +175,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "text_quality_by_lang", "top_supplier_q15", "top_words_by_lang",
     "topn_orders", "type_token_ratio_by_lang", "variant_props_stats",
     "volume_shipping_q7", "winnowing32_overlap_pairs",
-    # r9 vintage pulled forward (1 alphabetically-first)
-    "agg_minmax_count",
 )
 
 

@@ -29,6 +29,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import duckdb  # noqa: E402
 
+from bench import _cpu_ticks  # noqa: E402 — ONE steal reader for all artifacts
 from waddleml_spark import catalog  # noqa: E402
 from waddleml_spark.session import get_spark  # noqa: E402
 
@@ -90,16 +91,13 @@ def main() -> None:
     force(catalog.QUERIES[names[0]](spark, args.sf_dir))
 
     # steal/window self-adjudication (the bench.py r11 rule): the run's
-    # own /proc/stat steal fraction is written into the artifact, and
-    # DuckDB's total doubles as a HOST-SPEED CONTROL — the same SQL on
-    # the same engine and data moves only with the machine, so a run
-    # whose duckdb total sits far above the best recorded one is a slow
-    # window, not a Spark change.
-    def _ticks():
-        v = list(map(int, open("/proc/stat").readline().split()[1:]))
-        return (v[7] if len(v) > 7 else 0), sum(v)
-
-    _s0, _c0 = _ticks()
+    # own /proc/stat steal fraction (bench._cpu_ticks — one shared
+    # reader across all three bench artifacts) is written into the
+    # artifact, and DuckDB's total doubles as a HOST-SPEED CONTROL —
+    # the same SQL on the same engine and data moves only with the
+    # machine, so a run whose duckdb total sits far above the best
+    # recorded one is a slow window, not a Spark change.
+    _s0, _c0 = _cpu_ticks()
     for name in names:
         q = catalog.QUERIES[name]
         sql = catalog.ORACLE[name]
@@ -137,7 +135,7 @@ def main() -> None:
 
     total_s = round(sum(r[1] for r in rows), 3)
     total_d = round(sum(r[2] for r in rows), 3)
-    _s1, _c1 = _ticks()
+    _s1, _c1 = _cpu_ticks()
     steal_pct = round(100.0 * (_s1 - _s0) / max(1, _c1 - _c0), 2)
     with open(args.out, "w") as f:
         f.write(

@@ -493,3 +493,49 @@ def test_cluster_dispersion_report_invariants(spark):
     assert all(abs(c) <= 1 + 1e-9 for c in coss)
     assert all(r.n_vecs >= 2 for r in out)
     assert coss == sorted(coss, reverse=True)
+
+
+def test_dispersion_and_norm_oracle_parity_on_poison_vectors(spark, tmp_path):
+    """r11 review-cycle pins, run through the REAL oracle pair on a
+    synthetic corpus holding every poison class: a NaN element (passes
+    a bare nrm>0 under NaN-largest comparison on BOTH engines and
+    would force the _r-floor-0 vs NaN red), a NULL element (DuckDB
+    list_dot_product RAISES on it where Spark's fold yields NULL), an
+    inf element, a zero vector, a NULL vector, and a NULL label."""
+    import duckdb
+
+    from waddleml_spark.catalog import ORACLE, QUERIES
+    from waddleml_spark.testing import compare
+
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [0.0, 1.0], "a"),
+        (3, [float("nan"), 1.0], "a"),
+        (4, [1.0, None], "a"),
+        (5, [float("inf"), 1.0], "a"),
+        (6, [0.0, 0.0], "a"),
+        (7, None, "a"),
+        (8, [1.0, 2.0], None),
+        (9, [3.0, 4.0], "b"),
+        (10, [6.0, 8.0], "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    for name in ("embedding_dispersion_by_label", "embedding_norm_by_label"):
+        ok, info = compare(
+            QUERIES[name](spark, str(tmp_path)), con, ORACLE[name], name=name
+        )
+        assert ok, info
+    # and the survivors are exactly the clean ones: a -> (1,2), b -> (9,10)
+    out = {r.label: r for r in
+           QUERIES["embedding_dispersion_by_label"](spark, str(tmp_path)).collect()}
+    assert {(l, r.n_vecs) for l, r in out.items()} == {("a", 2), ("b", 2)}

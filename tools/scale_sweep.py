@@ -31,10 +31,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def _steal() -> tuple[int, int]:
-    parts = open("/proc/stat").readline().split()
-    vals = list(map(int, parts[1:]))
-    return (vals[7] if len(vals) > 7 else 0), sum(vals)
+from bench import _cpu_ticks as _steal  # noqa: E402 — one shared steal reader
 
 
 def main() -> int:

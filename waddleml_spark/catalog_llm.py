@@ -295,30 +295,48 @@ def cosine_topk_batch8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_norm_by_label",
     f"""
     SELECT label, count(*) AS n,
-           {_r_sql('avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))', 4)}
+           {_r_nan_sql('avg(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN NULL ELSE sqrt(list_dot_product(list_filter(CAST(embedding AS DOUBLE[]), x -> x IS NOT NULL), list_filter(CAST(embedding AS DOUBLE[]), x -> x IS NOT NULL))) END)', 4)}
                AS avg_norm
     FROM embeddings GROUP BY label
     """,
 )
 def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector norm (normalization drift audit).  Values
+    unchanged on any NULL-element-free finite corpus; two latent
+    cross-engine traps closed in r11's review cycle: (a) the oracle
+    norms NULL-element arrays to NULL via CASE with
+    list_filter-stripped ARGUMENTS — list_dot_product RAISES on NULL
+    elements where Spark's fold yields a NULL norm, and DuckDB 1.0
+    evaluates it EAGERLY even behind CASE/WHERE, so only argument
+    sanitization guards it; (b) avg_norm rounds through _r_nan so a
+    NaN-carrying corpus surfaces as NaN on BOTH engines instead of the
+    Spark-floor-NaN→0 vs DuckDB-NaN red (_r is finite-domain only —
+    the CLAUDE.md rule)."""
     emb = t(spark, sf_dir, "embeddings")
     nrm = similarity.norm(similarity.as_double(F.col("embedding")))
     return emb.groupBy("label").agg(
-        F.count("*").alias("n"), _r(F.avg(nrm), 4).alias("avg_norm")
+        F.count("*").alias("n"), _r_nan(F.avg(nrm), 4).alias("avg_norm")
     )
 
 
 @_register(
     "embedding_dispersion_by_label",
     f"""
-    WITH v AS (
-        SELECT label, CAST(embedding AS DOUBLE[]) AS ed,
-               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                     CAST(embedding AS DOUBLE[]))) AS nrm
+    WITH v0 AS (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS ed
         FROM embeddings
         WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ), v AS (
+        SELECT label, ed,
+               CASE WHEN len(list_filter(ed, x -> x IS NULL)) > 0
+                    THEN NULL
+                    ELSE sqrt(list_dot_product(
+                             list_filter(ed, x -> x IS NOT NULL),
+                             list_filter(ed, x -> x IS NOT NULL))) END
+                   AS nrm
+        FROM v0
     ), f AS (
-        SELECT * FROM v WHERE nrm > 0
+        SELECT * FROM v WHERE nrm > 0 AND nrm < 'infinity'::DOUBLE
     ), x AS (
         SELECT label, generate_subscripts(ed, 1) AS pos,
                unnest(ed) / nrm AS val
@@ -332,7 +350,7 @@ def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sp GROUP BY label
     )
     SELECT label, n_vecs,
-           {_r_sql('(ss - sq) / (n_vecs * (n_vecs - 1))', 6)}
+           {_r_sql('(ss - sq) / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1))', 6)}
                AS mean_pairwise_cos
     FROM sl WHERE n_vecs >= 2 ORDER BY label
     """,
@@ -345,8 +363,14 @@ def embedding_dispersion_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
     dedup / downsampling in the mixture); near 0 is diverse.  The
     engines' per-dim float sums differ in the last ulp by order, so the
     mean is floor-rounded to 6 digits on both sides (the _r contract);
-    n_vecs and the exclusion rules (NULL/zero-norm vectors, n >= 2) are
-    exact.  Reference scope: briangu/waddleml has no embedding ops —
+    n_vecs and the exclusion rules (NULL / NULL-element / zero-norm /
+    non-finite vectors, n >= 2) are exact.  The oracle norms a
+    NULL-element array to NULL via CASE with list_filter-stripped
+    ARGUMENTS — DuckDB 1.0 evaluates list_dot_product EAGERLY even
+    behind CASE/WHERE (it raises on NULL elements where Spark's fold
+    yields a NULL norm), so the guard must sanitize the argument, not
+    the row; plus the nrm < inf finite guard — both review-cycle
+    finds.  Reference scope: briangu/waddleml has no embedding ops —
     extension surface per the brief (training-data pipeline family)."""
     emb = t(spark, sf_dir, "embeddings")
     rep = similarity.dispersion_by_label(emb)

@@ -867,12 +867,18 @@ def dispersion_by_label(
     naive form is O(n²·d) — the reason this scales to a 100 TB corpus
     while a pairwise join never leaves the ground.
 
-    Zero-norm / NaN / NULL vectors and NULL labels are excluded (a
-    unit vector does not exist for them); n_vecs counts survivors via
-    max over dims of the per-dim count, which is exact for any dim mix.
-    Groups need n_vecs >= 2 (no pairs otherwise).  The mean is an
-    order-nondeterministic float sum — callers round with the catalog
-    ``_r`` helper before oracle pairing.
+    Zero-norm / NaN / inf / NULL vectors and NULL labels are excluded
+    (a unit vector does not exist for them — the review-cycle finding:
+    NaN passes a bare ``nrm > 0`` under BOTH engines' NaN-largest
+    comparison and would poison the label's mean into the _r-vs-NaN
+    floor divergence; ``nrm < inf`` is false for NaN AND inf on both
+    engines, so one predicate excludes the whole non-finite class);
+    n_vecs counts survivors via max over dims of the per-dim count,
+    which is exact for any dim mix.  Groups need n_vecs >= 2 (no pairs
+    otherwise); the divisor casts n_vecs to double BEFORE the multiply
+    so a >3e9-vector label cannot overflow BIGINT n·(n−1).  The mean is
+    an order-nondeterministic float sum — callers round with the
+    catalog ``_r`` helper before oracle pairing.
     """
     base = (
         df.filter(F.col(vec_col).isNotNull() & F.col(label_col).isNotNull())
@@ -881,7 +887,9 @@ def dispersion_by_label(
             F.col(vec_col).alias("v"),
             norm(as_double(F.col(vec_col))).alias("nrm"),
         )
-        .filter(F.col("nrm") > 0)
+        .filter(
+            (F.col("nrm") > 0) & (F.col("nrm") < F.lit(float("inf")))
+        )
     )
     x = base.select(
         "label", "nrm", F.posexplode("v").alias("pos", "xf")
@@ -901,7 +909,7 @@ def dispersion_by_label(
         F.max("cnt").alias("n_vecs"),
     )
     mean = (F.col("ss") - F.col("sq")) / (
-        F.col("n_vecs") * (F.col("n_vecs") - F.lit(1))
+        F.col("n_vecs").cast("double") * (F.col("n_vecs") - F.lit(1))
     )
     return (
         sl.filter(F.col("n_vecs") >= 2)
