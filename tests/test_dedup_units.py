@@ -683,3 +683,28 @@ def test_remove_contaminated_spans_semantics(spark):
     assert out[2].n_chunks == 2 and out[2].n_removed == 2
     assert out[2].clean_text == ""
     assert out[3].n_removed == 0 and out[3].clean_text == d3
+
+
+def test_remove_contaminated_spans_null_predicate_doc_reemitted(spark):
+    """r11 review find: a doc whose bench_pred evaluates to NULL (NULL
+    source under an equality predicate) must land on the CORPUS side
+    and be re-emitted — a bare ~pred dropped it from BOTH filter
+    branches (silent data loss in a rewrite stage)."""
+    df = spark.createDataFrame(
+        [
+            (0, "src0", "leaked secret answer plus bench padding words"),
+            (1, None, "totally clean null source document here"),
+            (2, None, "carrying the leaked secret answer span here"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.remove_contaminated_spans(
+            df, bench_pred=F.col("source") == "src0"
+        ).collect()
+    }
+    assert set(out) == {1, 2}, "NULL-source docs must be re-emitted"
+    assert out[1].n_removed == 0
+    assert out[1].clean_text == "totally clean null source document here"
+    assert out[2].n_removed == 1 and out[2].clean_text == ""

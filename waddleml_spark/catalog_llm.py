@@ -786,7 +786,7 @@ def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench AS (SELECT DISTINCT g FROM ct
               WHERE source = 'src0' AND g IS NOT NULL),
     th AS (SELECT t.doc_id, t.i FROM ct t JOIN bench b ON t.g = b.g
-           WHERE t.source <> 'src0'),
+           WHERE t.source IS DISTINCT FROM 'src0'),
     hits AS (
         SELECT DISTINCT doc_id, ci FROM (
             SELECT doc_id, CAST(floor((i - 1) / 20) AS BIGINT) AS ci
@@ -801,7 +801,7 @@ def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                string_agg(wd, ' ' ORDER BY i) AS chunk,
                CAST(count(*) AS BIGINT) AS nw
         FROM ({_word_pos_sql(", source")})
-        WHERE source <> 'src0'
+        WHERE source IS DISTINCT FROM 'src0'
         GROUP BY doc_id, source, CAST(floor((i - 1) / 20) AS BIGINT)
     ),
     f AS (

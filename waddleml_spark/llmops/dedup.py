@@ -1414,10 +1414,14 @@ def remove_contaminated_spans(
     the no-CSE rule cannot fuse; the bigram-LM two-pass precedent),
     plus once for the bench side: wide-scan budget 3 in
     test_plan_hygiene."""
-    from pyspark.sql import Window  # noqa: F401  (parallel structure)
-
-    corpus = df.filter(~bench_pred)
-    bench = df.filter(bench_pred)
+    # coalesce the predicate: a NULL bench_pred (e.g. NULL source under
+    # an equality predicate) must land a doc on the CORPUS side and be
+    # re-emitted — a bare ~pred drops NULL rows from BOTH filters,
+    # silent data loss in a rewrite stage (r11 review find; oracle
+    # mirrors with IS DISTINCT FROM)
+    is_bench = F.coalesce(bench_pred, F.lit(False))
+    corpus = df.filter(~is_bench)
+    bench = df.filter(is_bench)
     # distinct=False + one global distinct on the gram string: the
     # per-doc dedup would be a second shuffle the set-level distinct
     # immediately repeats
