@@ -124,7 +124,9 @@ def main() -> None:
     steal_pct = round(100.0 * (s1 - s0) / max(1, c1 - c0), 2)
 
     timings = {n: round(min(ts), 3) for n, ts in all_times.items()}
-    medians = {n: round(sorted(ts)[2], 3) for n, ts in all_times.items()}
+    medians = {
+        n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in all_times.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -145,8 +145,7 @@ drop_ids.unpersist()
 from waddleml_spark.llmops.similarity import dispersion_by_label, ivf_index
 
 emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-n_cells = max(8, emb.count() // 2048)
-_, cells = ivf_index(emb, n_cells=n_cells, id_col="vec_id")
+_, cells = ivf_index(emb, n_cells=None, id_col="vec_id")
 redundant = (
     dispersion_by_label(cells, label_col="ivf_cell")
     .orderBy(F.desc("mean_pairwise_cos"), "label")

@@ -71,7 +71,30 @@ def main() -> int:
     else:
         scaling = (Path(__file__).resolve().parent.parent / "SCALING.md")
         text = scaling.read_text() if scaling.exists() else ""
-        names = sorted(n for n in catalog.QUERIES if n not in text)
+
+        # "already measured" must mean a RECORDED MEASUREMENT, not any
+        # substring hit (r11 review find: a prose mention, or a longer
+        # name containing this one, would silently re-open the exact
+        # unmeasured-at-100x hole this tool closes by construction).
+        # A query counts as measured only as a markdown table CELL
+        # (| name |) or as a backticked `name` in a sweep paragraph.
+        import re
+
+        paras = text.split("\n\n")
+
+        def measured(n: str) -> bool:
+            if re.search(rf"\|\s*{re.escape(n)}\s*\|", text):
+                return True  # a markdown table cell IS a recorded row
+            # prose measurement: the backticked name inside a paragraph
+            # that states a sweep wall (paragraph-bounded so a bare
+            # mention in commentary elsewhere doesn't count)
+            tick = f"`{n}`"
+            return any(
+                tick in p and ("swept" in p or "s cold" in p)
+                for p in paras
+            )
+
+        names = sorted(n for n in catalog.QUERIES if not measured(n))
     unknown = set(names) - set(catalog.QUERIES)
     if unknown:
         print(f"scale_sweep: unknown queries {sorted(unknown)}",

@@ -396,8 +396,7 @@ def cluster_dispersion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope: briangu/waddleml has no embedding ops — extension
     surface per the brief."""
     emb = t(spark, sf_dir, "embeddings")
-    n_cells = max(8, emb.count() // 2048)
-    _, cells = similarity.ivf_index(emb, n_cells=n_cells, id_col="vec_id")
+    _, cells = similarity.ivf_index(emb, n_cells=None, id_col="vec_id")
     rep = similarity.dispersion_by_label(cells, label_col="ivf_cell")
     return rep.select(
         F.col("label").alias("ivf_cell"), "n_vecs", "mean_pairwise_cos"
@@ -624,10 +623,11 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     THE CELL COUNT MUST SCALE WITH THE CORPUS (r11 sweep find): a
     hard-coded n_cells=8 silently broke this function's own contract —
     at 100× each cell held ~250 k vectors and the quadratic pair term
-    ran 8.6 MINUTES; sizing cells to ~2048 vectors (n // 2048, floor 8)
-    restores bounded block size and the measured wall (SCALING.md r11
-    sweep).  The count(*) that sizes it is the same metadata-cheap scan
-    ivf_index already pays for its sample fraction.
+    ran 8.6 MINUTES; sizing cells to ~2048 vectors (floor 8) restores
+    bounded block size and the measured wall (SCALING.md r11 sweep).
+    The rule now lives in ivf_index(n_cells=None) itself — the r11
+    review moved it there so every consumer gets the growing blocking
+    key by default, reusing the size probe's count.
 
     Threshold 0.3 suits the synthetic near-random fixture embeddings;
     real corpora use ~0.9+ (the SemDeDup paper's epsilon regime).
@@ -637,8 +637,7 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from waddleml_spark.llmops import rotate_persist
 
     emb = t(spark, sf_dir, "embeddings")
-    n_cells = max(8, emb.count() // 2048)
-    _, cells = similarity.ivf_index(emb, n_cells=n_cells, id_col="vec_id")
+    _, cells = similarity.ivf_index(emb, n_cells=None, id_col="vec_id")
     # three consumers (pair kernel, per-cell counts, dup hydration) and
     # Catalyst does not dedupe common subtrees — pin the cell assignment
     cells = rotate_persist(

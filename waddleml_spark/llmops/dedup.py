@@ -1483,8 +1483,11 @@ def boilerplate_phrases(
     Shape: the shared _passage_chunks generator grain → an explicit
     two-phase aggregate ((group, chunk, doc) instance counts, then
     (group, chunk) doc counts — no countDistinct, so no Expand and no
-    distinct-rewrite ambiguity; the second agg reuses the first
-    exchange's partitioning) → a group-grain rank window over the
+    distinct-rewrite ambiguity; the second agg DOES pay its own
+    exchange on (group, chunk) — HashPartitioning(group, chunk, doc)
+    does not satisfy the coarser clustering, the r11 review corrected
+    this line — but that exchange is at bounded qualifying-phrase
+    grain, not corpus grain) → a group-grain rank window over the
     QUALIFYING phrases only (bounded by the boilerplate vocabulary,
     not the corpus) with the ``row_number ≤ k`` filter compiling to a
     map-side partial WindowGroupLimit.  The phrase string is the

@@ -394,7 +394,7 @@ def lsh_bucketize(
 
 def ivf_index(
     corpus: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     vec_col: str = "embedding",
     seed: int = 42,
     fit_sample_rows: int = 100_000,
@@ -403,6 +403,13 @@ def ivf_index(
     """IVF (inverted-file) index: KMeans cells over the corpus.
 
     Returns (model, corpus_with_cells) where each row gains `ivf_cell`.
+
+    ``n_cells=None`` auto-sizes cells to the corpus — ~2048 vectors per
+    cell, floor 8, reusing the size probe's count.  The r11 scale bug
+    was exactly a call-site-FIXED cell count (semantic_dedup's
+    n_cells=8 made 250 k-vector cells and an 8.6-minute quadratic pair
+    kernel at 100×), so the growing-blocking-key rule lives here, once,
+    instead of being copy-pasted at every consumer.
 
     The FIT is bounded: KMeans is an iterative, driver-synchronized
     algorithm (each iteration is a full pass over its input), so it
@@ -433,6 +440,8 @@ def ivf_index(
     n = fit_df.limit(fit_sample_rows + 1).count()
     if n > fit_sample_rows:
         n = fit_df.count()
+    if n_cells is None:
+        n_cells = max(8, n // 2048)
     if n > fit_sample_rows:
         # slight oversample so the expected draw stays >= the target
         levels = 1 << 20
