@@ -708,3 +708,23 @@ def test_remove_contaminated_spans_null_predicate_doc_reemitted(spark):
     assert out[1].n_removed == 0
     assert out[1].clean_text == "totally clean null source document here"
     assert out[2].n_removed == 1 and out[2].clean_text == ""
+
+
+def test_cdc_report_partition_independent(spark):
+    """r11 opt round: cdc_chunks now fan_outs its input before the
+    word posexplode (the single-row-group serial-stage fix).  The
+    report must be value-identical regardless of input partitioning —
+    the running-sum window and the ordered listagg are keyed per doc,
+    so round-robin placement cannot change any value."""
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    one = sorted(
+        dedup.cdc_dedup_report(docs.coalesce(1)).collect(),
+        key=lambda r: r.source,
+    )
+    many = sorted(
+        dedup.cdc_dedup_report(docs.repartition(7)).collect(),
+        key=lambda r: r.source,
+    )
+    assert [tuple(r) for r in one] == [tuple(r) for r in many]

@@ -517,7 +517,13 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a binary offset lookup — the difference compounds with fields × rows
     at 100 TB).  Oracle uses DuckDB's JSON extraction on the same path.
     """
-    ev = t(spark, sf_dir, "events")
+    from waddleml_spark.session import fan_out
+
+    # fan_out before the parse (r11 opt round): a single-row-group
+    # events scan runs the whole parse_json pass on one core; exec
+    # median 0.39 -> 0.30 s interleaved, no-op at cluster scale where
+    # the scan already splits
+    ev = fan_out(t(spark, sf_dir, "events").select("event_type", "props"))
     v = F.parse_json(F.col("props"))
     k = F.try_variant_get(v, "$.k", "int")
     d = ev.select("event_type", k.alias("k"))

@@ -1554,17 +1554,27 @@ def cdc_chunks(
     Downstream consumers aggregate at hash grain exactly like the
     passage reports.
     """
-    # NULL text coalesces to '' BEFORE the split (the _word_pos_sql
-    # rule): posexplode of a NULL token array emits ZERO rows and would
-    # silently drop the document from the chunk grain, where every
-    # other text path here keeps it as the ['']-token doc
-    toks = F.split(lower_trim(F.coalesce(F.col(text_col), F.lit(""))), WS_RE)
+    from waddleml_spark.session import fan_out
+
     cols = [F.col(id_col).alias("id")]
     keep = ["id"]
     if group_col is not None:
         cols.append(F.col(group_col).alias("grp"))
         keep.append("grp")
-    words = df.select(*cols, F.posexplode(toks).alias("__i", "__w"))
+    # fan_out BEFORE the tokenize+posexplode+per-word md5: unlike the
+    # passage family (array slices, cheap — fan_out measured a LOSS
+    # there, r11 opt round), the CDC grain pays a per-WORD hash, and a
+    # single-row-group scan serializes that whole stage on one core
+    # (cdc_dedup_report exec 0.675 -> 0.484 s interleaved min-of-5).
+    # NULL text coalesces to '' BEFORE the split (the _word_pos_sql
+    # rule): posexplode of a NULL token array emits ZERO rows and would
+    # silently drop the document from the chunk grain, where every
+    # other text path here keeps it as the ['']-token doc
+    src = fan_out(df.select(*cols, F.col(text_col).alias("__cdc_text")))
+    toks = F.split(
+        lower_trim(F.coalesce(F.col("__cdc_text"), F.lit(""))), WS_RE
+    )
+    words = src.select(*keep, F.posexplode(toks).alias("__i", "__w"))
     bf = (_md5_be32(F.col("__w")) % divisor == 0).cast("long")
     from pyspark.sql import Window
 
