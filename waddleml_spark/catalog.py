@@ -489,7 +489,13 @@ _NUM_RE = r"\A[+-]?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?\z"
     """,
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    from waddleml_spark.session import fan_out
+
+    # fan_out before the per-row JSON parse + regex (r11 opt round): the
+    # single-row-group events scan otherwise runs the whole pass on one
+    # core (exec min 0.572 -> 0.468 s interleaved; no-op on splittable
+    # cluster-scale inputs)
+    ev = fan_out(t(spark, sf_dir, "events").select("event_id", "props"))
     raw = F.get_json_object("props", "$.k")
     k = (
         F.floor(

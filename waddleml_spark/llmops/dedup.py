@@ -112,9 +112,21 @@ def shingle_rows(
             "shingle_rows(with_pos=True) yields per-occurrence positioned "
             "rows; dedup does not apply — pass distinct=False explicitly"
         )
-    toks = F.split(lower_trim(F.col(text_col)), WS_RE)
-    base = df.select(
-        F.col(id_col).alias("id"), toks.alias("__t"), F.size(toks).alias("__n")
+    from waddleml_spark.session import fan_out
+
+    # fan_out (id, text) before tokenize+explode (r11 opt round): a
+    # single-row-group scan otherwise runs every consumer's gram
+    # generation serially on one core (minhash32_docs 0.797 -> 0.590 s,
+    # minhash32_band_pairs 1.034 -> 0.809 s, interleaved min-of-5 at
+    # 0.02% steal).  No-op where the input already has >= core
+    # partitions (cluster scans, upstream fan_outs — the probe is
+    # memoized), so consumers that fan_out earlier pay nothing extra.
+    src = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__sr_text"))
+    )
+    toks = F.split(lower_trim(F.col("__sr_text")), WS_RE)
+    base = src.select(
+        "id", toks.alias("__t"), F.size(toks).alias("__n")
     )
     pos_cols = ["__n"] if with_pos else []
     idx = base.select(
@@ -673,11 +685,16 @@ def simhash32_jvm(
     # — one py4j parse instead of 33, measured build 0.089 → 0.046 s and
     # warm total 0.438 → 0.376 s at sf0.1, bit-identical signatures.
     from waddleml_spark.llmops import tokens_sql
+    from waddleml_spark.session import fan_out
 
     idq = "`" + id_col.replace("`", "``") + "`"
-    hashed = df.selectExpr(
+    # fan_out before tokenize+explode+md5 (r11 opt round): the serial
+    # single-row-group scan stage measured 0.330 -> 0.250 s interleaved
+    # min-of-5 at 0.02% steal; no-op on already-split inputs
+    src = fan_out(df.selectExpr(idq, f"{text_col} AS __sh_text"))
+    hashed = src.selectExpr(
         idq,
-        f"explode(array_distinct({tokens_sql(text_col)})) AS __tok",
+        f"explode(array_distinct({tokens_sql('__sh_text')})) AS __tok",
     ).selectExpr(
         idq,
         "CAST(conv(substring(md5(__tok), 1, 8), 16, 10) AS BIGINT) AS __h",
