@@ -1431,14 +1431,19 @@ def remove_contaminated_spans(
     the no-CSE rule cannot fuse; the bigram-LM two-pass precedent),
     plus once for the bench side: wide-scan budget 3 in
     test_plan_hygiene."""
-    # coalesce the predicate: a NULL bench_pred (e.g. NULL source under
+    # NULL-predicate handling: a NULL bench_pred (e.g. NULL source under
     # an equality predicate) must land a doc on the CORPUS side and be
     # re-emitted — a bare ~pred drops NULL rows from BOTH filters,
     # silent data loss in a rewrite stage (r11 review find; oracle
-    # mirrors with IS DISTINCT FROM)
-    is_bench = F.coalesce(bench_pred, F.lit(False))
-    corpus = df.filter(~is_bench)
-    bench = df.filter(is_bench)
+    # mirrors with IS DISTINCT FROM).  Spelled as pushable leaves
+    # (r11 opt round): filter(pred) already drops NULL rows, so the
+    # bench side needs no coalesce, and the corpus side's
+    # (~pred OR pred IS NULL) is an Or of parquet-pushable atoms where
+    # the earlier NOT coalesce(pred, false) defeated scan pushdown
+    # (PLANS.md showed the three source predicates vanish from
+    # PushedFilters) — identical row sets, value-verified.
+    corpus = df.filter(~bench_pred | bench_pred.isNull())
+    bench = df.filter(bench_pred)
     # distinct=False + one global distinct on the gram string: the
     # per-doc dedup would be a second shuffle the set-level distinct
     # immediately repeats
