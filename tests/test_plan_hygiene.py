@@ -145,3 +145,21 @@ def test_containment_carries_partial_window_group_limit(spark):
         if "WindowGroupLimit" in l and "Partial" in l
     ]
     assert any("dense_rank" in l for l in partial), partial
+
+
+def test_decontamination_bench_scan_pushes_predicate(spark):
+    """r11 opt round: the NULL-predicate fix originally spelled the
+    bench/corpus split as NOT coalesce(pred, false), which is not a
+    parquet-translatable atom — every PushedFilters entry vanished and
+    the selective benchmark scan stopped pruning.  The filters are now
+    pushable leaves (filter(pred) on the bench side, ~pred OR pred IS
+    NULL on the corpus side); pin that the bench scan actually pushes
+    the source equality so a future edit cannot silently regress it."""
+    import re
+
+    df = catalog.QUERIES["decontamination_rewrite_report"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(source,src0\)", plan), (
+        "bench-side scan no longer pushes EqualTo(source,src0); "
+        + plan[:2000]
+    )
